@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate: run every registry query
+on Spark AND its oracle SQL on DuckDB, compare row-count + schema-shape +
+order-insensitive values (exact, with a float-approx fallback diagnostic).
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date/pd.Timestamp
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return [cols[i] for i in order], out
+
+
+def _approx_eq(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name, spark_df, con, sql):
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return False, problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+        return False, problems
+    _, sn = _norm_rows(s_cols, s_rows)
+    _, dn = _norm_rows(d_cols, d_rows)
+    exact = sn == dn
+    if exact:
+        return True, []
+    n_bad = 0
+    first = None
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        if a != b:
+            if all(_approx_eq(x, y) for x, y in zip(a, b)):
+                continue
+            n_bad += 1
+            if first is None:
+                first = (i, a, b)
+    if n_bad == 0:
+        problems.append("float-approx only (exact hash may still mismatch)")
+        return True, problems
+    problems.append(f"{n_bad} mismatched rows; first: {first}")
+    return False, problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans import (
+        oracle_sql_map,
+        queries_map,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark
+
+    qs = queries_map()
+    oracles = oracle_sql_map()
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = n_skip = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            print(f"  ~ {name}: no oracle, rows={n}")
+            n_skip += 1
+            continue
+        try:
+            ok, problems = compare(name, fn(spark, sf_dir), con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            ok, problems = False, [f"EXCEPTION: {type(e).__name__}: {e}"]
+        if ok:
+            n_pass += 1
+            note = f"  ({problems[0]})" if problems else ""
+            print(f"  PASS {name}{note}")
+        else:
+            n_fail += 1
+            print(f"  FAIL {name}: {problems}")
+    print(f"pass={n_pass} fail={n_fail} rows_only={n_skip}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

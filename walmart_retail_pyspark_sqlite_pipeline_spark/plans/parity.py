@@ -1,0 +1,581 @@
+"""Relational parity queries — the reference's operator surface (SURVEY.md §2)
+re-expressed on the TPC-H-ish testdata star schema.
+
+Mapping (FIXTURES.md): ``lineitem``+``orders`` play the sales fact (`train`),
+``customer``/``nation``/``supplier`` play the dimensions (`stores`),
+``l_shipdate``/``o_orderdate`` play `Date` (year/month/weekofyear derivation
+mirrors /root/reference/src/transform_spark.py:54-61).
+
+Every query is pure DataFrame API (100% Catalyst-optimizable — the property
+the reference preserves, SURVEY.md §2.11) with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import read_table
+from .registry import QuerySpec, register
+
+
+def _r2(c):  # money-scale sums: 2 decimals, double on both sides
+    return F.round(c, 2).cast("double")
+
+
+def _r4(c):  # averages: 4 decimals
+    return F.round(c, 4).cast("double")
+
+
+def _r6(c):  # ratios/fractions: 6 decimals
+    return F.round(c, 6).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q01 — grouped multi-aggregate scan (SURVEY §2.5 A1, §2.7 O1; TPC-H Q1 shape)
+# Analogue of the reference's agg_store_dept build
+# (/root/reference/src/transform_spark.py:127-136).
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(li.l_shipdate <= F.to_timestamp(F.lit("2000-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+  CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — flagship: fact⨝dim, grouped agg, desc top-k
+# (SURVEY §2.4 J1/J2, §2.5 A2, §2.7 O2/O4; analogue of the reference's
+# agg_store_type_year + the notebook's "top stores" query,
+# /root/reference/src/transform_spark.py:139-147 + testing/sql_queries.ipynb.)
+# customer is small → Catalyst broadcasts it (no shuffle of orders).
+# ---------------------------------------------------------------------------
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _r2(F.sum("o_totalprice")).alias("total_spend"),
+            F.count("*").alias("num_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_spend,
+  COUNT(*) AS num_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — 3-way join + countDistinct (SURVEY §2.4 J1+J2 chain, §2.5 A2).
+# nation & customer both broadcast; only orders streams.
+# ---------------------------------------------------------------------------
+def q03_sales_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _r2(F.sum("o_totalprice")).alias("total_sales"),
+            _r4(F.avg("o_totalprice")).alias("avg_sales"),
+            F.countDistinct("c_custkey").alias("num_customers"),
+        )
+        .orderBy("n_name", "order_year")
+    )
+
+
+Q03_SQL = """
+SELECT
+  n_name,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_sales,
+  CAST(ROUND(AVG(o_totalprice), 4) AS DOUBLE) AS avg_sales,
+  COUNT(DISTINCT c_custkey) AS num_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, order_year
+ORDER BY n_name, order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — grouped agg on low-cardinality dims incl. calendar derivation
+# (SURVEY §2.5 A3, §2.9 C2; analogue of holidays_vs_normal,
+# /root/reference/src/transform_spark.py:150-158).
+# ---------------------------------------------------------------------------
+def q04_returnflag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"), F.col("l_returnflag"))
+        .agg(
+            _r2(F.sum("l_quantity")).alias("total_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count("*").alias("num_items"),
+        )
+        .orderBy("ship_year", "l_returnflag")
+    )
+
+
+Q04_SQL = """
+SELECT
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  l_returnflag,
+  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS total_qty,
+  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+  COUNT(*) AS num_items
+FROM lineitem
+GROUP BY ship_year, l_returnflag
+ORDER BY ship_year, l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — single-pass null/empty profile (SURVEY §2.12 Q2, fixing the
+# reference's N+1 count-job loop, /root/reference/src/quality_checks.py:73-79
+# → one aggregate pass, SURVEY §4.3).
+# ---------------------------------------------------------------------------
+def q05_null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for f_ in orders.schema.fields:
+        c = F.col(f_.name)
+        cond = (c.isNull() | (c == "")) if f_.dataType.simpleString() == "string" else c.isNull()
+        aggs.append(
+            _r6(F.avg(F.when(cond, 1.0).otherwise(0.0))).alias(f"nf_{f_.name}")
+        )
+    return orders.agg(*aggs)
+
+
+Q05_SQL = """
+SELECT
+  CAST(ROUND(AVG(CASE WHEN o_orderkey IS NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_orderkey,
+  CAST(ROUND(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_custkey,
+  CAST(ROUND(AVG(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_orderstatus,
+  CAST(ROUND(AVG(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_totalprice,
+  CAST(ROUND(AVG(CASE WHEN o_orderdate IS NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_orderdate,
+  CAST(ROUND(AVG(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '' THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS nf_o_orderpriority
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — duplicate detection stats in one result (SURVEY §2.5 A5/A6,
+# §2.12 Q3; single-aggregate rewrite of
+# /root/reference/src/quality_checks.py:88-96).
+# ---------------------------------------------------------------------------
+def q06_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    key_dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("dup_key_groups"))
+    )
+    full_dups = li.agg(
+        (F.count("*") - F.countDistinct(*li.columns)).alias("full_row_dups")
+    )
+    return key_dups.crossJoin(full_dups)
+
+
+Q06_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS dup_key_groups,
+  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      l_shipdate)) FROM lineitem) AS full_row_dups
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — distinct / dropDuplicates (SURVEY §2.5 A5/A7).
+# ---------------------------------------------------------------------------
+def q07_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q07_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — ranking window over grouped revenue (SURVEY §2.6 extension:
+# rank() over partitionBy; the "top stores within type" BI framing).
+# ---------------------------------------------------------------------------
+def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    return (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("s_nationkey", "rk", "s_suppkey")
+    )
+
+
+Q08_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+)
+SELECT s_nationkey, s_suppkey, revenue, rk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS INTEGER) AS rk
+  FROM rev
+) WHERE rk <= 3
+ORDER BY s_nationkey, rk, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — rollup / grouping sets (SURVEY §2.5 note: the reference's three
+# manual aggregate tables are a hand-rolled rollup family; here it is one
+# declarative ROLLUP).
+# ---------------------------------------------------------------------------
+def q09_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().alias("lvl"),
+        )
+        .orderBy(
+            F.col("lvl"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — set operations (SURVEY §2.8: union / intersect / except).
+# ---------------------------------------------------------------------------
+def q10_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    cn = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    cust_only = cn.exceptAll(sn).withColumn("tag", F.lit("customer_only"))
+    sup_only = sn.exceptAll(cn).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(sup_only).orderBy("tag", "nationkey")
+
+
+Q10_SQL = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+ORDER BY tag, nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — event-time tumbling window aggregation, batch form
+# (SURVEY §2.10 extension; F.window == streaming-compatible semantics).
+# window start exported as epoch seconds so timestamp precision (ns vs µs)
+# cannot skew the value hash.
+# ---------------------------------------------------------------------------
+def q11_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+            _r4(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q11_SQL = """
+SELECT
+  CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value,
+  CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — predicate filters + projection pushdown (SURVEY §2.3 F1-ish; the
+# scan should show PushedFilters on c_mktsegment/c_acctbal and a 3-column
+# ReadSchema).
+# ---------------------------------------------------------------------------
+def q12_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+Q12_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — semi/anti joins (SURVEY §2.4 roadmap; needed by dedup + oracle
+# harness).
+# ---------------------------------------------------------------------------
+def q13_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    okeys = orders.select("o_custkey")
+    with_orders = (
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_semi")
+        .agg(F.count("*").alias("customers_with_orders"))
+    )
+    without_orders = (
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_anti")
+        .agg(F.count("*").alias("customers_without_orders"))
+    )
+    return with_orders.crossJoin(without_orders)
+
+
+Q13_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS customers_with_orders,
+  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS customers_without_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — the curated wide-table build (SURVEY §3 entry point 3): left joins
+# fact→dims with calendar enrichment, mirroring
+# /root/reference/src/transform_spark.py:92-124 (J1+J2+P3+P4, C1-C4).
+# Full row set — the oracle hashes all ~60k rows at sf0.01.
+# ---------------------------------------------------------------------------
+def q14_curated_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.weekofyear("l_shipdate").alias("ship_week"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "o_orderstatus",
+            "o_totalprice",
+            "c_mktsegment",
+        )
+    )
+
+
+Q14_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+  CAST(weekofyear(l_shipdate) AS INTEGER) AS ship_week,
+  l_quantity,
+  l_extendedprice,
+  l_discount,
+  o_orderstatus,
+  o_totalprice,
+  c_mktsegment
+FROM lineitem
+LEFT JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — top-k per group via row_number (SURVEY §2.6/§2.7 O4 generalized).
+# ---------------------------------------------------------------------------
+def q15_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q15_SQL = """
+SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — pivot (manual rollup family → single pivoted table; Spark
+# groupBy().pivot() vs SQL conditional aggregation).
+# ---------------------------------------------------------------------------
+def q16_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("double"))
+        .select(
+            "order_year",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q16_SQL = """
+SELECT
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS DOUBLE) AS total_f,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS DOUBLE) AS total_o,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS DOUBLE) AS total_p
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+for _spec in [
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
+              ("A1", "O1", "F1", "C5"), bench=True),
+    QuerySpec("q02_top_customers", q02_top_customers, Q02_SQL,
+              ("J1", "A2", "O2", "O4"), bench=True),
+    QuerySpec("q03_sales_by_nation_year", q03_sales_by_nation_year, Q03_SQL,
+              ("J1", "J2", "A2", "C2"), bench=True),
+    QuerySpec("q04_returnflag_by_year", q04_returnflag_by_year, Q04_SQL,
+              ("A3", "C2")),
+    QuerySpec("q05_null_profile_orders", q05_null_profile_orders, Q05_SQL,
+              ("Q2", "A8", "F1")),
+    QuerySpec("q06_dup_stats", q06_dup_stats, Q06_SQL, ("A5", "A6", "Q3")),
+    QuerySpec("q07_distinct_flag_status", q07_distinct_flag_status, Q07_SQL,
+              ("A5", "A7")),
+    QuerySpec("q08_supplier_rank_in_nation", q08_supplier_rank_in_nation, Q08_SQL,
+              ("W1", "A1", "J1")),
+    QuerySpec("q09_rollup_flag_status", q09_rollup_flag_status, Q09_SQL,
+              ("A1", "G1")),
+    QuerySpec("q10_nation_set_ops", q10_nation_set_ops, Q10_SQL, ("SET1",)),
+    QuerySpec("q11_event_hourly", q11_event_hourly, Q11_SQL,
+              ("ST1", "A1"), bench=True),
+    QuerySpec("q12_building_customers", q12_building_customers, Q12_SQL,
+              ("F1", "P3")),
+    QuerySpec("q13_semi_anti", q13_semi_anti, Q13_SQL, ("J3", "J4")),
+    QuerySpec("q14_curated_wide", q14_curated_wide, Q14_SQL,
+              ("J1", "J2", "P3", "P4", "C1", "C2", "C3", "C4"), bench=True),
+    QuerySpec("q15_top_orders_per_customer", q15_top_orders_per_customer, Q15_SQL,
+              ("W1", "O4")),
+    QuerySpec("q16_status_pivot", q16_status_pivot, Q16_SQL, ("A1", "PV1")),
+]:
+    register(_spec)

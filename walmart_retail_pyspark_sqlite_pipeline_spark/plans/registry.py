@@ -1,0 +1,65 @@
+"""Query registry: every engine capability as a (Spark plan, oracle SQL) pair.
+
+Each :class:`QuerySpec` carries
+- ``fn(spark, sf_dir) -> DataFrame`` — the idiomatic-Spark implementation,
+- ``oracle`` — equivalent ANSI SQL DuckDB runs on the same parquet tables
+  (``None`` only for genuinely non-SQL-expressible ops → driver falls back
+  to a rows-only check),
+- ``tags`` — SURVEY.md §2 inventory ids this query exercises,
+- ``bench`` — whether bench.py times it as a headline query.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before hashing). Float aggregates are rounded on both
+sides so independent summation orders cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    bench: bool = False
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name {spec.name!r}")
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def _load_all() -> None:
+    # Import for side effects: each module registers its QuerySpecs.
+    from . import parity  # noqa: F401
+    from . import llm  # noqa: F401
+    from . import streams  # noqa: F401
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def bench_specs() -> list[QuerySpec]:
+    _load_all()
+    return [s for s in REGISTRY.values() if s.bench]

@@ -1,0 +1,3 @@
+from .tables import STAR_TABLES, TABLES, load_tables, read_table, register_tables
+
+__all__ = ["TABLES", "STAR_TABLES", "read_table", "load_tables", "register_tables"]
