@@ -1,0 +1,84 @@
+"""Text-analysis primitives: tokenization, shingling, stopword scoring.
+
+Built-in Column expressions only (SURVEY.md §2.11 — keep the hot path 100%
+Catalyst-optimizable). Each helper has a DuckDB-SQL twin so oracle queries
+compute byte-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: token = maximal run of [a-z0-9] after lowercasing.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Priority order breaks argmax ties deterministically.
+LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "a", "in", "is", "that")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")),
+    ("es", ("el", "la", "de", "que", "y", "en", "un", "es")),
+    ("fr", ("le", "la", "et", "les", "des", "un", "une", "est")),
+    ("zh", ("de", "le", "shi", "bu", "wo", "ni", "ta", "men")),
+)
+
+#: Generic English-ish stopwords for quality scoring.
+QUALITY_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+)
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased [a-z0-9]+ tokens, empties filtered (leading/trailing
+    punctuation produces empty fragments in both engines)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'), "
+        "t -> t <> '')"
+    )
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """n-word shingles joined by single spaces; empty array when the doc has
+    fewer than n tokens. (Spark ``sequence(1, k)`` DESCENDS when k < 1, so
+    the short-doc case must be guarded, not clamped.)"""
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)])
+
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tok) - (n - 1)), shingle_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(tok_col: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles`. ``tok_col`` must be a column
+    reference holding the token list (materialize tokens in a CTE first)."""
+    joined = " || ' ' || ".join(f"{tok_col}[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({tok_col}) - {n - 2}, 1)), "
+        f"i -> {joined})"
+    )
+
+
+def stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) that are in ``words``."""
+    return F.aggregate(
+        F.transform(tok, lambda t: F.when(t.isin(*words), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_hits_sql(tok_expr: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"list_sum(list_transform({tok_expr}, "
+        f"t -> CASE WHEN t IN ({inlist}) THEN 1 ELSE 0 END))"
+    )

@@ -1,0 +1,47 @@
+"""Vector primitives over ``array<float>`` embedding columns.
+
+Dot products and norms are computed JVM-side with ``zip_with`` +
+``aggregate`` after an element-wise cast to double — a left-to-right fold,
+which is exactly what DuckDB's ``list_dot_product`` over ``DOUBLE[]`` does,
+so both engines produce bit-identical doubles.
+
+At 100 TB these are per-row projections (no shuffle, no Python). For the
+Arrow-batched alternative used when a workload prefers NumPy kernels, see
+``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin: explicit dot/norm over DOUBLE[] (avoids
+    list_cosine_similarity's float32 path so both engines fold the same
+    doubles in the same order)."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )

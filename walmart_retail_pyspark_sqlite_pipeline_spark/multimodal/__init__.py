@@ -1,0 +1,3 @@
+from .binary import attach_fake_payload, image_meta
+
+__all__ = ["attach_fake_payload", "image_meta"]

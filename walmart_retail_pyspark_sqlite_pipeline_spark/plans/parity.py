@@ -20,16 +20,32 @@ from ..sources import read_table
 from .registry import QuerySpec, register
 
 
-def _r2(c):  # money-scale sums: 2 decimals, double on both sides
-    return F.round(c, 2).cast("double")
-
-
-def _r4(c):  # averages: 4 decimals
-    return F.round(c, 4).cast("double")
-
-
 def _r6(c):  # ratios/fractions: 6 decimals
     return F.round(c, 6).cast("double")
+
+
+# Exact-sum idiom: the source money columns are exact 2-decimal values (and
+# price*(1-discount) products exact 4-decimal), so we round each row to an
+# integer number of "cents" (deterministic — a single per-row fp op on
+# identical operands in both engines) and sum INTEGERS, which is
+# order-independent. A plain SUM(double) accumulates ~1e-5 error at 1e8
+# magnitudes depending on partial-aggregation order, which can flip a
+# 2-decimal rounding boundary and the driver's exact value hash with it.
+def _xsum(c, scale: int = 100):
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.round(c * scale, 0).cast("long")) / F.lit(float(scale))
+
+
+def _xavg(c, scale: int = 100):
+    return _xsum(c, scale) / F.count("*")
+
+
+def _xsum_sql(expr: str, scale: int = 100) -> str:
+    return f"(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) / {float(scale)})"
+
+
+def _xavg_sql(expr: str, scale: int = 100) -> str:
+    return f"({_xsum_sql(expr, scale)} / COUNT(*))"
 
 
 # ---------------------------------------------------------------------------
@@ -43,30 +59,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(li.l_shipdate <= F.to_timestamp(F.lit("2000-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _xsum("l_quantity").alias("sum_qty"),
+            _xsum("l_extendedprice").alias("sum_base_price"),
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
                 "sum_disc_price"
             ),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            _xavg("l_quantity").alias("avg_qty"),
+            _xavg("l_extendedprice").alias("avg_price"),
+            _xavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q01_SQL = """
+Q01_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
-  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
-  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
-  CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc,
+  {_xsum_sql("l_quantity")} AS sum_qty,
+  {_xsum_sql("l_extendedprice")} AS sum_base_price,
+  {_xsum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+  {_xavg_sql("l_quantity")} AS avg_qty,
+  {_xavg_sql("l_extendedprice")} AS avg_price,
+  {_xavg_sql("l_discount")} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -89,7 +105,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_custkey", "c_name")
         .agg(
-            _r2(F.sum("o_totalprice")).alias("total_spend"),
+            _xsum("o_totalprice").alias("total_spend"),
             F.count("*").alias("num_orders"),
         )
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
@@ -97,11 +113,11 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q02_SQL = """
+Q02_SQL = f"""
 SELECT
   c_custkey,
   c_name,
-  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_spend,
+  {_xsum_sql("o_totalprice")} AS total_spend,
   COUNT(*) AS num_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -123,20 +139,20 @@ def q03_sales_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(
-            _r2(F.sum("o_totalprice")).alias("total_sales"),
-            _r4(F.avg("o_totalprice")).alias("avg_sales"),
+            _xsum("o_totalprice").alias("total_sales"),
+            _xavg("o_totalprice").alias("avg_sales"),
             F.countDistinct("c_custkey").alias("num_customers"),
         )
         .orderBy("n_name", "order_year")
     )
 
 
-Q03_SQL = """
+Q03_SQL = f"""
 SELECT
   n_name,
   CAST(year(o_orderdate) AS INTEGER) AS order_year,
-  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_sales,
-  CAST(ROUND(AVG(o_totalprice), 4) AS DOUBLE) AS avg_sales,
+  {_xsum_sql("o_totalprice")} AS total_sales,
+  {_xavg_sql("o_totalprice")} AS avg_sales,
   COUNT(DISTINCT c_custkey) AS num_customers
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -156,20 +172,20 @@ def q04_returnflag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy(F.year("l_shipdate").alias("ship_year"), F.col("l_returnflag"))
         .agg(
-            _r2(F.sum("l_quantity")).alias("total_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _xsum("l_quantity").alias("total_qty"),
+            _xavg("l_extendedprice").alias("avg_price"),
             F.count("*").alias("num_items"),
         )
         .orderBy("ship_year", "l_returnflag")
     )
 
 
-Q04_SQL = """
+Q04_SQL = f"""
 SELECT
   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
   l_returnflag,
-  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS total_qty,
-  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+  {_xsum_sql("l_quantity")} AS total_qty,
+  {_xavg_sql("l_extendedprice")} AS avg_price,
   COUNT(*) AS num_items
 FROM lineitem
 GROUP BY ship_year, l_returnflag
@@ -265,7 +281,11 @@ def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+                "revenue"
+            )
+        )
     )
     w = Window.partitionBy("s_nationkey").orderBy(
         F.col("revenue").desc(), F.col("s_suppkey")
@@ -277,10 +297,10 @@ def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q08_SQL = """
+Q08_SQL = f"""
 WITH rev AS (
   SELECT s_nationkey, s_suppkey,
-         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+         {_xsum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_nationkey, s_suppkey
 )
@@ -302,7 +322,7 @@ def q09_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _xsum("l_quantity").alias("sum_qty"),
             F.count("*").alias("n_rows"),
             F.grouping_id().alias("lvl"),
         )
@@ -314,11 +334,11 @@ def q09_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q09_SQL = """
+Q09_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  {_xsum_sql("l_quantity")} AS sum_qty,
   COUNT(*) AS n_rows,
   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
 FROM lineitem
@@ -365,8 +385,8 @@ def q11_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            _r2(F.sum("value")).alias("total_value"),
-            _r4(F.avg("value")).alias("avg_value"),
+            _xsum("value").alias("total_value"),
+            _xavg("value").alias("avg_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
@@ -379,13 +399,13 @@ def q11_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 SELECT
   CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
   event_type,
   COUNT(*) AS n_events,
-  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value,
-  CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_value
+  {_xsum_sql("value")} AS total_value,
+  {_xavg_sql("value")} AS avg_value
 FROM events
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
@@ -525,7 +545,7 @@ def q16_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.year("o_orderdate").alias("order_year"))
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2).cast("double"))
+        .agg(_xsum("o_totalprice"))
         .select(
             "order_year",
             F.col("F").alias("total_f"),
@@ -536,12 +556,12 @@ def q16_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q16_SQL = """
+Q16_SQL = f"""
 SELECT
   CAST(year(o_orderdate) AS INTEGER) AS order_year,
-  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS DOUBLE) AS total_f,
-  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS DOUBLE) AS total_o,
-  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS DOUBLE) AS total_p
+  {_xsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_f,
+  {_xsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_o,
+  {_xsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
 FROM orders
 GROUP BY order_year
 ORDER BY order_year
