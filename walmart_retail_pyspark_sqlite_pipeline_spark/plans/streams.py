@@ -1,4 +1,83 @@
-"""Event-stream queries (sessionization, structured streaming variants) —
-populated incrementally; see streaming/."""
+"""Event-stream queries: sessionization (oracle-checked) and the Structured
+Streaming variant of the hourly rollup (streaming execution — the plan is
+identical to batch, which the oracle verifies)."""
 
 from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from ..streaming import hourly_counts_stream, sessionize
+from .registry import QuerySpec, register
+
+
+# ---------------------------------------------------------------------------
+# events_sessionization — gap>30min session split per user via lag +
+# running-sum windows; one shuffle on user_id.
+# ---------------------------------------------------------------------------
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(ev).orderBy("user_id", "session_idx")
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+    CASE WHEN lag(ts_s) OVER w IS NULL
+              OR ts_s - lag(ts_s) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT user_id, ts_s,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+  MIN(ts_s) AS session_start,
+  MAX(ts_s) AS session_end,
+  COUNT(*) AS n_events,
+  MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_event_counts — Structured Streaming (availableNow, complete mode,
+# memory sink) computing the hourly per-type counts; the oracle is plain SQL
+# over the same data, proving streaming==batch semantics for this plan.
+# ---------------------------------------------------------------------------
+def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    return hourly_counts_stream(spark, path).orderBy("window_start", "event_type")
+
+
+STREAM_COUNTS_SQL = """
+SELECT
+  CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+for _spec in [
+    QuerySpec("events_sessionization", events_sessionization, SESSIONIZE_SQL,
+              ("ST2", "W1"), bench=True),
+    QuerySpec("stream_event_counts", stream_event_counts, STREAM_COUNTS_SQL,
+              ("ST1", "ST3")),
+]:
+    register(_spec)

@@ -1,0 +1,109 @@
+"""Event-stream operators.
+
+- :func:`sessionize` — gap-based sessionization as lag + running-sum window
+  functions (batch form; at scale this is one shuffle on user_id, then
+  linear per-partition work).
+- :func:`hourly_counts_stream` — the same tumbling-window aggregation as the
+  batch ``q11_event_hourly`` but executed by Structured Streaming with an
+  ``availableNow`` trigger, proving the plan is streaming-compatible.
+  Complete output mode + memory sink → deterministic final table.
+
+The reference pipeline is batch-only (SURVEY.md §2.10); these are the
+north-star streaming extensions.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_S = 1800
+
+_stream_counter = itertools.count()
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Assign gap-based session ids per user and aggregate per session.
+
+    Gap math uses whole epoch seconds so sub-second timestamp precision
+    differences (ns parquet vs µs Spark) cannot flip a boundary.
+    """
+    # one consistent ordering (whole seconds + event_id tiebreak) for BOTH
+    # the gap flag and the running sum — mixing orderings can split rows
+    # that share a timestamp across sessions
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    ts_s = F.col("ts").cast("long")
+    with_gap = events.select(
+        "user_id", "event_id", ts_s.alias("ts_s")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | ((F.col("ts_s") - F.lag("ts_s").over(w)) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("duration_s", F.col("session_end") - F.col("session_start"))
+    )
+
+
+def hourly_counts_stream(
+    spark: SparkSession, events_path: str, ts_is_nanos: bool = True
+) -> DataFrame:
+    """Run hourly tumbling-window counts as a Structured Streaming job over
+    the events parquet, trigger=availableNow, complete mode → memory sink;
+    returns the final result table.
+
+    In production the source would be Kafka/files-in-arrival-order with a
+    watermark (see tests/test_streaming.py for the watermark variant); the
+    aggregation plan is identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source requires a DIRECTORY; point it at the parent
+    # and glob-filter down to the events file
+    base_dir = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    if ts_is_nanos and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"hourly_counts_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
