@@ -1,0 +1,77 @@
+"""Unit tests for the engine-portable primitives (hashing, text, vectors) —
+including cross-checks against straight Python reimplementations and the
+DuckDB twins."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.functions import (
+    hashing,
+    text,
+    vectors,
+)
+
+
+def py_poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % hashing.MERSENNE_P
+    return acc
+
+
+@pytest.mark.parametrize("s", ["hello world", "a", "", "spark 4 engine", "x" * 500])
+def test_poly_hash_matches_python_and_duckdb(spark, s):
+    df = spark.createDataFrame([Row(s=s)])
+    got = df.select(hashing.poly_hash(F.col("s")).alias("h")).collect()[0].h
+    assert got == py_poly_hash(s)
+    duck = duckdb.sql(
+        f"SELECT {hashing.poly_hash_sql('s')} AS h FROM (SELECT '{s}' AS s)"
+    ).fetchone()[0]
+    # DuckDB string_split('', '') yields [''] with ascii('')=0 — same as the
+    # empty fold in Spark, both land on 0
+    assert (duck or 0) == got
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([Row(t="The quick, brown fox!"), Row(t="ab")])
+    out = df.select(
+        text.tokens(F.col("t")).alias("tok"),
+        text.word_shingles(text.tokens(F.col("t")), 3).alias("sh"),
+    ).collect()
+    assert out[0].tok == ["the", "quick", "brown", "fox"]
+    assert out[0].sh == ["the quick brown", "quick brown fox"]
+    assert out[1].tok == ["ab"]
+    assert out[1].sh == []  # shorter than the shingle width
+
+
+def test_stopword_hits(spark):
+    df = spark.createDataFrame([Row(t="the cat and the hat")])
+    got = (
+        df.select(
+            text.stopword_hits(
+                text.tokens(F.col("t")), ("the", "and")
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
+    assert got == 3  # 'the' twice + 'and' once, multiplicity counted
+
+
+def test_cosine_bounds_and_self_similarity(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 2.0, 3.0], b=[1.0, 2.0, 3.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])]
+    )
+    out = df.select(
+        F.round(vectors.cosine(F.col("a"), F.col("b")), 9).alias("c")
+    ).collect()
+    assert out[0].c == 1.0
+    assert out[1].c == 0.0
+
+
+def test_minhash_perms_stay_in_int64(spark):
+    max_h = hashing.MERSENNE_P - 1
+    for a, b in hashing.MINHASH_PERMS:
+        assert a * max_h + b < 2**63

@@ -1,0 +1,87 @@
+"""End-to-end pipeline test on walmart-shaped fixtures (FIXTURES.md):
+CSV → quality checks → curated star → SQLite, asserting the reference's
+structural invariants."""
+
+import sqlite3
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.curated import (
+    CURATED_COLUMNS,
+)
+from walmart_retail_pyspark_sqlite_pipeline_spark.sources.csv import read_csv_raw
+
+
+def test_pipeline_end_to_end(spark, walmart_fixtures, tmp_path):
+    db = tmp_path / "retail.db"
+    cfg = PipelineConfig(
+        raw_dir=str(walmart_fixtures["root"]), output_db=str(db)
+    )
+    result = run_pipeline(spark, cfg)
+    reports, table_rows = result["reports"], result["table_rows"]
+
+    n_train = reports["train"].row_count
+    assert n_train > 0
+    # left joins on unique right keys preserve the fact row count
+    assert table_rows["sales_curated"] == n_train
+    # MarkDown2 was generated ~70% NA -> null-fraction threshold trips
+    assert any("MarkDown2" in i for i in reports["features"].issues)
+
+    con = sqlite3.connect(db)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(sales_curated)")]
+    assert cols == CURATED_COLUMNS
+
+    # num_weeks over agg_store_dept partitions the fact table exactly
+    (s,) = con.execute("SELECT SUM(num_weeks) FROM agg_store_dept").fetchone()
+    assert s == n_train
+
+    # deterministic sink types: ISO date TEXT + 0/1 holidays
+    d, hol = con.execute(
+        "SELECT date, is_holiday FROM sales_curated LIMIT 1"
+    ).fetchone()
+    assert len(d) == 10 and d[4] == "-" and hol in (0, 1)
+
+    # holidays_vs_normal covers both flags
+    flags = {r[0] for r in con.execute(
+        "SELECT DISTINCT is_holiday FROM holidays_vs_normal"
+    )}
+    assert flags == {0, 1}
+
+    # ad-hoc SQL surface over the same session (notebook parity):
+    top = spark.sql(
+        "SELECT store_id, SUM(weekly_sales) AS total "
+        "FROM curated_sales GROUP BY store_id ORDER BY total DESC LIMIT 10"
+    ).collect()
+    assert len(top) == 10
+
+    sq = con.execute(
+        "SELECT store_id, SUM(weekly_sales) AS total FROM sales_curated "
+        "GROUP BY store_id ORDER BY total DESC LIMIT 10"
+    ).fetchall()
+    assert [r.store_id for r in top] == [r[0] for r in sq]
+    con.close()
+
+
+def test_cr_only_line_endings(spark, walmart_fixtures):
+    # the checked-in reference stores.csv has \r-only line endings
+    df = read_csv_raw(spark, str(walmart_fixtures["stores_cr"]))
+    assert df.count() == 45
+    assert df.columns == ["Store", "Type", "Size"]
+
+
+def test_duplicate_variant_dedups(spark, walmart_fixtures, tmp_path):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.quality import (
+        run_quality_checks,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.curated import (
+        TRAIN_SCHEMA,
+    )
+
+    df = read_csv_raw(spark, str(walmart_fixtures["train_dup"]))
+    typed, report = run_quality_checks(
+        df, TRAIN_SCHEMA, "train_dup", register_view=False
+    )
+    assert report.duplicate_count == 5
+    assert typed.count() == report.row_count

@@ -1,0 +1,79 @@
+from datetime import datetime
+
+from pyspark.sql import Row
+
+from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+from walmart_retail_pyspark_sqlite_pipeline_spark.streaming import (
+    hourly_counts_stream,
+    sessionize,
+)
+
+
+def _ev(uid, ts, eid):
+    return Row(user_id=uid, event_id=eid, ts=datetime.fromtimestamp(ts))
+
+
+def test_sessionize_gap_semantics(spark):
+    base = 1_700_000_000
+    rows = [
+        _ev(1, base, 1),
+        _ev(1, base + 100, 2),           # same session
+        _ev(1, base + 100 + 1801, 3),    # gap > 30min -> new session
+        _ev(2, base, 4),                 # other user independent
+    ]
+    out = sessionize(spark.createDataFrame(rows)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    first, second = sorted(by_user[1], key=lambda r: r.session_idx)
+    assert first.n_events == 2 and first.duration_s == 100
+    assert second.n_events == 1 and second.duration_s == 0
+    assert len(by_user[2]) == 1
+
+
+def test_streaming_equals_batch(spark):
+    batch = (
+        read_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    batch_counts = {r.event_type: r["count"] for r in batch}
+
+    streamed = hourly_counts_stream(spark, f"{SF_SMALL}/events.parquet").collect()
+    stream_counts: dict[str, int] = {}
+    for r in streamed:
+        stream_counts[r.event_type] = stream_counts.get(r.event_type, 0) + r.n_events
+    assert stream_counts == batch_counts
+
+
+def test_streaming_with_watermark_availablenow(spark):
+    """Watermark + append mode over availableNow: closed windows are
+    emitted, the trailing window may be withheld — the count must be a
+    prefix-sum of the batch total (late-data semantics sanity)."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("wm_test").agg(F.sum("count")).collect()[0][0] or 0
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert 0 <= emitted <= total

@@ -1,0 +1,118 @@
+"""Config-driven pipeline lifecycle (SURVEY §3 entry point 1):
+ingest → quality checks → curated transform → sink.
+
+Differences from the reference, by design (SURVEY §4.3):
+- quality profiling is one aggregate job per table, not N+3;
+- each curated table's plan executes ONCE — the row count comes back from
+  the sink writer instead of a pre-write ``count()`` re-execution;
+- the sink is pluggable: SQLite for the BI hand-off (single-writer by
+  construction), parquet as the scale default;
+- ingestion is pluggable and defaults to local files (the reference shells
+  out to the Kaggle CLI — an out-of-engine acquisition step; hook one in
+  via ``PipelineConfig.acquire`` if credentials exist).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import yaml
+from pyspark.sql import SparkSession
+
+from ..plans import curated as cur
+from ..quality import QualityReport, run_quality_checks
+from ..sinks import write_parquet, write_sqlite
+from ..sources.csv import read_csv_raw
+
+log = logging.getLogger("walmart_retail_pipeline")
+
+
+@dataclass
+class PipelineConfig:
+    raw_dir: str
+    output_db: str = "curated/retail.db"
+    output_parquet_dir: str | None = None
+    max_null_fraction: float = 0.6
+    drop_duplicates: bool = True
+    fail_on_schema_mismatch: bool = False
+    sink: str = "sqlite"  # "sqlite" | "parquet" | "both"
+    datasets: dict[str, str] = field(
+        default_factory=lambda: {
+            "train": "train.csv",
+            "features": "features.csv",
+            "stores": "stores.csv",
+        }
+    )
+    #: optional acquisition hook: called with raw_dir before reading
+    acquire: Callable[[str], None] | None = None
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "PipelineConfig":
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+        known = {k: v for k, v in data.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+
+_SCHEMAS = {
+    "train": cur.TRAIN_SCHEMA,
+    "features": cur.FEATURES_SCHEMA,
+    "stores": cur.STORES_SCHEMA,
+}
+
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig
+) -> dict[str, object]:
+    """Run the full lifecycle; returns {reports, table_rows, elapsed_s}."""
+    t0 = time.perf_counter()
+    if cfg.acquire is not None:
+        cfg.acquire(cfg.raw_dir)
+
+    raw_dir = Path(cfg.raw_dir)
+    typed = {}
+    reports: dict[str, QualityReport] = {}
+    for key, fname in cfg.datasets.items():
+        path = raw_dir / fname
+        if not path.exists():
+            raise FileNotFoundError(f"input {path} for dataset {key!r}")
+        df = read_csv_raw(spark, str(path))
+        typed[key], reports[key] = run_quality_checks(
+            df,
+            _SCHEMAS[key],
+            key,
+            max_null_fraction=cfg.max_null_fraction,
+            drop_duplicates=cfg.drop_duplicates,
+            fail_on_schema_mismatch=cfg.fail_on_schema_mismatch,
+        )
+        log.info(
+            "QC %s: rows=%d dup=%d issues=%s",
+            key, reports[key].row_count, reports[key].duplicate_count,
+            reports[key].issues,
+        )
+
+    tables = cur.build_curated_tables(
+        spark, typed["train"], typed["features"], typed["stores"]
+    )
+
+    table_rows: dict[str, int] = {}
+    db_path = Path(cfg.output_db)
+    db_path.parent.mkdir(parents=True, exist_ok=True)
+    for name, df in tables.items():
+        if cfg.sink in ("sqlite", "both"):
+            table_rows[name] = write_sqlite(df, db_path, name)
+            log.info("wrote %s: %d rows -> %s", name, table_rows[name], db_path)
+        if cfg.sink in ("parquet", "both"):
+            out = f"{cfg.output_parquet_dir or 'curated'}/{name}"
+            write_parquet(df, out)
+            log.info("wrote %s -> %s", name, out)
+
+    return {
+        "reports": reports,
+        "table_rows": table_rows,
+        "elapsed_s": round(time.perf_counter() - t0, 3),
+    }
