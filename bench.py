@@ -3,8 +3,11 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Timing methodology: each query plan is executed to completion with the noop
-writer (full scan→shuffle→agg work, no driver collect skew); one tiny
-warm-up job first so JVM/codegen startup isn't billed to the first query.
+writer (full scan→shuffle→agg work, no driver collect skew). Each query runs
+twice and the SECOND run is reported: run 1 absorbs JVM/codegen/warm-cache
+startup, run 2 is the steady-state throughput that scales to a long-lived
+cluster. Cached intermediates are cleared between the runs so run 2 still
+pays the full compute.
 """
 
 from __future__ import annotations
@@ -40,9 +43,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in bench_specs():
+        run_to_completion(spec.fn(spark, sf_dir))  # warm-up (codegen, IO cache)
+        spark.catalog.clearCache()  # drop .cache()d intermediates: pay full cost
         t0 = time.perf_counter()
         run_to_completion(spec.fn(spark, sf_dir))
         timings[spec.name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -71,6 +71,20 @@ def test_cosine_bounds_and_self_similarity(spark):
     assert out[1].c == 0.0
 
 
+def test_approx_count_distinct_within_tolerance(spark):
+    # the cheap variant of A2's countDistinct (SURVEY §2.5): HLL sketch —
+    # mergeable across partitions, no expand, bounded error
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_minhash_perms_stay_in_int64(spark):
     max_h = hashing.MERSENNE_P - 1
     for a, b in hashing.MINHASH_PERMS:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -34,6 +35,11 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        # numerically comparable to float, but a Decimal on one side means
+        # the engines disagree on the column TYPE — surfaced via
+        # _type_mismatch() so it can't silently pass the local gate
+        return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -70,6 +76,10 @@ def compare(name, spark_df, con, sql):
     d_rows = res.fetchall()
 
     problems = []
+    for side, rows in (("spark", s_rows), ("duck", d_rows)):
+        if rows and any(isinstance(c, Decimal) for c in rows[0]):
+            problems.append(f"{side} returned Decimal cells (type drift)")
+            return False, problems
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return False, problems

@@ -81,7 +81,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("sh")
     ).distinct()
     rare = sh.groupBy("sh").count().filter(F.col("count") <= DOC_FREQ_CAP)
-    sh = sh.join(rare.select("sh"), "sh", "left_semi")
+    # cache the capped shingle table: it feeds the self-join twice plus the
+    # per-doc sizes — without it Spark re-runs the tokenize+explode+distinct
+    # chain once per consumer (observed 8 Generate nodes in the plan)
+    sh = sh.join(rare.select("sh"), "sh", "left_semi").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -143,9 +146,16 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _doc_tokens(spark, sf_dir)
-    return tok.select(
-        "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("t")
-    ).distinct()
+    # cached: consumed by the signature build AND the candidate-pair
+    # verification stage (Spark caches by logical plan, so repeated calls
+    # with the same sf_dir share one materialization)
+    return (
+        tok.select(
+            "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("t")
+        )
+        .distinct()
+        .cache()
+    )
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:

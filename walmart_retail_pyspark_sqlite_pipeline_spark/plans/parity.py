@@ -41,7 +41,14 @@ def _xavg(c, scale: int = 100):
 
 
 def _xsum_sql(expr: str, scale: int = 100) -> str:
-    return f"(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) / {float(scale)})"
+    # CAST(... AS DOUBLE) on the literal: Spark SQL parses `100.0` as
+    # DECIMAL(4,1) (making bigint/decimal → DECIMAL results under
+    # spark.sql), while DuckDB parses it as DOUBLE — the cast pins both
+    # engines to double division
+    return (
+        f"(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT))"
+        f" / CAST({float(scale)} AS DOUBLE))"
+    )
 
 
 def _xavg_sql(expr: str, scale: int = 100) -> str:
@@ -568,6 +575,32 @@ ORDER BY order_year
 """
 
 
+# ---------------------------------------------------------------------------
+# q17 — GROUPING SETS through the engine's SQL surface (spark.sql over
+# registered views — the reference's downstream-notebook entry point,
+# SURVEY §3 entry point 4, served by the same engine).
+# ---------------------------------------------------------------------------
+_Q17_BODY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_xsum_sql("l_quantity")} AS sum_qty,
+  COUNT(*) AS n_rows,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q17_BODY)
+
+
+Q17_SQL = _Q17_BODY  # identical ANSI SQL runs on both engines
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -597,5 +630,6 @@ for _spec in [
     QuerySpec("q15_top_orders_per_customer", q15_top_orders_per_customer, Q15_SQL,
               ("W1", "O4")),
     QuerySpec("q16_status_pivot", q16_status_pivot, Q16_SQL, ("A1", "PV1")),
+    QuerySpec("q17_grouping_sets", q17_grouping_sets, Q17_SQL, ("G1", "SQL1")),
 ]:
     register(_spec)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import read_table
-from ..streaming import hourly_counts_stream, sessionize
+from ..streaming import asof_last_event, hourly_counts_stream, sessionize
 from .registry import QuerySpec, register
 
 
@@ -74,10 +74,43 @@ ORDER BY window_start, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# events_asof_join — for every 'error' event, the same user's most recent
+# prior 'purchase' (as-of semantics via a running conditional max: one
+# keyed shuffle, no join — see streaming/events.py).
+# ---------------------------------------------------------------------------
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return asof_last_event(ev, match_type="purchase", target_type="error").orderBy(
+        "event_id"
+    )
+
+
+ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+scanned AS (
+  SELECT event_id, user_id, event_type, ts_s,
+    MAX(CASE WHEN event_type = 'purchase' THEN ts_s END) OVER (
+      PARTITION BY user_id ORDER BY ts_s, event_id
+      ROWS UNBOUNDED PRECEDING) AS asof_ts
+  FROM e
+)
+SELECT event_id, user_id, ts_s, asof_ts, ts_s - asof_ts AS gap_s
+FROM scanned WHERE event_type = 'error'
+ORDER BY event_id
+"""
+
+
 for _spec in [
     QuerySpec("events_sessionization", events_sessionization, SESSIONIZE_SQL,
               ("ST2", "W1"), bench=True),
     QuerySpec("stream_event_counts", stream_event_counts, STREAM_COUNTS_SQL,
               ("ST1", "ST3")),
+    QuerySpec("events_asof_join", events_asof_join, ASOF_SQL,
+              ("ASOF1", "W1")),
 ]:
     register(_spec)

@@ -1,3 +1,3 @@
-from .events import hourly_counts_stream, sessionize
+from .events import asof_last_event, hourly_counts_stream, sessionize
 
-__all__ = ["sessionize", "hourly_counts_stream"]
+__all__ = ["sessionize", "hourly_counts_stream", "asof_last_event"]

@@ -64,6 +64,47 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     )
 
 
+def asof_last_event(
+    events: DataFrame,
+    match_type: str,
+    target_type: str | None = None,
+) -> DataFrame:
+    """As-of join expressed as a running conditional max — for every event,
+    attach the timestamp of the same user's most recent PRIOR (or same-tick)
+    event of ``match_type``.
+
+    Spark has no native ASOF JOIN; when both sides share a partition key the
+    idiomatic plan is exactly this: one shuffle on the key, then a linear
+    prefix scan per partition (``max() over rows unbounded preceding``) —
+    no join at all. For two separate tables, union them with a side tag
+    first and apply the same window (the "union trick"); either way the
+    cost at 100 TB is a single keyed shuffle.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        .withColumn(
+            "asof_ts",
+            F.max(
+                F.when(F.col("event_type") == match_type, F.col("ts_s"))
+            ).over(w),
+        )
+        .withColumn("gap_s", F.col("ts_s") - F.col("asof_ts"))
+    )
+    if target_type is not None:
+        out = out.filter(F.col("event_type") == target_type)
+    return out.select("event_id", "user_id", "ts_s", "asof_ts", "gap_s")
+
+
 def hourly_counts_stream(
     spark: SparkSession, events_path: str, ts_is_nanos: bool = True
 ) -> DataFrame:
