@@ -601,6 +601,43 @@ def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_SQL = _Q17_BODY  # identical ANSI SQL runs on both engines
 
 
+# ---------------------------------------------------------------------------
+# q18 — rolling-window aggregate (frame-based analytic window: last-4-orders
+# average spend per customer; SURVEY §7's "rolling 4-week avg" pattern).
+# Exact scaled-integer sums inside the frame keep it hash-deterministic.
+# ---------------------------------------------------------------------------
+def q18_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (
+                (F.sum(cents).over(w) / F.lit(100.0)) / F.count(F.lit(1)).over(w)
+            ).alias("rolling_avg_4"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  (SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+     / CAST(100.0 AS DOUBLE)) / COUNT(*) OVER w AS rolling_avg_4
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -631,5 +668,6 @@ for _spec in [
               ("W1", "O4")),
     QuerySpec("q16_status_pivot", q16_status_pivot, Q16_SQL, ("A1", "PV1")),
     QuerySpec("q17_grouping_sets", q17_grouping_sets, Q17_SQL, ("G1", "SQL1")),
+    QuerySpec("q18_rolling_avg", q18_rolling_avg, Q18_SQL, ("W2",)),
 ]:
     register(_spec)
