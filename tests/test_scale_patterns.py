@@ -1,0 +1,75 @@
+"""Tests for the scale patterns: salted aggregation equivalence, bucketed
+co-located joins (no Exchange), and broadcast-join plan shape."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.operators import salted_agg
+from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+
+def test_salted_agg_equals_direct(spark):
+    li = read_table(spark, SF_SMALL, "lineitem")
+    direct = {
+        r.l_returnflag: (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.s, r.n)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"s": (F.sum("l_quantity"), F.sum), "n": (F.count(F.lit(1)), F.sum)},
+            n_salts=8,
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert abs(direct[k][0] - salted[k][0]) < 1e-6
+        assert direct[k][1] == salted[k][1]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key co-locates matching rows:
+    the join plan must contain no Exchange (the 100 TB join strategy for
+    repeatedly-joined fact/fact tables)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("b_lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_broadcast_join_plan(spark):
+    orders = read_table(spark, SF_SMALL, "orders")
+    cust = read_table(spark, SF_SMALL, "customer")
+    plan = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

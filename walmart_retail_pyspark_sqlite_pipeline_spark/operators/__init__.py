@@ -1,3 +1,4 @@
 from .projections import enforce_schema, rename_columns
+from .skew import salted_agg
 
-__all__ = ["rename_columns", "enforce_schema"]
+__all__ = ["rename_columns", "enforce_schema", "salted_agg"]

@@ -638,6 +638,74 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q19 — salted two-phase aggregation over a deliberately skewed key
+# (l_returnflag has 3 values → 3 hot reducers in a naive groupBy). Result is
+# identical to the direct groupBy, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+def q19_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    out = salted_agg(
+        li.withColumn("__cents", cents),
+        keys=["l_returnflag"],
+        aggs={
+            "cents_sum": (F.sum("__cents"), F.sum),
+            "n_rows": (F.count(F.lit(1)), F.sum),
+            "max_qty": (F.max("l_quantity"), F.max),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("cents_sum") / F.lit(100.0)).alias("total_price"),
+        F.col("n_rows"),
+        "max_qty",
+    ).orderBy("l_returnflag")
+
+
+Q19_SQL = f"""
+SELECT l_returnflag,
+  {_xsum_sql("l_extendedprice")} AS total_price,
+  COUNT(*) AS n_rows,
+  MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — semi-structured JSON column (events.props): extract + aggregate
+# (Spark get_json_object vs DuckDB json_extract).
+# ---------------------------------------------------------------------------
+def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.count(F.when(k.isNull(), 1)).alias("k_nulls"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q20_SQL = """
+SELECT event_type,
+  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+  COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS k_nulls
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -669,5 +737,7 @@ for _spec in [
     QuerySpec("q16_status_pivot", q16_status_pivot, Q16_SQL, ("A1", "PV1")),
     QuerySpec("q17_grouping_sets", q17_grouping_sets, Q17_SQL, ("G1", "SQL1")),
     QuerySpec("q18_rolling_avg", q18_rolling_avg, Q18_SQL, ("W2",)),
+    QuerySpec("q19_salted_skew_agg", q19_salted_skew_agg, Q19_SQL, ("SK1", "A1")),
+    QuerySpec("q20_json_props", q20_json_props, Q20_SQL, ("C9", "A1")),
 ]:
     register(_spec)
