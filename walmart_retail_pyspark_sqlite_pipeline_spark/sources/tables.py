@@ -47,6 +47,13 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # queries over events export epoch seconds (window starts, session
+    # bounds); epoch extraction from a naive-storage timestamp depends on
+    # the session timezone, so pin UTC to match the SQL oracle regardless
+    # of the caller's session default. (Wall-clock functions like year()
+    # are timezone-independent for naive data, so this is a no-op for the
+    # relational tables.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

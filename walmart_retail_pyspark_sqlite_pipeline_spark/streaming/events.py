@@ -117,6 +117,9 @@ def hourly_counts_stream(
     aggregation plan is identical.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # epoch window-starts are exported; pin UTC like sources.read_table so
+    # the result is independent of the caller's session timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_path).schema
     # the file stream source requires a DIRECTORY; point it at the parent
     # and glob-filter down to the events file
