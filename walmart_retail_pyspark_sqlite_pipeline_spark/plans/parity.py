@@ -706,6 +706,38 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q21 — exact percentiles (order statistics): Spark's `percentile` and
+# DuckDB's `quantile_cont` share the linear-interpolation definition and
+# match bit-exact. (percentile_approx is the sketch-based scale variant;
+# its values are implementation-defined, so the exact form is the oracle.)
+# ---------------------------------------------------------------------------
+def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.percentile("o_totalprice", 0.9).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q21_SQL = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS median_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -739,5 +771,6 @@ for _spec in [
     QuerySpec("q18_rolling_avg", q18_rolling_avg, Q18_SQL, ("W2",)),
     QuerySpec("q19_salted_skew_agg", q19_salted_skew_agg, Q19_SQL, ("SK1", "A1")),
     QuerySpec("q20_json_props", q20_json_props, Q20_SQL, ("C9", "A1")),
+    QuerySpec("q21_percentiles", q21_percentiles, Q21_SQL, ("A9",)),
 ]:
     register(_spec)
