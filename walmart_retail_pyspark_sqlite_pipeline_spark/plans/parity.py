@@ -738,6 +738,90 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q22 — 5-way star join (TPC-H Q5 shape): revenue by region-year. All four
+# dimensions broadcast; the only shuffle in the whole plan is the final
+# aggregation on (r_name, year) — the plan shape that must hold at 100 TB.
+# ---------------------------------------------------------------------------
+def q22_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "order_year")
+    )
+
+
+Q22_SQL = f"""
+SELECT r_name,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  {_xsum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, order_year
+ORDER BY r_name, order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — conditional-ratio aggregate with a string predicate (TPC-H Q14
+# shape): PROMO revenue share per ship-year.
+# ---------------------------------------------------------------------------
+def q23_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (F.sum(promo) / F.lit(10000.0)).alias("promo_revenue"),
+            (F.sum(rev_cents) / F.lit(10000.0)).alias("total_revenue"),
+            (
+                F.sum(promo).cast("double") / F.sum(rev_cents)
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q23_SQL = """
+WITH j AS (
+  SELECT year(l_shipdate) AS y,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS rc,
+    CASE WHEN p_type = 'PROMO'
+         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+         ELSE 0 END AS pc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(y AS INTEGER) AS ship_year,
+  SUM(pc) / CAST(10000.0 AS DOUBLE) AS promo_revenue,
+  SUM(rc) / CAST(10000.0 AS DOUBLE) AS total_revenue,
+  CAST(SUM(pc) AS DOUBLE) / SUM(rc) AS promo_share
+FROM j GROUP BY y ORDER BY ship_year
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -772,5 +856,8 @@ for _spec in [
     QuerySpec("q19_salted_skew_agg", q19_salted_skew_agg, Q19_SQL, ("SK1", "A1")),
     QuerySpec("q20_json_props", q20_json_props, Q20_SQL, ("C9", "A1")),
     QuerySpec("q21_percentiles", q21_percentiles, Q21_SQL, ("A9",)),
+    QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
+              ("J1", "J2", "A1"), bench=True),
+    QuerySpec("q23_promo_share", q23_promo_share, Q23_SQL, ("A1", "F1")),
 ]:
     register(_spec)
