@@ -49,6 +49,33 @@ def test_streaming_equals_batch(spark):
     assert stream_counts == batch_counts
 
 
+def test_stateful_apply_in_pandas_with_state(spark):
+    """applyInPandasWithState running per-user totals must converge to the
+    batch groupBy result (values are nonnegative, so max == final state)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.stateful import (
+        running_user_totals_stream,
+    )
+    import pyspark.sql.functions as F
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in running_user_totals_stream(
+            spark, f"{SF_SMALL}/events.parquet"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in read_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05
+
+
 def test_streaming_with_watermark_availablenow(spark):
     """Watermark + append mode over availableNow: closed windows are
     emitted, the trailing window may be withheld — the count must be a

@@ -467,6 +467,139 @@ FROM e ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_cells / ann_ivf_topk — IVF-style ANN, the coarse-quantization
+# scale path: k centroids (here: exact per-label means — deterministic via
+# scaled-integer sums), each vector assigned to its nearest centroid
+# ("cell"), search probes only the query's cell (candidates ~ N/k).
+# Distances use an ordered array fold (zip_with) so both engines sum the
+# same doubles in the same order; assignment ties break by cell id.
+# At 100 TB the centroids come from a sampled KMeans and vectors are
+# written bucketed by cell; the query-time plan is identical.
+# ---------------------------------------------------------------------------
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("d", "x"),
+    )
+    cent = (
+        ex.groupBy("label", "d")
+        .agg(
+            (
+                (F.sum(F.round(F.col("x") * 1000000, 0).cast("long")) / F.lit(1e6))
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    dist = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_cells(spark, sf_dir).orderBy("vec_id")
+
+
+_IVF_CELLS_CTE = """
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
+  FROM e, range(0, 64) t(d)
+),
+centdim AS (
+  SELECT label, d,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex GROUP BY label, d
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv FROM centdim GROUP BY label
+),
+dist AS (
+  SELECT vec_id, cell,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+      (acc, x) -> acc + x) AS d2
+  FROM e, cent
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+"""
+
+ANN_IVF_CELLS_SQL = f"WITH {_IVF_CELLS_CTE} SELECT vec_id, cell FROM cells ORDER BY vec_id"
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    cells = _ivf_cells(spark, sf_dir)
+    e_cells = e.join(cells, "vec_id")
+    qcell = cells.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("qc")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e_cells.crossJoin(F.broadcast(qcell))
+        .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+qcell AS (SELECT cell AS qc FROM cells WHERE vec_id = 0),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({vectors.cosine_sql('e.v', 'qv')}, 6) AS cos
+FROM e
+JOIN cells ON e.vec_id = cells.vec_id, qcell, qv
+WHERE cells.cell = qc AND e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_langid — stopword-hit language ID with deterministic arg-max
 # (priority order breaks ties). Pure per-row projection.
 # ---------------------------------------------------------------------------
@@ -663,6 +796,8 @@ for _spec in [
     QuerySpec("ann_topk_cosine", ann_topk_cosine, ANN_TOPK_SQL,
               ("SIM2",), bench=True),
     QuerySpec("ann_lsh_buckets", ann_lsh_buckets, ANN_LSH_SQL, ("SIM3",)),
+    QuerySpec("ann_ivf_cells", ann_ivf_cells, ANN_IVF_CELLS_SQL, ("SIM4",)),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL, ("SIM4", "SIM2")),
     QuerySpec("text_langid", text_langid, TEXT_LANGID_SQL, ("TX1",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("TX2",)),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
