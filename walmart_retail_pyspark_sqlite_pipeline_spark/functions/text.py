@@ -23,6 +23,13 @@ LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("zh", ("de", "le", "shi", "bu", "wo", "ni", "ta", "men")),
 )
 
+#: BPE-ish subword segmentation regex (GPT-2-style shape: contractions,
+#: space-prefixed word/number runs, punctuation runs). Counting its matches
+#: approximates tokenizer cost without shipping a vocab — the standard
+#: cheap token-count estimate in data pipelines. Same dialect subset works
+#: in Java regex (Spark) and RE2-ish (DuckDB).
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
 #: Generic English-ish stopwords for quality scoring.
 QUALITY_STOPWORDS: tuple[str, ...] = (
     "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",

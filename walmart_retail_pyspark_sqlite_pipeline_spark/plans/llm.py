@@ -739,6 +739,35 @@ FROM tk ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_tokens — tokenizer-cost estimation: whitespace tokens vs BPE-ish
+# subword segments (the pre-tokenization regex count that approximates LLM
+# token counts without a vocab).
+# ---------------------------------------------------------------------------
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit(text.BPE_ISH_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(
+            F.filter(F.split(lower, r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+_BPE_SQL_PAT = text.BPE_ISH_RE.replace("'", "''")
+
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_fingerprint — document fingerprint: rolling poly-hash of the
 # whitespace-normalized lowercased text (the cheap pre-filter for exact-ish
 # dedup: identical fingerprints ⇒ candidate pair).
@@ -801,6 +830,7 @@ for _spec in [
     QuerySpec("text_langid", text_langid, TEXT_LANGID_SQL, ("TX1",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("TX2",)),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
+    QuerySpec("text_bpe_tokens", text_bpe_tokens, TEXT_BPE_SQL, ("TX5",)),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FP_SQL, ("TX4",)),
     QuerySpec("multimodal_image_meta", multimodal_image_meta, MULTIMODAL_SQL,
               ("MM1",)),

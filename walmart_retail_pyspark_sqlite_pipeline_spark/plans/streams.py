@@ -75,6 +75,43 @@ ORDER BY window_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# events_sliding_windows — 1-hour windows sliding every 30 minutes: each
+# event lands in exactly two windows. F.window's sliding form vs an explicit
+# two-bucket unnest in SQL.
+# ---------------------------------------------------------------------------
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) AS b30
+  FROM events
+),
+w AS (
+  SELECT event_type, unnest([b30, b30 - 1800]) AS window_start FROM b
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_asof_join — for every 'error' event, the same user's most recent
 # prior 'purchase' (as-of semantics via a running conditional max: one
 # keyed shuffle, no join — see streaming/events.py).
@@ -112,5 +149,7 @@ for _spec in [
               ("ST1", "ST3")),
     QuerySpec("events_asof_join", events_asof_join, ASOF_SQL,
               ("ASOF1", "W1")),
+    QuerySpec("events_sliding_windows", events_sliding_windows, SLIDING_SQL,
+              ("ST5",)),
 ]:
     register(_spec)
