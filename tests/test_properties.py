@@ -1,0 +1,126 @@
+"""Property-based tests (SURVEY §5 item 4): operator invariants over
+generated inputs. Spark jobs are slow per-example, so examples are few and
+each example batches many rows into one DataFrame."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.functions import hashing
+from walmart_retail_pyspark_sqlite_pipeline_spark.operators import (
+    enforce_schema,
+    rename_columns,
+)
+from walmart_retail_pyspark_sqlite_pipeline_spark.streaming import sessionize
+
+_ident = st.text(string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    mapping=st.dictionaries(_ident, _ident, min_size=1, max_size=6).filter(
+        lambda m: len(set(m.values())) == len(m)
+    )
+)
+def test_rename_output_columns_equal_mapping_values(spark, mapping):
+    df = spark.createDataFrame([Row(**{k: "v" for k in mapping})])
+    out = rename_columns(df, mapping)
+    assert out.columns == list(mapping.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    expected=st.dictionaries(
+        _ident, st.sampled_from(["int", "double", "string"]), min_size=1, max_size=6
+    ),
+    present=st.data(),
+)
+def test_enforce_schema_column_set_and_order(spark, expected, present):
+    have = present.draw(st.sets(st.sampled_from(sorted(expected)), max_size=len(expected)))
+    row = {k: "1" for k in have} or {"__placeholder": "x"}
+    df = spark.createDataFrame([Row(**row)])
+    out, extras = enforce_schema(df, expected)
+    assert out.columns == list(expected)
+    assert set(extras) == set(df.columns) - set(expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(string.ascii_lowercase + " 0123456789", max_size=60),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_poly_hash_matches_python_model(spark, texts):
+    P = hashing.MERSENNE_P
+
+    def model(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(texts)])
+    got = {
+        r.i: r.h
+        for r in df.select("i", hashing.poly_hash(F.col("s")).alias("h")).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == model(s), (i, s)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=20_000),   # ts offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_sessionize_invariants(spark, events):
+    from datetime import datetime, timezone
+
+    base = 1_700_000_000
+    rows = [
+        Row(
+            user_id=u,
+            event_id=i,
+            ts=datetime.fromtimestamp(base + off, tz=timezone.utc),
+        )
+        for i, (u, off) in enumerate(events)
+    ]
+    out = sessionize(spark.createDataFrame(rows)).collect()
+    # partition: every event in exactly one session
+    assert sum(r.n_events for r in out) == len(rows)
+    for r in out:
+        assert r.duration_s >= 0
+        assert r.session_end >= r.session_start
+    # sessions of one user are separated by more than the gap
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_start)
+        for a, b in zip(sess, sess[1:]):
+            assert b.session_start - a.session_end > 1800
+
+
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_left_join_preserves_rows_under_unique_right_keys(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    left = [Row(k=rng.randint(1, 20), v=i) for i in range(50)]
+    right_keys = rng.sample(range(1, 30), 12)  # unique keys
+    right = [Row(k=k, w=str(k)) for k in right_keys]
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    joined = lf.join(rf, "k", "left")
+    assert joined.count() == len(left)

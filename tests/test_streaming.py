@@ -76,6 +76,41 @@ def test_stateful_apply_in_pandas_with_state(spark):
         assert abs(got[u][1] - want[u][1]) < 0.05
 
 
+def test_foreachbatch_sqlite_sink(spark, tmp_path):
+    """Streaming → SQLite via foreachBatch: each micro-batch appends through
+    the single-writer sink; totals must equal the batch aggregate."""
+    import sqlite3
+
+    import pyspark.sql.functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sinks import write_sqlite
+
+    db = tmp_path / "stream.db"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+        .select("event_type", "value")
+    )
+
+    def sink(batch_df, batch_id):
+        write_sqlite(batch_df, db, "raw_events", mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    con = sqlite3.connect(db)
+    (n,) = con.execute("SELECT COUNT(*) FROM raw_events").fetchone()
+    con.close()
+    assert n == spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+
+
 def test_streaming_with_watermark_availablenow(spark):
     """Watermark + append mode over availableNow: closed windows are
     emitted, the trailing window may be withheld — the count must be a

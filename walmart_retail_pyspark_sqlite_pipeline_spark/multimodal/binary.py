@@ -58,6 +58,43 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset int, frame_sig long"
+
+
+def frame_sample(df_with_payload: DataFrame) -> DataFrame:
+    """Video-style frame sampling: expand each payload into its (stub)
+    frames — the 1→N row expansion shape of media pipelines, still
+    Arrow-batched. Frame count/offsets/signatures are deterministic
+    functions of the payload so the oracle can reproduce them; a real
+    decoder would emit actual frame tensors here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blen = len(payload)
+                n = 1 + blen % 8
+                for i in range(n):
+                    off = (i * blen) // n
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_sig"].append((blen * 31 + i * 7) % 1000003)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_offset": pd.Series(out["frame_offset"], dtype="int32"),
+                    "frame_sig": pd.Series(out["frame_sig"], dtype="int64"),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def image_meta(df_with_payload: DataFrame) -> DataFrame:
     """Extract typed metadata from a binary payload column via Arrow-batched
     ``mapInPandas`` (the multimodal feature-extraction pattern)."""

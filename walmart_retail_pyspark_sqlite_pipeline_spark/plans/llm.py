@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing, text, vectors
-from ..multimodal import attach_fake_payload, image_meta
+from ..multimodal import attach_fake_payload, frame_sample, image_meta
 from ..sources import read_table
 from .registry import QuerySpec, register
 
@@ -810,6 +810,32 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — 1→N media expansion (video frame sampling
+# shape) through Arrow-batched mapInPandas; stub frames are deterministic
+# so the oracle reproduces them with a lateral range join.
+# ---------------------------------------------------------------------------
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_payload(docs)).orderBy("doc_id", "frame_idx")
+
+
+FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS blen,
+         1 + octet_length(encode(text)) % 8 AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(t.i AS INTEGER) AS frame_idx,
+  CAST((t.i * blen) // n AS INTEGER) AS frame_offset,
+  CAST((blen * 31 + t.i * 7) % 1000003 AS BIGINT) AS frame_sig
+FROM d, range(0, 8) t(i)
+WHERE t.i < n
+ORDER BY doc_id, frame_idx
+"""
+
+
 for _spec in [
     QuerySpec("dedup_exact_hist", dedup_exact_hist, DEDUP_EXACT_SQL,
               ("A7", "DD1")),
@@ -834,5 +860,7 @@ for _spec in [
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FP_SQL, ("TX4",)),
     QuerySpec("multimodal_image_meta", multimodal_image_meta, MULTIMODAL_SQL,
               ("MM1",)),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
+              FRAME_SAMPLE_SQL, ("MM2",)),
 ]:
     register(_spec)
