@@ -836,6 +836,100 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_prep_pipeline — the capstone composition: the end-to-end
+# training-data prep a user actually runs. quality gate → exact-dup drop →
+# near-dup drop (keep the lowest doc_id of each ≥0.8-Jaccard pair) →
+# surviving corpus with token stats. Every stage is deterministic, so the
+# whole pipeline is one oracle-checked query. At 100 TB each stage is the
+# scale-safe form already used above (single-pass scoring, hash-groupBy,
+# capped shingle join / LSH candidates).
+# ---------------------------------------------------------------------------
+QUALITY_MIN = 0.3
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tok).alias("n_tokens"),
+        F.round(
+            F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+            * (
+                1.0
+                - (
+                    F.length("text")
+                    - F.length(
+                        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+                    )
+                ).cast("double")
+                / F.length("text")
+            ),
+            6,
+        ).alias("quality_score"),
+    ).filter(F.col("quality_score") >= QUALITY_MIN)
+
+    # exact dups: keep the lowest doc_id per content hash
+    docs_h = docs.select("doc_id", F.md5("text").alias("h"))
+    keep_exact = docs_h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    scored = scored.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+
+    # near dups: drop the higher doc_id of every ≥0.8 shingle-Jaccard pair
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        scored.join(losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, text, {_TOK_SQL} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    CAST(ROUND(
+      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
+      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
+      6) AS DOUBLE) AS quality_score
+  FROM tk
+),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h
+),
+shing AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS sh FROM tk
+),
+rare AS (
+  SELECT sh FROM (SELECT sh, COUNT(*) c FROM shing GROUP BY sh) WHERE c <= {DOC_FREQ_CAP}
+),
+shr AS (SELECT shing.doc_id, shing.sh FROM shing JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.quality_score
+FROM scored s
+JOIN keep_exact k ON s.doc_id = k.doc_id
+WHERE s.quality_score >= {QUALITY_MIN}
+  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = s.doc_id)
+ORDER BY s.doc_id
+"""
+
+
 for _spec in [
     QuerySpec("dedup_exact_hist", dedup_exact_hist, DEDUP_EXACT_SQL,
               ("A7", "DD1")),
@@ -862,5 +956,7 @@ for _spec in [
               ("MM1",)),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
               FRAME_SAMPLE_SQL, ("MM2",)),
+    QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline, CORPUS_PREP_SQL,
+              ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True),
 ]:
     register(_spec)
