@@ -44,10 +44,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for spec in bench_specs():
         run_to_completion(spec.fn(spark, sf_dir))  # warm-up (codegen, IO cache)
-        spark.catalog.clearCache()  # drop .cache()d intermediates: pay full cost
-        t0 = time.perf_counter()
-        run_to_completion(spec.fn(spark, sf_dir))
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min of 2 timed runs: local-mode jitter is ±10-20%
+            spark.catalog.clearCache()  # drop .cache()d intermediates: pay full cost
+            t0 = time.perf_counter()
+            run_to_completion(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -77,9 +77,17 @@ SELECT n_copies, COUNT(*) AS n_groups FROM (
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _doc_tokens(spark, sf_dir)
-    sh = tok.select(
-        "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("sh")
-    ).distinct()
+    # one explicit hash-partition on the shingle key: dedup, doc-frequency
+    # count, AND the self-join are all shingle-keyed, so they reuse this
+    # single exchange instead of re-shuffling the largest intermediate
+    # (hashpartitioning(sh) satisfies the (doc_id, sh) clustering too)
+    sh = (
+        tok.select(
+            "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("sh")
+        )
+        .repartition(F.col("sh"))
+        .distinct()
+    )
     rare = sh.groupBy("sh").count().filter(F.col("count") <= DOC_FREQ_CAP)
     # cache the capped shingle table: it feeds the self-join twice plus the
     # per-doc sizes — without it Spark re-runs the tokenize+explode+distinct
