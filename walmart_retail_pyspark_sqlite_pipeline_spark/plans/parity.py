@@ -822,6 +822,114 @@ FROM j GROUP BY y ORDER BY ship_year
 """
 
 
+# ---------------------------------------------------------------------------
+# q24 — string-function surface (split_part/lpad/replace/substr/reverse/
+# left/right/instr/levenshtein/concat_ws + conditionals) as one projection.
+# ---------------------------------------------------------------------------
+def q24_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("dashed"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.length(name).alias("name_len"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("lev_machinery"),
+        F.concat_ws("|", "c_mktsegment", name).alias("joined"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(b)")).alias(
+            "nullif_seg"
+        ),
+    ).orderBy("c_custkey")
+
+
+Q24_SQL = """
+SELECT c_custkey,
+  split_part(c_name, '#', 2) AS cust_num,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+  upper(c_mktsegment) AS seg_upper,
+  replace(c_name, '#', '-') AS dashed,
+  substr(c_name, 1, 8) AS prefix8,
+  reverse(c_mktsegment) AS seg_rev,
+  CAST(length(c_name) AS INTEGER) AS name_len,
+  CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS lev_machinery,
+  concat_ws('|', c_mktsegment, c_name) AS joined,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS nullif_seg
+FROM customer ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25 — date/time function surface (datediff, date_add, month boundaries)
+# with ISO-string exports so both engines hash identical values.
+# ---------------------------------------------------------------------------
+def q25_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.trunc(d, "MM"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+    ).orderBy("o_orderkey")
+
+
+Q25_SQL = """
+SELECT o_orderkey,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — array-function surface over token arrays; scalar/string exports.
+# F.get is used instead of element_at because element_at throws on
+# out-of-bounds under ANSI mode while get returns NULL (matching DuckDB's
+# out-of-bounds list index).
+# ---------------------------------------------------------------------------
+def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as tx
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    sorted_uniq = F.array_sort(F.array_distinct(tok))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(sorted_uniq, 1, 3), ",").alias("first3_sorted"),
+        F.array_contains(tok, "the").cast("int").alias("has_the"),
+        F.get(tok, 0).alias("tok_first"),
+        F.levenshtein(F.get(tok, 0), F.get(tok, 1)).alias("lev_first_two"),
+        F.size(sorted_uniq).alias("n_uniq"),
+    ).orderBy("doc_id")
+
+
+_Q26_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+Q26_SQL = f"""
+WITH tk AS (SELECT doc_id, {_Q26_TOK} AS tok FROM documents)
+SELECT doc_id,
+  array_to_string(list_sort(list_distinct(tok))[1:3], ',') AS first3_sorted,
+  CAST(CASE WHEN list_contains(tok, 'the') THEN 1 ELSE 0 END AS INTEGER) AS has_the,
+  tok[1] AS tok_first,
+  CAST(levenshtein(tok[1], tok[2]) AS INTEGER) AS lev_first_two,
+  CAST(len(list_distinct(tok)) AS INTEGER) AS n_uniq
+FROM tk ORDER BY doc_id
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -859,5 +967,8 @@ for _spec in [
     QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
               ("J1", "J2", "A1"), bench=True),
     QuerySpec("q23_promo_share", q23_promo_share, Q23_SQL, ("A1", "F1")),
+    QuerySpec("q24_string_funcs", q24_string_funcs, Q24_SQL, ("C10",)),
+    QuerySpec("q25_date_funcs", q25_date_funcs, Q25_SQL, ("C11",)),
+    QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
 ]:
     register(_spec)
