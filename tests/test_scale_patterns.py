@@ -63,6 +63,38 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_partitioned_write_prunes(spark, tmp_path):
+    """partitionBy write → reading with a partition-key filter must show
+    PartitionFilters in the scan (directory pruning: at 100 TB the filter
+    skips whole partitions before any IO)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sinks import write_parquet
+
+    ev = read_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_apply_in_pandas_zscore_matches_window(spark):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.grouped import (
+        zscore_apply_in_pandas,
+        zscore_window,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events")
+    got = {
+        r.event_id: r.zscore for r in zscore_apply_in_pandas(ev).collect()
+    }
+    want = {r.event_id: r.zscore for r in zscore_window(ev).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
 def test_broadcast_join_plan(spark):
     orders = read_table(spark, SF_SMALL, "orders")
     cust = read_table(spark, SF_SMALL, "customer")

@@ -100,9 +100,18 @@ def run_pipeline(
     )
 
     table_rows: dict[str, int] = {}
+    observed: dict[str, dict] = {}
     db_path = Path(cfg.output_db)
     db_path.parent.mkdir(parents=True, exist_ok=True)
     for name, df in tables.items():
+        # observe(): write-time metrics from the SAME job that materializes
+        # the table — zero extra passes (the reference re-executes every
+        # plan with a pre-write count(), SURVEY §4.3)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"obs_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if cfg.sink in ("sqlite", "both"):
             table_rows[name] = write_sqlite(df, db_path, name)
             log.info("wrote %s: %d rows -> %s", name, table_rows[name], db_path)
@@ -110,9 +119,12 @@ def run_pipeline(
             out = f"{cfg.output_parquet_dir or 'curated'}/{name}"
             write_parquet(df, out)
             log.info("wrote %s -> %s", name, out)
+        if cfg.sink in ("sqlite", "parquet", "both"):
+            observed[name] = dict(obs.get)
 
     return {
         "reports": reports,
         "table_rows": table_rows,
+        "observed": observed,
         "elapsed_s": round(time.perf_counter() - t0, 3),
     }
