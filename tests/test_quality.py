@@ -56,6 +56,25 @@ def test_count_duplicates_subset(spark):
     assert count_duplicates(df) == 0
 
 
+def test_fail_on_schema_mismatch_flags_extras(spark):
+    df = spark.createDataFrame([Row(Store="1", Rogue="x")])
+    _, report = run_quality_checks(
+        df,
+        {"Store": "int"},
+        "strict",
+        fail_on_schema_mismatch=True,
+        register_view=False,
+    )
+    assert report.schema_ok is False
+    assert any("Rogue" in i for i in report.issues)
+    # lenient mode: same extras, but schema_ok stays True (reference default,
+    # fail_on_schema_mismatch: false)
+    _, lenient = run_quality_checks(
+        df, {"Store": "int"}, "lenient", register_view=False
+    )
+    assert lenient.schema_ok is True
+
+
 def test_run_quality_checks_end_to_end(spark):
     df = spark.createDataFrame(
         [

@@ -845,6 +845,35 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
+# corpus_split_train_val_test — deterministic, engine-portable dataset
+# splitting: bucket = content-hash % 100 → 80/10/10. Unlike df.sample()
+# (seed- AND partition-layout-dependent), a content-hash split is
+# reproducible across runs, engines, and cluster sizes — the property a
+# training pipeline actually needs. Splitting on a hash of stable CONTENT
+# (not row position) also keeps membership stable under re-ingestion.
+# ---------------------------------------------------------------------------
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = hashing.poly_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+CORPUS_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, ({hashing.poly_hash_sql('text')}) % 100 AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_prep_pipeline — the capstone composition: the end-to-end
 # training-data prep a user actually runs. quality gate → exact-dup drop →
 # near-dup drop (keep the lowest doc_id of each ≥0.8-Jaccard pair) →
@@ -966,5 +995,7 @@ for _spec in [
               FRAME_SAMPLE_SQL, ("MM2",)),
     QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline, CORPUS_PREP_SQL,
               ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True),
+    QuerySpec("corpus_split_train_val_test", corpus_split_train_val_test,
+              CORPUS_SPLIT_SQL, ("PIPE2",)),
 ]:
     register(_spec)
