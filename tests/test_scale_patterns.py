@@ -95,6 +95,41 @@ def test_apply_in_pandas_zscore_matches_window(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_sorted_layout_narrows_rowgroup_stats(spark, tmp_path):
+    """Writing sorted-by-key (Z-order-lite) gives each parquet row group a
+    narrow key min/max range, which is what lets range predicates skip
+    whole row groups at scan time on a 100 TB table."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out_sorted = str(tmp_path / "sorted")
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(out_sorted)
+    )
+
+    files = list(Path(out_sorted).glob("*.parquet"))
+    assert files
+    pf = pq.ParquetFile(files[0])
+    spans = []
+    lo, hi = None, None
+    for i in range(pf.metadata.num_row_groups):
+        col = pf.metadata.row_group(i).column(0)
+        st = col.statistics
+        spans.append(st.max - st.min)
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if pf.metadata.num_row_groups > 1:
+        # each sorted row group covers a small slice of the full key range
+        assert max(spans) < (hi - lo), (spans, lo, hi)
+
+
 def test_broadcast_join_plan(spark):
     orders = read_table(spark, SF_SMALL, "orders")
     cust = read_table(spark, SF_SMALL, "customer")

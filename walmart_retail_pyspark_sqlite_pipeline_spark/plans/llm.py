@@ -845,6 +845,77 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental_new_docs — snapshot-vs-snapshot dedup for incremental
+# ingestion: which incoming docs (source src10..src19) are NOT already in
+# the existing corpus (src0..src9) by content hash. One anti-join on the
+# hash — the shape of every nightly-ingest dedup at scale.
+# ---------------------------------------------------------------------------
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    src_num = F.split_part(F.col("source"), F.lit("src"), F.lit(2)).cast("int")
+    existing = docs.filter(src_num < 10).select(F.md5("text").alias("h"))
+    incoming = docs.filter(src_num >= 10).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(existing.distinct(), "h", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCR_SQL = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(split_part(source, 'src', 2) AS INTEGER) AS srcnum
+  FROM documents
+)
+SELECT doc_id, source
+FROM d
+WHERE srcnum >= 10
+  AND NOT EXISTS (SELECT 1 FROM d e WHERE e.srcnum < 10 AND e.h = d.h)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_stratified_sample — deterministic per-language downsampling
+# (rebalancing): keep the first K docs per lang ordered by content hash —
+# reproducible across runs/engines/cluster layouts, unlike sampleBy().
+# ---------------------------------------------------------------------------
+STRATA_K = 30
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = hashing.poly_hash(F.col("text"))
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATA_K)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+CORPUS_STRAT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, {hashing.poly_hash_sql('text')} AS h FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= {STRATA_K}
+ORDER BY lang, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_split_train_val_test — deterministic, engine-portable dataset
 # splitting: bucket = content-hash % 100 → 80/10/10. Unlike df.sample()
 # (seed- AND partition-layout-dependent), a content-hash split is
@@ -997,5 +1068,9 @@ for _spec in [
               ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True),
     QuerySpec("corpus_split_train_val_test", corpus_split_train_val_test,
               CORPUS_SPLIT_SQL, ("PIPE2",)),
+    QuerySpec("dedup_incremental_new_docs", dedup_incremental_new_docs,
+              DEDUP_INCR_SQL, ("DD7", "J4")),
+    QuerySpec("corpus_stratified_sample", corpus_stratified_sample,
+              CORPUS_STRAT_SQL, ("PIPE3", "W1")),
 ]:
     register(_spec)
