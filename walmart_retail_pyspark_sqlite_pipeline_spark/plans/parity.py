@@ -930,6 +930,41 @@ FROM tk ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q27 — full outer join (per-nation customer vs supplier counts, nations
+# missing on either side preserved with coalesced keys).
+# ---------------------------------------------------------------------------
+def q27_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    sn = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q27_SQL = """
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+ORDER BY nationkey
+"""
+
+
 for _spec in [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
               ("A1", "O1", "F1", "C5"), bench=True),
@@ -970,5 +1005,6 @@ for _spec in [
     QuerySpec("q24_string_funcs", q24_string_funcs, Q24_SQL, ("C10",)),
     QuerySpec("q25_date_funcs", q25_date_funcs, Q25_SQL, ("C11",)),
     QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
+    QuerySpec("q27_full_outer_join", q27_full_outer_join, Q27_SQL, ("J5",)),
 ]:
     register(_spec)
