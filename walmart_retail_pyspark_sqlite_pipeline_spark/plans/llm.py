@@ -845,6 +845,40 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
+# text_chunks — fixed-width document chunking via a Python UDTF composed in
+# SQL with a LATERAL join (the context-window prep step). The oracle
+# reproduces the chunk arithmetic with substr over a lateral range.
+# ---------------------------------------------------------------------------
+CHUNK_WIDTH = 200
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.chunk, c.chunk_len
+        FROM documents, LATERAL chunk_text(text, {CHUNK_WIDTH}) c
+        ORDER BY doc_id, chunk_idx
+        """
+    )
+
+
+TEXT_CHUNKS_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,
+  CAST(t.i AS INTEGER) AS chunk_idx,
+  substr(text, t.i * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH}) AS chunk,
+  CAST(length(substr(text, t.i * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH})) AS INTEGER) AS chunk_len
+FROM d, range(0, 64) t(i)
+WHERE t.i * {CHUNK_WIDTH} < n
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_incremental_new_docs — snapshot-vs-snapshot dedup for incremental
 # ingestion: which incoming docs (source src10..src19) are NOT already in
 # the existing corpus (src0..src9) by content hash. One anti-join on the
@@ -1059,6 +1093,7 @@ for _spec in [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("TX2",)),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
     QuerySpec("text_bpe_tokens", text_bpe_tokens, TEXT_BPE_SQL, ("TX5",)),
+    QuerySpec("text_chunks", text_chunks, TEXT_CHUNKS_SQL, ("TX6", "UDTF1")),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FP_SQL, ("TX4",)),
     QuerySpec("multimodal_image_meta", multimodal_image_meta, MULTIMODAL_SQL,
               ("MM1",)),
