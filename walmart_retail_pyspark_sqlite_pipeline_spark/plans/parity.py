@@ -931,6 +931,42 @@ FROM tk ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q28 — multiset set operations: exceptAll / intersectAll keep
+# multiplicities (q10 covers the distinct forms). Compared as aggregated
+# multiplicity counts so ordering can't affect the hash.
+# ---------------------------------------------------------------------------
+def q28_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 4).select("l_returnflag")
+    b = li.filter(F.col("l_linenumber") >= 2).select("l_returnflag")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(inter).orderBy("op", "l_returnflag")
+
+
+Q28_SQL = """
+WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 4),
+     b AS (SELECT l_returnflag FROM lineitem WHERE l_linenumber >= 2),
+     ex AS (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b),
+     inter AS (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b)
+SELECT l_returnflag, COUNT(*) AS n, 'except_all' AS op FROM ex GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, COUNT(*) AS n, 'intersect_all' AS op FROM inter GROUP BY l_returnflag
+ORDER BY op, l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # q27 — full outer join (per-nation customer vs supplier counts, nations
 # missing on either side preserved with coalesced keys).
 # ---------------------------------------------------------------------------
@@ -1006,5 +1042,6 @@ for _spec in [
     QuerySpec("q25_date_funcs", q25_date_funcs, Q25_SQL, ("C11",)),
     QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
     QuerySpec("q27_full_outer_join", q27_full_outer_join, Q27_SQL, ("J5",)),
+    QuerySpec("q28_multiset_ops", q28_multiset_ops, Q28_SQL, ("SET2",)),
 ]:
     register(_spec)
