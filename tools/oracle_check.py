@@ -2,6 +2,9 @@
 on Spark AND its oracle SQL on DuckDB, compare row-count + schema-shape +
 order-insensitive values (exact, with a float-approx fallback diagnostic).
 
+Checks every exported registry query plus the local-only registry (strict
+sub-plans / alternate surfaces the driver doesn't grade).
+
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
 
@@ -16,6 +19,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -71,11 +75,23 @@ def _approx_eq(a, b, tol=1e-9):
 def compare(name, spark_df, con, sql):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # Fetch DuckDB results via Arrow so the COLUMN types are visible: fetchall
+    # converts scale-0 decimals to int, which hid the q20 DECIMAL(38,0) drift
+    # in round 1. The driver hashes typed values, so type drift = hash fail.
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = tbl.column_names
+    d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
 
     problems = []
+    dec_cols = [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+    if dec_cols:
+        problems.append(f"duck decimal columns (type drift): {dec_cols}")
+        return False, problems
+    s_dec = [f.name for f in spark_df.schema.fields
+             if f.dataType.typeName().startswith("decimal")]
+    if s_dec:
+        problems.append(f"spark decimal columns (type drift): {s_dec}")
+        return False, problems
     for side, rows in (("spark", s_rows), ("duck", d_rows)):
         if rows and any(isinstance(c, Decimal) for c in rows[0]):
             problems.append(f"{side} returned Decimal cells (type drift)")
@@ -111,14 +127,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from walmart_retail_pyspark_sqlite_pipeline_spark.plans import (
-        oracle_sql_map,
-        queries_map,
-    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans import all_specs
     from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark
 
-    qs = queries_map()
-    oracles = oracle_sql_map()
+    specs = all_specs(include_local=True)
+    qs = {name: s.fn for name, s in specs.items()}
+    oracles = {name: s.oracle for name, s in specs.items()
+               if s.oracle is not None}
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import read_table
-from .registry import QuerySpec, register
+from .registry import QuerySpec, register, register_local
 
 
 def _r6(c):  # ratios/fractions: 6 decimals
@@ -109,7 +109,10 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        # no broadcast hint: customer scales with SF (TB-size at the 100 TB
+        # design point) — AQE picks BroadcastHashJoin at small SF on its own
+        # and falls back to shuffled join when the dim outgrows the threshold
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_custkey", "c_name")
         .agg(
             _xsum("o_totalprice").alias("total_spend"),
@@ -142,7 +145,9 @@ def q03_sales_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF → no hint (AQE decides); nation is a fixed
+        # 25-row dimension → explicit broadcast stays correct at any scale
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -286,7 +291,7 @@ def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     sup = read_table(spark, sf_dir, "supplier")
     rev = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)  # supplier scales with SF
         .groupBy("s_nationkey", "s_suppkey")
         .agg(
             _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
@@ -481,7 +486,7 @@ def q14_curated_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")  # SF-scaling dim
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -695,11 +700,17 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB SUM(BIGINT) promotes to DECIMAL(38,0)/HUGEINT while Spark sum(long)
+# stays BIGINT — the outer CAST keeps both engines handing the driver int64.
+# json_extract_string (not json_extract) so the NULL test sees a plain VARCHAR
+# like Spark's get_json_object, and k_nulls counts nulls of the *cast* value
+# on both sides.
 Q20_SQL = """
 SELECT event_type,
-  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
-  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
-  COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS k_nulls
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+             THEN 1 END) AS k_nulls
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -739,9 +750,9 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
-# q22 — 5-way star join (TPC-H Q5 shape): revenue by region-year. All four
-# dimensions broadcast; the only shuffle in the whole plan is the final
-# aggregation on (r_name, year) — the plan shape that must hold at 100 TB.
+# q22 — 5-way star join (TPC-H Q5 shape): revenue by region-year. Constant
+# dims (nation/region) broadcast explicitly; customer is left to AQE so the
+# plan stays valid when it outgrows broadcast size at high SF.
 # ---------------------------------------------------------------------------
 def q22_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -751,7 +762,9 @@ def q22_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF → AQE decides; nation (25 rows) and region
+        # (5 rows) are constant-size → broadcast is scale-safe
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
@@ -792,7 +805,7 @@ def q23_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     promo = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part scales with SF
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             (F.sum(promo) / F.lit(10000.0)).alias("promo_revenue"),
@@ -1017,9 +1030,6 @@ for _spec in [
               ("A5", "A7")),
     QuerySpec("q08_supplier_rank_in_nation", q08_supplier_rank_in_nation, Q08_SQL,
               ("W1", "A1", "J1")),
-    QuerySpec("q09_rollup_flag_status", q09_rollup_flag_status, Q09_SQL,
-              ("A1", "G1")),
-    QuerySpec("q10_nation_set_ops", q10_nation_set_ops, Q10_SQL, ("SET1",)),
     QuerySpec("q11_event_hourly", q11_event_hourly, Q11_SQL,
               ("ST1", "A1"), bench=True),
     QuerySpec("q12_building_customers", q12_building_customers, Q12_SQL,
@@ -1045,3 +1055,14 @@ for _spec in [
     QuerySpec("q28_multiset_ops", q28_multiset_ops, Q28_SQL, ("SET2",)),
 ]:
     register(_spec)
+
+# Oracle-verified locally (oracle_check --all + pytest) but outside the
+# driver's 50-query window: alternate API surfaces of capabilities the
+# exported registry already grades (q09 DataFrame rollup vs q17 SQL grouping
+# sets; q10 distinct set ops vs q28 multiset forms).
+for _spec in [
+    QuerySpec("q09_rollup_flag_status", q09_rollup_flag_status, Q09_SQL,
+              ("A1", "G1")),
+    QuerySpec("q10_nation_set_ops", q10_nation_set_ops, Q10_SQL, ("SET1",)),
+]:
+    register_local(_spec)

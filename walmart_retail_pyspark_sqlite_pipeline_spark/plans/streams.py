@@ -38,8 +38,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts_s,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_idx
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,

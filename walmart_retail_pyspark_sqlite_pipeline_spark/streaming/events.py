@@ -149,5 +149,10 @@ def hourly_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # availableNow terminates on its own once the snapshot is processed; the
+    # timeout is a hard bound so a wedged stream can never hang a caller with
+    # a time budget (e.g. the driver's correctness gate)
+    if not q.awaitTermination(timeout=120):
+        q.stop()
+        raise TimeoutError("hourly_counts_stream did not finish within 120 s")
     return spark.table(name)
