@@ -1,4 +1,5 @@
+from .chunking import chunk_text_batched
 from .projections import enforce_schema, rename_columns
 from .skew import salted_agg
 
-__all__ = ["rename_columns", "enforce_schema", "salted_agg"]
+__all__ = ["rename_columns", "enforce_schema", "salted_agg", "chunk_text_batched"]

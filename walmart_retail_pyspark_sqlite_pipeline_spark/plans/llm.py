@@ -866,14 +866,22 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk count derives from each document's own length (per-row
+# unnest(range(...))) — a fixed range bound would silently truncate
+# documents longer than bound*CHUNK_WIDTH while the Spark UDTF chunks
+# unboundedly
 TEXT_CHUNKS_SQL = f"""
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ex AS (
+  SELECT doc_id, text,
+         unnest(range(0, (n + {CHUNK_WIDTH} - 1) // {CHUNK_WIDTH})) AS i
+  FROM d
+)
 SELECT doc_id,
-  CAST(t.i AS INTEGER) AS chunk_idx,
-  substr(text, t.i * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH}) AS chunk,
-  CAST(length(substr(text, t.i * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH})) AS INTEGER) AS chunk_len
-FROM d, range(0, 64) t(i)
-WHERE t.i * {CHUNK_WIDTH} < n
+  CAST(i AS INTEGER) AS chunk_idx,
+  substr(text, CAST(i AS BIGINT) * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH}) AS chunk,
+  CAST(length(substr(text, CAST(i AS BIGINT) * {CHUNK_WIDTH} + 1, {CHUNK_WIDTH})) AS INTEGER) AS chunk_len
+FROM ex
 ORDER BY doc_id, chunk_idx
 """
 
