@@ -1,0 +1,70 @@
+"""Behavioral tests for the corpus-engineering operators (plans/corpus.py)
+on planted data — the oracle gate proves engine parity on the synthetic
+corpus; these prove the semantics do what they claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+    PACK_BUDGET,
+    corpus_pack_tokens,
+    dedup_cc_clusters,
+    scrub_pii,
+)
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or 10.0.0.1 now"),
+            (2, "call 555-867-5309 twice: 555 867 5309"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+    got = {r.doc_id: r.s for r in out}
+    assert got[1] == "contact <EMAIL> or <IP> now"
+    assert got[2] == "call <PHONE> twice: <PHONE>"
+    assert got[3] == "no pii here"
+
+
+def test_pack_tokens_invariants(spark):
+    out = corpus_pack_tokens(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "empty packing output"
+    # pack_offset is the first-token position inside the pack
+    assert all(0 <= r.pack_offset < PACK_BUDGET for r in rows)
+    # packs are assigned contiguously per language in doc_id order
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang_rows in by_lang.values():
+        assert [r.doc_id for r in lang_rows] == sorted(r.doc_id for r in lang_rows)
+        cum = 0
+        for r in lang_rows:
+            assert r.pack_id == cum // PACK_BUDGET
+            assert r.pack_offset == cum - r.pack_id * PACK_BUDGET
+            cum += r.n_tokens
+
+
+def test_cc_clusters_partition_the_pair_graph(spark):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    clusters = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_cc_clusters(spark, SF_SMALL).collect()
+    }
+    pairs = dedup_minhash_lsh_pairs(spark, SF_SMALL).collect()
+    assert pairs, "expected near-dup pairs in the synthetic corpus"
+    # every paired doc is clustered, pair endpoints share a cluster, and the
+    # cluster id is a member (the minimum) of the cluster
+    for p in pairs:
+        assert clusters[p.doc_a][0] == clusters[p.doc_b][0]
+    for doc, (cid, size) in clusters.items():
+        assert cid <= doc and size >= 2
+        assert cid in clusters and clusters[cid][0] == cid

@@ -1,0 +1,312 @@
+"""Corpus-engineering operators beyond the round-1 surface: context-window
+token packing, PII scrubbing, benchmark-contamination checks, and
+connected-component duplicate clustering.
+
+Like every other query these are (DataFrame plan, DuckDB oracle) pairs over
+the shared primitives in ``functions/`` so the oracle computes byte-identical
+values. The reference pipeline has no equivalents (its analytics stop at the
+curated star, SURVEY §2.5); these extend the training-data-prep surface the
+engine is designed around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text
+from ..sources import read_table
+from .llm import (
+    _BAND_SELECTS,
+    _TOK_SQL,
+    MINHASH_SIG_CTE,
+    MINHASH_VERIFY_THRESHOLD,
+    _doc_shingles,
+    dedup_minhash_lsh_pairs,
+)
+from .registry import QuerySpec, register, register_local
+
+#: context-window budget (tokens) for pack assignment.
+PACK_BUDGET = 512
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_tokens — concat-and-chop context-window packing: stream each
+# language's documents in doc_id order, accumulate token counts, and assign
+# every document the window (pack) its first token lands in. This is the
+# deterministic GPT-style pretraining layout (concatenate the corpus, cut at
+# context boundaries) expressed as ONE running-sum window — per-lang
+# partitioning keeps the prefix sum distributed (one shuffle on lang; no
+# global single-partition ordering).
+# ---------------------------------------------------------------------------
+def corpus_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")  # first-token global offset
+    pack = F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (start - pack * PACK_BUDGET).alias("pack_offset"),
+    ).orderBy("lang", "doc_id")
+
+
+PACK_TOKENS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, CAST(len({_TOK_SQL}) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM tk
+)
+SELECT doc_id, lang, n_tokens,
+  (cum - n_tokens) // {PACK_BUDGET} AS pack_id,
+  cum - n_tokens - ((cum - n_tokens) // {PACK_BUDGET}) * {PACK_BUDGET} AS pack_offset
+FROM c
+ORDER BY lang, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — PII redaction as pure Column expressions: count and
+# replace emails, IPv4 addresses, and US-style phone numbers. The regex
+# dialect subset is chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookaround, no \b. At 100 TB this is a
+# projection: JVM-side, no shuffle, whole-stage codegen.
+# (The synthetic corpus contains no PII — the oracle proves no-op parity on
+# clean text; tests/test_corpus_ops.py proves actual redaction on planted
+# PII rows.)
+# ---------------------------------------------------------------------------
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE_RE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails → ``<EMAIL>``, IPv4 → ``<IP>``, phones → ``<PHONE>``
+    (applied in that order)."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_contamination — benchmark-overlap check: flag training documents
+# sharing any 3-word shingle with a held-out eval set (doc_id % 20 == 0
+# stands in for the benchmark). The eval side is collapsed to a DISTINCT
+# shingle set before the join, so the join fanout per training shingle is
+# exactly 1 — at 100 TB the (small) eval shingle set broadcasts and the
+# whole check is one broadcast semi-ish join over the shared cached shingle
+# table, no skew surface at all.
+# ---------------------------------------------------------------------------
+EVAL_MOD = 20
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("t").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(eval_sh, "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS t FROM tk
+),
+eval_sh AS (SELECT DISTINCT t FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+train AS (SELECT doc_id, t FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM train JOIN eval_sh USING (t)
+  GROUP BY doc_id
+)
+SELECT hits.doc_id, n_shared, n_shingles,
+  ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS contamination
+FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+ORDER BY hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_cc_clusters — near-duplicate CLUSTERS (not just pairs): connected
+# components over the minhash-LSH pair graph via iterative min-label
+# propagation — the standard Pregel-style loop (each round every node takes
+# the min label among itself and its neighbors; rounds needed = graph
+# diameter). Per round: one join + one groupBy shuffle; `localCheckpoint`
+# cuts the growing lineage. The driver-side loop is inherent to iterative
+# graph algorithms (this is exactly how GraphX/GraphFrames CC works); the
+# per-round `.count()` is the convergence test on a node-sized (not
+# edge-sized) table. Oracle: DuckDB recursive CTE computing min reachable
+# node. Local-registry (iterative; exported window is full).
+# ---------------------------------------------------------------------------
+CC_MAX_ITERS = 15
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+CC_CLUSTERS_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+lab AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+FROM lab JOIN sz USING (cluster_id)
+ORDER BY lab.doc_id
+"""
+
+
+for _spec in [
+    QuerySpec("corpus_pack_tokens", corpus_pack_tokens, PACK_TOKENS_SQL,
+              ("PACK1", "W2")),
+    QuerySpec("text_pii_scrub", text_pii_scrub, PII_SCRUB_SQL, ("TX7",)),
+    QuerySpec("corpus_contamination", corpus_contamination, CONTAMINATION_SQL,
+              ("DD8",)),
+]:
+    register(_spec)
+
+# iterative graph algorithm: oracle-verified locally (recursive-CTE twin);
+# stays out of the driver's 50-query window, which is full
+register_local(
+    QuerySpec("dedup_cc_clusters", dedup_cc_clusters, CC_CLUSTERS_SQL, ("DD9",))
+)

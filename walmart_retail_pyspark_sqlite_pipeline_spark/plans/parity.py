@@ -1048,9 +1048,6 @@ for _spec in [
     QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
               ("J1", "J2", "A1"), bench=True),
     QuerySpec("q23_promo_share", q23_promo_share, Q23_SQL, ("A1", "F1")),
-    QuerySpec("q24_string_funcs", q24_string_funcs, Q24_SQL, ("C10",)),
-    QuerySpec("q25_date_funcs", q25_date_funcs, Q25_SQL, ("C11",)),
-    QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
     QuerySpec("q27_full_outer_join", q27_full_outer_join, Q27_SQL, ("J5",)),
     QuerySpec("q28_multiset_ops", q28_multiset_ops, Q28_SQL, ("SET2",)),
 ]:
@@ -1064,5 +1061,11 @@ for _spec in [
     QuerySpec("q09_rollup_flag_status", q09_rollup_flag_status, Q09_SQL,
               ("A1", "G1")),
     QuerySpec("q10_nation_set_ops", q10_nation_set_ops, Q10_SQL, ("SET1",)),
+    # function-surface demos: the function families stay covered by the
+    # oracle via these (+ tests/test_functions.py); their exported slots now
+    # grade corpus-engineering operators instead (plans/corpus.py)
+    QuerySpec("q24_string_funcs", q24_string_funcs, Q24_SQL, ("C10",)),
+    QuerySpec("q25_date_funcs", q25_date_funcs, Q25_SQL, ("C11",)),
+    QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
 ]:
     register_local(_spec)
