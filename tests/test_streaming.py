@@ -33,6 +33,34 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[2]) == 1
 
 
+def test_native_session_window_matches_sessionize(spark):
+    """Spark's built-in ``session_window`` (the streaming-capable native
+    sessionization operator) must agree with the window-function form on
+    session membership: same per-user session count, same per-session event
+    counts and start times. (Native session end = last_ts + gap by
+    definition, so only membership-derived fields are compared.)"""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_SMALL, "events")
+    native = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    wf = sessionize(ev).select("user_id", "session_start", "n_events")
+    n_rows = wf.count()
+    assert n_rows > 0
+    # identical (user, start, n_events) multisets <=> identical membership
+    assert native.exceptAll(wf).count() == 0
+    assert wf.exceptAll(native).count() == 0
+
+
 def test_streaming_equals_batch(spark):
     batch = (
         read_table(spark, SF_SMALL, "events")
