@@ -7,6 +7,8 @@ from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
 from walmart_retail_pyspark_sqlite_pipeline_spark.streaming import (
     hourly_counts_stream,
     sessionize,
+    user_stats_batch,
+    user_stats_stateful,
 )
 
 
@@ -167,3 +169,36 @@ def test_streaming_with_watermark_availablenow(spark):
     emitted = spark.table("wm_test").agg(F.sum("count")).collect()[0][0] or 0
     total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
     assert 0 <= emitted <= total
+
+
+def test_stateful_user_stats_multi_batch(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches.
+    The events are split into 4 files and streamed one file per trigger;
+    the FINAL emission per user (update mode -> the row with the highest
+    running n_events) must equal the batch groupBy over the full input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.stateful import (
+        user_stats_stateful,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "events_multi")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sink = user_stats_stateful(spark, src, max_files_per_trigger=1)
+    n_emissions = sink.count()
+    n_users = sink.select("user_id").distinct().count()
+    # >1 emission for at least one user proves state crossed a batch boundary
+    assert n_emissions > n_users
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = user_stats_batch(ev)
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0

@@ -1,3 +1,15 @@
 from .events import asof_last_event, hourly_counts_stream, sessionize
+from .stateful import (
+    running_user_totals_stream,
+    user_stats_batch,
+    user_stats_stateful,
+)
 
-__all__ = ["sessionize", "hourly_counts_stream", "asof_last_event"]
+__all__ = [
+    "sessionize",
+    "hourly_counts_stream",
+    "asof_last_event",
+    "running_user_totals_stream",
+    "user_stats_stateful",
+    "user_stats_batch",
+]
