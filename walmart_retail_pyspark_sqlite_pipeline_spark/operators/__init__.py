@@ -1,5 +1,12 @@
 from .chunking import chunk_text_batched
 from .projections import enforce_schema, rename_columns
+from .range_join import binned_range_join
 from .skew import salted_agg
 
-__all__ = ["rename_columns", "enforce_schema", "salted_agg", "chunk_text_batched"]
+__all__ = [
+    "rename_columns",
+    "enforce_schema",
+    "salted_agg",
+    "chunk_text_batched",
+    "binned_range_join",
+]

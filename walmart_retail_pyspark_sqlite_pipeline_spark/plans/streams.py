@@ -9,9 +9,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import binned_range_join
 from ..sources import read_table
 from ..streaming import asof_last_event, hourly_counts_stream, sessionize
-from .registry import QuerySpec, register
+from ..streaming.events import asof_join
+from .registry import QuerySpec, register, register_local
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +144,92 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# events_asof_two_stream — TWO-table as-of join (purchases ← latest
+# click at-or-before, per user) via the union trick (streaming/events.py:
+# asof_join). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` operator, so
+# this checks our no-join window plan against a dedicated as-of
+# implementation, inclusive-tie semantics and all.
+# ---------------------------------------------------------------------------
+def events_asof_two_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_s")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_s")
+    return (
+        asof_join(purchases, clicks, key="user_id", ts_col="ts_s")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            F.col("asof_ts").alias("click_ts"),
+            (F.col("ts_s") - F.col("asof_ts")).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_TWO_STREAM_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_s FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_s, c.ts_s AS click_ts,
+       p.ts_s - c.ts_s AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_s <= p.ts_s
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_range_join — interval containment without a nested loop: per-user
+# "onboarding hour" [first_ts, first_ts+3600]; count ALL events (any user)
+# inside each window. Implemented with the binned range join
+# (operators/range_join.py): explode intervals to hour buckets, equi-join
+# on the bucket id, residual BETWEEN filter. The oracle states the range
+# predicate directly (DuckDB plans it as an IEJoin).
+# ---------------------------------------------------------------------------
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    windows = ev.groupBy("user_id").agg(F.min("ts_s").alias("window_lo")).select(
+        F.col("user_id").alias("owner_id"),
+        "window_lo",
+        (F.col("window_lo") + 3600).alias("window_hi"),
+    )
+    joined = binned_range_join(
+        windows, ev.select("ts_s"), "ts_s", "window_lo", "window_hi", 3600
+    )
+    return (
+        joined.groupBy("owner_id", "window_lo")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("owner_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+w AS (
+  SELECT user_id AS owner_id, MIN(ts_s) AS window_lo,
+         MIN(ts_s) + 3600 AS window_hi
+  FROM e GROUP BY user_id
+)
+SELECT w.owner_id, w.window_lo, COUNT(*) AS n_events
+FROM w JOIN e ON e.ts_s BETWEEN w.window_lo AND w.window_hi
+GROUP BY 1, 2
+ORDER BY owner_id
+"""
+
+
 for _spec in [
     QuerySpec("events_sessionization", events_sessionization, SESSIONIZE_SQL,
               ("ST2", "W1"), bench=True),
@@ -153,3 +241,13 @@ for _spec in [
               ("ST5",)),
 ]:
     register(_spec)
+
+# oracle-verified locally (tools/oracle_check.py checks LOCAL_REGISTRY too);
+# the driver's 50-query export window is full
+for _spec in [
+    QuerySpec("events_asof_two_stream", events_asof_two_stream,
+              ASOF_TWO_STREAM_SQL, ("ASOF2", "W1")),
+    QuerySpec("events_range_join", events_range_join, RANGE_JOIN_SQL,
+              ("RJ1", "J1")),
+]:
+    register_local(_spec)

@@ -105,6 +105,58 @@ def asof_last_event(
     return out.select("event_id", "user_id", "ts_s", "asof_ts", "gap_s")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Two-TABLE as-of join via the union trick: tag each side, union, and
+    take a running conditional max of the right side's timestamp over one
+    ``(key, ts)`` ordering — every left row gets the latest right ``ts_col``
+    with ``right.ts <= left.ts`` (inclusive ties), NULL when none precedes
+    (left-join semantics).
+
+    Semantics match a dedicated ASOF JOIN operator (the oracle is DuckDB's
+    native ``ASOF LEFT JOIN``). Spark has no such operator; the idiomatic
+    plan is exactly this — ONE shuffle on ``key``, then a linear
+    per-partition prefix scan. No join node at all, so at 100 TB the cost is
+    a single keyed exchange of both inputs, immune to the row-explosion an
+    inequality join would risk.
+
+    ``left`` must carry ``key``, ``ts_col`` and any payload columns;
+    ``right`` needs ``key`` and ``ts_col`` (extra columns are ignored).
+    Output = left columns + ``asof_ts``. Ordering puts right rows before
+    left rows at equal timestamps, and the conditional max is insensitive
+    to ordering among same-timestamp ties, so the result is deterministic.
+    """
+    payload = [c for c in left.columns if c not in (key, ts_col)]
+    dtypes = dict(left.dtypes)
+    tagged_r = right.select(
+        F.col(key),
+        F.col(ts_col),
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in payload],
+        F.lit(0).alias("_is_left"),
+    )
+    tagged_l = left.select(key, ts_col, *payload).withColumn(
+        "_is_left", F.lit(1)
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged_l.unionByName(tagged_r)
+        .withColumn(
+            "asof_ts",
+            F.max(F.when(F.col("_is_left") == 0, F.col(ts_col))).over(w),
+        )
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+    )
+
+
 def hourly_counts_stream(
     spark: SparkSession, events_path: str, ts_is_nanos: bool = True
 ) -> DataFrame:
