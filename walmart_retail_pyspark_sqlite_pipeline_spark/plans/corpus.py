@@ -310,3 +310,97 @@ for _spec in [
 register_local(
     QuerySpec("dedup_cc_clusters", dedup_cc_clusters, CC_CLUSTERS_SQL, ("DD9",))
 )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style repetition quality signals: per document,
+# the fraction of tokens that are repeats (1 - distinct/total) and the same
+# for word 2-grams. Pure per-row Column arithmetic (no shuffle, no UDF);
+# the classic pretraining filter for looping/boilerplate text. ANSI-safe:
+# divisions are guarded behind when(), which short-circuits per row.
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    g = t.select(
+        "doc_id", "tok", text.word_shingles(F.col("tok"), 2).alias("g2")
+    )
+
+    def dup_frac(col: str) -> Column:
+        return F.when(
+            F.size(col) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(col)).cast("double") / F.size(col),
+                6,
+            ),
+        )
+
+    return g.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        dup_frac("tok").alias("dup_token_frac"),
+        dup_frac("g2").alias("dup_2gram_frac"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+g AS (
+  SELECT doc_id, tok, {text.word_shingles_sql('tok', 2)} AS g2 FROM tk
+)
+SELECT doc_id,
+  len(tok) AS n_tokens,
+  CASE WHEN len(tok) > 0 THEN
+    ROUND(1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6)
+  END AS dup_token_frac,
+  CASE WHEN len(g2) > 0 THEN
+    ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+  END AS dup_2gram_frac
+FROM g
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_mix — per-source language composition: doc counts and each
+# language's share of its source. groupBy + one windowed total; the
+# source-level counts a corpus curator balances against. share is a single
+# int/int division so the value is bit-deterministic in both engines.
+# ---------------------------------------------------------------------------
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source")
+    return (
+        counts.withColumn(
+            "share",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+CORPUS_SOURCE_MIX_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source), 6)
+    AS share
+FROM c
+ORDER BY source, lang
+"""
+
+
+for _spec in [
+    QuerySpec("text_repetition", text_repetition, TEXT_REPETITION_SQL,
+              ("TX8",)),
+    QuerySpec("corpus_source_mix", corpus_source_mix, CORPUS_SOURCE_MIX_SQL,
+              ("CP1",)),
+]:
+    register_local(_spec)
