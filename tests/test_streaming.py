@@ -202,3 +202,37 @@ def test_stateful_user_stats_multi_batch(spark, tmp_path):
     batch = user_stats_batch(ev)
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream funnel join over a finite input must equal
+    the batch join with the same predicate."""
+    from pyspark.sql import functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.events import (
+        click_purchase_stream_join,
+    )
+
+    streamed = click_purchase_stream_join(
+        spark, f"{SF_SMALL}/events.parquet", window_s=3600
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_s")
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id", "user_id", "ts_s AS purchase_ts_s"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS c_id", "user_id AS cu", "ts_s AS click_ts_s"
+    )
+    batch = p.join(
+        c,
+        (p.user_id == F.col("cu"))
+        & (F.col("click_ts_s") <= F.col("purchase_ts_s"))
+        & (F.col("click_ts_s") >= F.col("purchase_ts_s") - 3600),
+    ).select("p_id", "c_id", "user_id", "purchase_ts_s", "click_ts_s")
+
+    assert streamed.count() == batch.count() and batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

@@ -208,3 +208,71 @@ def hourly_counts_stream(
         q.stop()
         raise TimeoutError("hourly_counts_stream did not finish within 120 s")
     return spark.table(name)
+
+
+def click_purchase_stream_join(
+    spark: SparkSession, events_path: str, window_s: int = 3600
+) -> DataFrame:
+    """STREAM-STREAM inner join: purchases joined to same-user clicks that
+    happened at most ``window_s`` seconds before (inclusive both ends).
+
+    Both sides carry a watermark (required for Spark to bound the join
+    state: each side's buffered rows can be evicted once the other side's
+    watermark passes the time-range condition). availableNow + append mode
+    + memory sink → the complete, deterministic result for a finite input,
+    equal to the batch join a test asserts against.
+
+    At scale this is the canonical funnel join: state is partitioned by
+    user_id, and the watermark bound keeps per-key state O(events in the
+    window), not O(history).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_path).schema
+    base_dir = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS")),
+    ).select(
+        "p_id",
+        "c_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("purchase_ts_s"),
+        F.col("c_ts").cast("long").alias("click_ts_s"),
+    )
+    name = f"stream_join_{next(_stream_counter)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=120):
+        q.stop()
+        raise TimeoutError("click_purchase_stream_join did not finish in 120 s")
+    return spark.table(name)
