@@ -1069,3 +1069,138 @@ for _spec in [
     QuerySpec("q26_array_funcs", q26_array_funcs, Q26_SQL, ("C12",)),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# q29 — CUBE aggregation (all 2^2 grouping combinations in one pass);
+# completes the grouping-analytics family next to q09 ROLLUP and q17
+# GROUPING SETS. Exact scaled-integer sums keep every subtotal
+# hash-deterministic.
+# ---------------------------------------------------------------------------
+def q29_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _xsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q29_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {_xsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — unpivot/melt (wide metric columns → long (metric, value) rows) then
+# re-aggregate. Spark's DataFrame.unpivot vs the portable UNION ALL
+# formulation in the oracle.
+# ---------------------------------------------------------------------------
+def q30_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    long_form = li.unpivot(
+        ids=["l_linestatus"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long_form.groupBy("l_linestatus", "metric")
+        .agg(_xsum("val").alias("total"))
+        .orderBy("l_linestatus", "metric")
+    )
+
+
+Q30_SQL = f"""
+WITH long_form AS (
+  SELECT l_linestatus, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_linestatus, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_linestatus, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_linestatus, metric, {_xsum_sql('val')} AS total
+FROM long_form
+GROUP BY l_linestatus, metric
+ORDER BY l_linestatus, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — scalar subquery in WHERE: orders above the global average price.
+# The threshold compare is done in scaled-integer space on BOTH sides
+# (price_cents * n > total_cents), so no float summation order can flip a
+# borderline row in either engine. Identical ANSI text runs on both.
+# ---------------------------------------------------------------------------
+_Q31_BODY = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE))
+    AS sum_price
+FROM orders
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM orders)
+      > (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q31_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q31_BODY)
+
+
+Q31_SQL = _Q31_BODY  # identical ANSI SQL runs on both engines
+
+
+# ---------------------------------------------------------------------------
+# q32 — analytic-window depth: ntile / percent_rank / cume_dist / lag /
+# lead over one tie-broken total ordering (ties would make every ranking
+# engine-dependent). One shuffle on the partition key.
+# ---------------------------------------------------------------------------
+def q32_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.round(F.col("c_acctbal") - F.lag("c_acctbal").over(w), 2).alias(
+            "gap_prev"
+        ),
+        F.round(F.lead("c_acctbal").over(w) - F.col("c_acctbal"), 2).alias(
+            "gap_next"
+        ),
+    ).orderBy("c_custkey")
+
+
+Q32_SQL = """
+SELECT c_custkey, c_nationkey,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cum_dist,
+  ROUND(c_acctbal - lag(c_acctbal) OVER w, 2) AS gap_prev,
+  ROUND(lead(c_acctbal) OVER w - c_acctbal, 2) AS gap_next
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+for _spec in [
+    QuerySpec("q29_cube_returnflag_status", q29_cube_returnflag_status,
+              Q29_SQL, ("G2",)),
+    QuerySpec("q30_unpivot_metrics", q30_unpivot_metrics, Q30_SQL, ("PV2",)),
+    QuerySpec("q31_scalar_subquery", q31_scalar_subquery, Q31_SQL, ("SQ1",)),
+    QuerySpec("q32_window_depth", q32_window_depth, Q32_SQL, ("W3",)),
+]:
+    register_local(_spec)
