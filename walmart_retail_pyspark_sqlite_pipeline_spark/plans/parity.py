@@ -1164,34 +1164,57 @@ Q31_SQL = _Q31_BODY  # identical ANSI SQL runs on both engines
 # q32 — analytic-window depth: ntile / percent_rank / cume_dist / lag /
 # lead over one tie-broken total ordering (ties would make every ranking
 # engine-dependent). One shuffle on the partition key.
+#
+# percent_rank/cume_dist are exported as INTEGER micro-units computed with
+# integer division ((rank-1)*1e6 div (n-1)), not rounded doubles: a rounded
+# percent_rank can land exactly on a 6th-decimal .5 boundary (seen at
+# sf0.1: 41/640), where Spark's BigDecimal HALF_UP and DuckDB's C-double
+# rounding disagree. Integer div is bit-identical in both engines.
 # ---------------------------------------------------------------------------
 def q32_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked = c.select(
         "c_custkey",
         "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("c_nationkey")).alias("cnt"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
-        F.round(F.col("c_acctbal") - F.lag("c_acctbal").over(w), 2).alias(
-            "gap_prev"
-        ),
-        F.round(F.lead("c_acctbal").over(w) - F.col("c_acctbal"), 2).alias(
-            "gap_next"
-        ),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        "quartile",
+        F.when(
+            F.col("cnt") > 1, F.expr("((rn - 1) * 1000000) div (cnt - 1)")
+        ).alias("pct_rank_micro"),
+        F.expr("(rn * 1000000) div cnt").alias("cum_dist_micro"),
+        F.round(F.col("c_acctbal") - F.col("prev_bal"), 2).alias("gap_prev"),
+        F.round(F.col("next_bal") - F.col("c_acctbal"), 2).alias("gap_next"),
     ).orderBy("c_custkey")
 
 
 Q32_SQL = """
-SELECT c_custkey, c_nationkey,
-  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-  ROUND(cume_dist() OVER w, 6) AS cum_dist,
-  ROUND(c_acctbal - lag(c_acctbal) OVER w, 2) AS gap_prev,
-  ROUND(lead(c_acctbal) OVER w - c_acctbal, 2) AS gap_next
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+    row_number() OVER w AS rn,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt,
+    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+    lag(c_acctbal) OVER w AS prev_bal,
+    lead(c_acctbal) OVER w AS next_bal
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_custkey, c_nationkey, quartile,
+  CASE WHEN cnt > 1 THEN ((rn - 1) * 1000000) // (cnt - 1) END
+    AS pct_rank_micro,
+  (rn * 1000000) // cnt AS cum_dist_micro,
+  ROUND(c_acctbal - prev_bal, 2) AS gap_prev,
+  ROUND(next_bal - c_acctbal, 2) AS gap_next
+FROM r
 ORDER BY c_custkey
 """
 
