@@ -85,3 +85,40 @@ def test_duplicate_variant_dedups(spark, walmart_fixtures, tmp_path):
     )
     assert report.duplicate_count == 5
     assert typed.count() == report.row_count
+
+
+def test_pipeline_sqlite_roundtrip_via_datasource(
+    spark, walmart_fixtures, tmp_path
+):
+    """The curated SQLite output reads back through the Python DataSource
+    (no JDBC jar) with the same rows Spark wrote — full write→read loop."""
+    import pyspark.sql.functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_sqlite
+
+    db = tmp_path / "retail_rt.db"
+    cfg = PipelineConfig(
+        raw_dir=str(walmart_fixtures["root"]), output_db=str(db)
+    )
+    result = run_pipeline(spark, cfg)
+
+    back = read_sqlite(spark, db, "sales_curated", num_partitions=4)
+    assert back.count() == result["table_rows"]["sales_curated"]
+    assert back.columns == CURATED_COLUMNS
+    # spot-check an aggregate against the in-session curated view
+    got = (
+        back.groupBy("store_id")
+        .agg(F.round(F.sum("weekly_sales"), 2).alias("total"))
+        .orderBy("store_id")
+        .collect()
+    )
+    want = (
+        spark.table("curated_sales")
+        .groupBy("store_id")
+        .agg(F.round(F.sum("weekly_sales"), 2).alias("total"))
+        .orderBy("store_id")
+        .collect()
+    )
+    assert [(r.store_id, r.total) for r in got] == [
+        (r.store_id, r.total) for r in want
+    ]
