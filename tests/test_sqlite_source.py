@@ -116,3 +116,49 @@ def test_sqlite_spark_filter_matches_unfiltered(spark, tmp_path):
     )
     assert pushed.count() == want.count() > 0
     assert pushed.exceptAll(want).count() == 0
+
+
+def test_sqlite_stream_incremental(spark, tmp_path):
+    """Streaming from SQLite with rowid offsets: a second availableNow run
+    sharing the first run's checkpoint ships ONLY the rows appended in
+    between (exactly-once incremental ingest, no jar)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import stream_sqlite
+
+    db = tmp_path / "stream.db"
+    ckpt = str(tmp_path / "ckpt")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (a INTEGER, c TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"s{i}") for i in range(5)]
+    )
+    con.commit()
+    con.close()
+
+    def run_once():
+        got: list = []
+
+        def sink(batch_df, batch_id):
+            got.extend((r.a, r.c) for r in batch_df.collect())
+
+        q = (
+            stream_sqlite(spark, db, "t")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=120)
+        return got
+
+    first = run_once()
+    assert sorted(a for a, _ in first) == [0, 1, 2, 3, 4]
+
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"s{i}") for i in range(5, 8)]
+    )
+    con.commit()
+    con.close()
+
+    second = run_once()
+    assert sorted(a for a, _ in second) == [5, 6, 7]

@@ -1,4 +1,4 @@
-from .sqlite_source import SQLiteDataSource, read_sqlite
+from .sqlite_source import SQLiteDataSource, read_sqlite, stream_sqlite
 from .tables import STAR_TABLES, TABLES, load_tables, read_table, register_tables
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "register_tables",
     "SQLiteDataSource",
     "read_sqlite",
+    "stream_sqlite",
 ]
