@@ -236,3 +236,86 @@ def test_stream_stream_join_equals_batch(spark):
     assert streamed.count() == batch.count() and batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + ValueState,
+    RocksDB state store): per-user running counts across forced multi-file
+    micro-batches must converge to the batch groupBy counts.
+
+    GATED like the JDBC jar: the API's state-server protocol needs a
+    working ``google.protobuf`` runtime, which this container lacks (and
+    installs are out of scope). ``applyInPandasWithState`` — protobuf-free
+    — is the exercised stateful path (ST4/ST8); this test runs wherever
+    protobuf is available."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState gated")
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "events_tws")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    old_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("user_id")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        assert q.awaitTermination(timeout=180)
+        sink = spark.table("tws_counts")
+        final = (
+            sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+        )
+        want = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        assert final.exceptAll(want).count() == 0
+        assert want.exceptAll(final).count() == 0
+        assert sink.count() > final.count()  # multi-batch emissions
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )

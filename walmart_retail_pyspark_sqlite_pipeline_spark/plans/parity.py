@@ -1227,3 +1227,43 @@ for _spec in [
     QuerySpec("q32_window_depth", q32_window_depth, Q32_SQL, ("W3",)),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# q33 — VariantType JSON path (Spark 4's native semi-structured type):
+# parse_json once, typed variant_get extraction. Same aggregate semantics
+# as q20 (string-path get_json_object), so the two formulations cross-check
+# each other; the oracle is the same DuckDB JSON extraction, with the q20
+# CAST discipline (DuckDB SUM(BIGINT)→HUGEINT vs Spark BIGINT).
+# At scale Variant beats per-access string re-parsing: the binary encoding
+# is parsed once at scan time and every field access is a cheap typed read.
+# ---------------------------------------------------------------------------
+def q33_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.count(F.when(k.isNotNull(), 1)).alias("k_present"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q33_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             IS NOT NULL THEN 1 END) AS k_present
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register_local(
+    QuerySpec("q33_variant_props", q33_variant_props, Q33_SQL, ("C13",))
+)
