@@ -404,3 +404,58 @@ for _spec in [
               ("CP1",)),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_topterms — per-document top-3 distinguishing terms, ranked by
+# (tf DESC, df ASC, term): the classic tf-idf ordering with the idf made
+# MONOTONE-EQUIVALENT instead of numeric — for a fixed tf, idf = ln(N/df)
+# orders exactly as df ascending. Engine-portable by construction: the
+# exported columns are integer counts and a rank, never a float logarithm
+# (libm ln can differ in the last ulp across engines and flip a rounded
+# hash). Plan: tf groupBy → df groupBy → term join → per-doc top-k window.
+# ---------------------------------------------------------------------------
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+register_local(
+    QuerySpec("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, ("TX9",))
+)
