@@ -89,3 +89,23 @@ def test_minhash_perms_stay_in_int64(spark):
     max_h = hashing.MERSENNE_P - 1
     for a, b in hashing.MINHASH_PERMS:
         assert a * max_h + b < 2**63
+
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    # approximate heavy-hitters sketch (single pass, mergeable): the result
+    # is guaranteed to CONTAIN every item with frequency > support — the
+    # 100 TB substitute for an exact value_counts when only hot keys matter
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    n = ev.count()
+    support = 0.15
+    truly_hot = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n > support
+    }
+    assert truly_hot  # the 5 event types sit near 20% each
+    (sketch,) = ev.freqItems(["event_type"], support=support).collect()
+    assert truly_hot <= set(sketch[0])
