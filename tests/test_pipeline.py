@@ -122,3 +122,34 @@ def test_pipeline_sqlite_roundtrip_via_datasource(
     assert [(r.store_id, r.total) for r in got] == [
         (r.store_id, r.total) for r in want
     ]
+
+def test_pipeline_parquet_sink_partitioned_by_year(
+    spark, walmart_fixtures, tmp_path
+):
+    """The parquet sink lays out the fact table hive-partitioned by year so a
+    year-filtered downstream read prunes whole directories (the lakehouse
+    layout for a time-organized fact at scale)."""
+    out = tmp_path / "curated"
+    cfg = PipelineConfig(
+        raw_dir=str(walmart_fixtures["root"]),
+        output_parquet_dir=str(out),
+        sink="parquet",
+    )
+    result = run_pipeline(spark, cfg)
+
+    fact_dir = out / "sales_curated"
+    year_dirs = sorted(p.name for p in fact_dir.iterdir() if p.is_dir())
+    assert year_dirs and all(p.startswith("year=") for p in year_dirs)
+
+    back = spark.read.parquet(str(fact_dir))
+    assert back.count() == result["table_rows"]["sales_curated"]
+    assert set(back.columns) == set(CURATED_COLUMNS)
+
+    one_year = int(year_dirs[0].split("=")[1])
+    filtered = back.filter(back.year == one_year)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the year predicate lands in PartitionFilters,
+    # not in the post-scan Filter
+    assert "PartitionFilters: [" in plan and "year" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
