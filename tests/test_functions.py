@@ -109,3 +109,48 @@ def test_freq_items_contains_true_heavy_hitters(spark):
     assert truly_hot  # the 5 event types sit near 20% each
     (sketch,) = ev.freqItems(["event_type"], support=support).collect()
     assert truly_hot <= set(sketch[0])
+
+
+def test_hll_sketch_union_matches_global_sketch(spark):
+    # hll_sketch_agg produces a MERGEABLE binary sketch: partial sketches
+    # built independently (here one per event_type, i.e. per "shard") and
+    # combined with hll_union_agg must give the SAME estimate as one sketch
+    # over all rows — the property that lets 1000 executors sketch 100 TB
+    # with no second pass — and land within HLL error of the exact count.
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct  # merge-then-estimate == estimate-of-all
+    assert abs(direct - exact) / exact < 0.05
+
+
+def test_percentile_approx_tracks_exact_quantiles(spark):
+    # percentile_approx is the single-pass mergeable quantile sketch; at
+    # accuracy >= n its rank error is sub-1 so it must land on (or next to)
+    # the exact order statistic.
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    o = read_table(spark, SF_SMALL, "orders")
+    got = o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("q")
+    ).collect()[0].q
+    exact = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0].q
+    for a, e in zip(got, exact):
+        assert abs(a - e) / e < 0.01

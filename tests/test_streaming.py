@@ -319,3 +319,46 @@ def test_transform_with_state_running_counts(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old_provider
             )
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming dedup-at-ingest
+    operator. Two overlapping files forced into separate micro-batches
+    (maxFilesPerTrigger=1) must still emit each event_id once — the dedup
+    state lives across batches for as long as the watermark delay, which is
+    exactly the bounded-state contract that scales: state size is
+    O(keys within the delay window), not O(stream history)."""
+    import pyspark.sql.functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tmp_path / "dup_stream"
+    # overlapping halves: 400-699 arrive twice, in different micro-batches
+    ev.filter("event_id < 700").coalesce(1).write.parquet(f"{src}/f1")
+    ev.filter("event_id >= 400").coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        # delay longer than the data span: no row is ever late, so every
+        # duplicate must be caught by state, not dropped as late data
+        .withWatermark("ts", "100 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("dedup_wm")
+    assert out.count() == ev.count()  # 1000 distinct event_ids, no dupes
+    assert out.select("event_id").distinct().count() == ev.count()

@@ -65,6 +65,7 @@ def _load_all() -> None:
     from . import streams  # noqa: F401
     from . import llm  # noqa: F401
     from . import corpus  # noqa: F401
+    from . import timeseries  # noqa: F401
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
