@@ -164,3 +164,68 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # rows from the pre-evolution files read as NULL for the new column
     assert merged.filter(F.col("b").isNull()).count() == 5
     assert merged.filter("b = '7'").count() == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: one hot key must be split into several tasks
+    at runtime (plan shows isSkew=true) instead of one straggler task
+    processing the whole key — the no-code-change answer to skewed 100 TB
+    joins (the manual alternative is operators/skew.py's salting)."""
+    left = spark.range(0, 400_000).selectExpr(
+        "CAST(CASE WHEN id % 4 = 0 THEN 1 ELSE id END AS LONG) AS k",
+        "id AS payload",
+    )
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS rv")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # hot key 1: 100k ids divisible by 4, plus id=1 itself; cold keys:
+        # the 749 ids in 2..999 not divisible by 4. collect() (not count())
+        # so THIS queryExecution runs and the AQE final plan is inspectable.
+        assert len(joined.collect()) == 100_001 + 749
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_injected_on_probe_side(spark):
+    """Runtime (bloom) filter injection: a selective filter on the build
+    side makes Catalyst add a bloom-filter probe to the big side's SCAN, so
+    rows that cannot join are dropped before the shuffle — at 100 TB this
+    turns a full-fact shuffle into a near-dimension-sized one."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, SF_SMALL, "orders").filter(
+        "o_orderstatus = 'F' AND o_totalprice > 100000"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the bloom probe is advisory: results must equal the unfiltered plan
+        n = joined.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()

@@ -1267,3 +1267,40 @@ ORDER BY event_type
 register_local(
     QuerySpec("q33_variant_props", q33_variant_props, Q33_SQL, ("C13",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q34 — correlated scalar subqueries in SELECT: per customer, the order
+# count and latest order date pulled by two correlated subqueries. Catalyst
+# decorrelates each into an aggregate + left outer join (no per-row
+# re-execution — the naive nested-loop reading is O(n^2) and is exactly
+# what the optimizer must NOT do at scale); the identical ANSI text runs on
+# DuckDB, which decorrelates the same way. COUNT(*) in an empty correlation
+# group must surface as 0 (not NULL) in both engines — the classic
+# COUNT-bug of subquery decorrelation — which building-customer keys with
+# no orders exercise for real.
+# ---------------------------------------------------------------------------
+_Q34_BODY = """
+SELECT c_custkey,
+  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+    AS n_orders,
+  (SELECT MAX(o_orderdate) FROM orders o WHERE o.o_custkey = c.c_custkey)
+    AS last_order
+FROM customer c
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+"""
+
+
+def q34_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q34_BODY)
+
+
+Q34_SQL = _Q34_BODY  # identical ANSI SQL runs on both engines
+
+
+register_local(
+    QuerySpec("q34_correlated_scalar", q34_correlated_scalar, Q34_SQL, ("SQ2",))
+)
