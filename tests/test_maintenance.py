@@ -90,3 +90,76 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         if "event_type=purchase" not in f
     }
     assert untouched_after == untouched_before
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Incremental materialized-rollup maintenance: building from days 1-25
+    then folding in a days-23+ batch (3 overlap days prove additive merge)
+    must equal the rollup recomputed from all events — and days the batch
+    does not touch keep their original parquet files."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.pipeline import (
+        build_rollup,
+        hourly_rollup,
+        incremental_rollup_merge,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events")
+    cut_lo, cut_hi = "2024-01-23", "2024-01-26"
+    batch1 = ev.filter(F.to_date("ts") < cut_hi)
+    batch2 = ev.filter(F.to_date("ts") >= cut_lo)
+    # rebuild batch1's overlap days from scratch is NOT what happens: the
+    # increment must only ADD batch2-only events, so feed the merge just
+    # the rows not already rolled up
+    batch2_new = ev.filter(F.to_date("ts") >= cut_hi)
+
+    path = str(tmp_path / "rollup")
+    build_rollup(spark, batch1, path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if f.split("/d=")[1][:10] < cut_hi
+    }
+
+    stats = incremental_rollup_merge(spark, path, batch2_new)
+    assert min(stats["touched_days"]) >= cut_hi
+
+    cols = ["d", "hour_s", "event_type", "n_events", "cents"]
+    got = (
+        spark.read.parquet(path)
+        .select(*cols)
+        .orderBy("d", "hour_s", "event_type")
+        .collect()
+    )
+    want = (
+        hourly_rollup(ev)
+        .select(*cols)
+        .orderBy("d", "hour_s", "event_type")
+        .collect()
+    )
+    assert got == want
+
+    after = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if f.split("/d=")[1][:10] < cut_hi
+    }
+    assert after == before  # untouched history never rewritten
+
+    # and an OVERLAPPING batch merges additively rather than replacing:
+    path2 = str(tmp_path / "rollup2")
+    build_rollup(spark, batch1, path2)
+    incremental_rollup_merge(spark, path2, batch2)
+    doubled = spark.read.parquet(path2)
+    overlap_want = (
+        hourly_rollup(ev.filter(
+            (F.to_date("ts") >= cut_lo) & (F.to_date("ts") < cut_hi)
+        ))
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    overlap_got = (
+        doubled.filter((F.col("d") >= cut_lo) & (F.col("d") < cut_hi))
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert overlap_got == 2 * overlap_want  # counted once in base + once in delta
