@@ -40,3 +40,43 @@ def test_pandas_udf_topk_matches_expression_topk(spark):
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
     for a, b in zip(got, want):
         assert abs(a.cos - b.cos) < 1e-9
+
+
+def test_int8_quantization_bounds_and_recall(spark):
+    """Symmetric int8 quantization: every dequantized element sits within
+    one quantization step of the original, and integer-dot ranking keeps
+    most of the exact-cosine top-10 (it trades norm-normalization for
+    4x-smaller vectors and integer kernels)."""
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+        all_specs,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    err = emb.select(
+        F.array_max(
+            F.zip_with(
+                v,
+                F.transform(v, lambda x: F.floor(x * scale)),
+                lambda x, q: F.abs(x - q / scale),
+            )
+        ).alias("max_err"),
+        (F.lit(1.0) / scale).alias("step"),
+    )
+    # strict bound is max_err < step; the q/scale dequant division adds
+    # ulp-level rounding, so compare with a 1e-9 relative cushion
+    bad = err.filter(F.col("max_err") > F.col("step") * 1.000000001).count()
+    assert bad == 0
+
+    exact = {
+        r.vec_id
+        for r in all_specs()["ann_topk_cosine"].fn(spark, SF_SMALL).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in all_specs()["ann_int8_topk"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.6  # measured 0.8

@@ -1139,3 +1139,76 @@ for _spec in [
     QuerySpec("ann_ivf_cells", ann_ivf_cells, ANN_IVF_CELLS_SQL, ("SIM4",)),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# ann_int8_topk — symmetric int8 quantization + integer-dot-product ranking:
+# the storage/compute-quantized ANN path (4x smaller vectors, SIMD int8
+# kernels on real hardware). Per vector: scale = 127 / max|x|, q_i =
+# floor(x * scale) — floor, not round, because IEEE floor(double) is
+# bit-identical across engines while round-half cases are not (see
+# plans/registry.py). All exported values are integers; the int32-range
+# dot products are exact in both engines' arithmetic. The query vector is
+# a broadcast singleton; ranking is TakeOrderedAndProject — same plan
+# skeleton as the exact-cosine baseline, so measured deltas isolate the
+# quantization cost.
+# ---------------------------------------------------------------------------
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    quant = emb.select(
+        "vec_id",
+        F.transform(v, lambda x: F.floor(x * scale)).alias("q"),
+    )
+    qv = quant.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", idot.alias("idot"))
+        .orderBy(F.col("idot").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+    )
+
+
+ANN_INT8_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS q
+  FROM sc
+),
+qv AS (SELECT q AS qq FROM quant WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(list_sum(list_transform(list_zip(q, qq),
+                               p -> p[1] * p[2])) AS BIGINT) AS idot
+FROM quant, qv
+WHERE vec_id <> 0
+ORDER BY idot DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_int8_topk",
+        ann_int8_topk,
+        ANN_INT8_SQL,
+        ("SIM5",),
+        doc="int8-quantized integer-dot ANN ranking",
+    )
+)
