@@ -163,3 +163,28 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
         .collect()[0][0]
     )
     assert overlap_got == 2 * overlap_want  # counted once in base + once in delta
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    """Applying the same update batch twice must be a no-op the second time
+    — the property that makes the merge safe to retry after a failed job."""
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.partitionBy("event_type").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "purchase", 42.0), (10**6, "purchase", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    upsert_parquet(spark, path, updates, ["event_id"], "event_type")
+    once = sorted(
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    upsert_parquet(spark, path, updates, ["event_id"], "event_type")
+    twice = sorted(
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert once == twice

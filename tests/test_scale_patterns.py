@@ -229,3 +229,55 @@ def test_runtime_bloom_filter_injected_on_probe_side(spark):
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort: sorting files by user_id alone leaves
+    each file spanning the FULL ts range; Morton-interleaving user_id and
+    ts gives every file a small rectangle — narrow min/max in BOTH columns,
+    so scans filtered on either one skip most files."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+
+    def file_spans(path, col_idx):
+        spans, lo, hi = [], None, None
+        for f in Path(path).glob("*.parquet"):
+            st = pq.ParquetFile(f).metadata.row_group(0).column(col_idx).statistics
+            fl, fh = None, None
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups):
+                s = pq.ParquetFile(f).metadata.row_group(i).column(col_idx).statistics
+                fl = s.min if fl is None else min(fl, s.min)
+                fh = s.max if fh is None else max(fh, s.max)
+            spans.append(fh - fl)
+            lo = fl if lo is None else min(lo, fl)
+            hi = fh if hi is None else max(hi, fh)
+        return spans, hi - lo
+
+    plain = str(tmp_path / "by_user")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(ev, "user_id", "ts_s", num_files=8).write.parquet(zpath)
+
+    # single-column sort: every file spans ~the whole ts range
+    ts_spans_plain, ts_full = file_spans(plain, 1)
+    assert min(ts_spans_plain) > 0.9 * ts_full
+
+    # z-order: the average file covers a small fraction of BOTH ranges
+    u_spans, u_full = file_spans(zpath, 0)
+    ts_spans, _ = file_spans(zpath, 1)
+    assert sum(u_spans) / len(u_spans) < 0.6 * u_full, (u_spans, u_full)
+    assert sum(ts_spans) / len(ts_spans) < 0.6 * ts_full, (ts_spans, ts_full)
+
+    # layout changes bytes, never rows
+    assert spark.read.parquet(zpath).count() == ev.count()
