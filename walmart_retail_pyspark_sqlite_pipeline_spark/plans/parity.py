@@ -1304,3 +1304,120 @@ Q34_SQL = _Q34_BODY  # identical ANSI SQL runs on both engines
 register_local(
     QuerySpec("q34_correlated_scalar", q34_correlated_scalar, Q34_SQL, ("SQ2",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q35 — market share (TPC-H Q8 shape): six-table join tree (lineitem ⋈
+# orders ⋈ customer ⋈ nation ⋈ region on the demand side, lineitem ⋈
+# supplier ⋈ nation on the supply side), conditional aggregation, and a
+# ratio-of-sums per year. Fixed-size dims (nation, region) carry an
+# explicit broadcast hint; supplier/customer scale with SF, so their join
+# strategy is left to the optimizer (VERDICT r1: a hard-coded broadcast of
+# an SF-scaling table is a 100x OOM hazard).
+#
+# Exactness: revenue partials are scale-1e4 integers (exact product grid of
+# 2-decimal price x 2-decimal discount); the share is exported as integer
+# micro-units via integer division, never a rounded float ratio (see
+# [[oracle-hash-stability]] rule 3 in plans/registry.py's docstring).
+# ---------------------------------------------------------------------------
+def q35_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+
+    asia_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "n_name")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum("rev_c").alias("rev_total_c"),
+            F.sum(
+                F.when(F.col("n_name") == "NATION_0", F.col("rev_c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rev_nation_c"),
+        )
+        .select(
+            "o_year",
+            "rev_total_c",
+            "rev_nation_c",
+            F.expr("(rev_nation_c * 1000000) div rev_total_c").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q35_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+),
+asia_cust AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+supp_nation AS (
+  SELECT s_suppkey, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+  CAST(SUM(rev_c) AS BIGINT) AS rev_total_c,
+  CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN rev_c ELSE 0 END) AS BIGINT)
+    AS rev_nation_c,
+  (CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN rev_c ELSE 0 END) AS BIGINT)
+     * 1000000)
+    // CAST(SUM(rev_c) AS BIGINT) AS share_micro
+FROM li
+JOIN (SELECT o_orderkey, o_custkey, year(o_orderdate) AS o_year FROM orders) o
+  ON l_orderkey = o_orderkey
+JOIN asia_cust ON o_custkey = c_custkey
+JOIN supp_nation ON l_suppkey = s_suppkey
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+register_local(
+    QuerySpec("q35_market_share", q35_market_share, Q35_SQL, ("J6",))
+)
