@@ -362,3 +362,58 @@ def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
     out = spark.table("dedup_wm")
     assert out.count() == ev.count()  # 1000 distinct event_ids, no dupes
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
+    """foreachBatch + incremental merge + batch-id ledger: a multi-batch
+    stream must produce exactly the batch rollup, and REPLAYING a batch
+    (Structured Streaming's at-least-once failure mode) must be a no-op."""
+    import pyspark.sql.functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.pipeline import (
+        hourly_rollup,
+        rollup_stream_sink,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = tmp_path / "src"
+    # three source files -> three micro-batches under maxFilesPerTrigger=1
+    for i, cond in enumerate(
+        ["event_id < 300", "event_id >= 300 AND event_id < 700", "event_id >= 700"]
+    ):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    path = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = rollup_stream_sink(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cols = ["d", "hour_s", "event_type", "n_events", "cents"]
+    got = (
+        spark.read.parquet(path).select(*cols).orderBy(*cols[:3]).collect()
+    )
+    want = hourly_rollup(ev).select(*cols).orderBy(*cols[:3]).collect()
+    assert got == want
+
+    # hard replay: a FRESH checkpoint re-delivers the whole source as batch
+    # ids 0..2 again — exactly the ids already in the ledger — so only the
+    # ledger stands between the sink and double-counting every event
+    q2 = rollup_stream_sink(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src)),
+        path,
+        str(tmp_path / "ckpt_replay"),
+    )
+    q2.awaitTermination()
+    again = (
+        spark.read.parquet(path).select(*cols).orderBy(*cols[:3]).collect()
+    )
+    assert again == got

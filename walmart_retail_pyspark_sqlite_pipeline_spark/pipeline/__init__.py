@@ -2,6 +2,7 @@ from .incremental import (
     build_rollup,
     hourly_rollup,
     incremental_rollup_merge,
+    rollup_stream_sink,
 )
 from .orchestrator import PipelineConfig, run_pipeline
 
@@ -11,4 +12,5 @@ __all__ = [
     "hourly_rollup",
     "build_rollup",
     "incremental_rollup_merge",
+    "rollup_stream_sink",
 ]

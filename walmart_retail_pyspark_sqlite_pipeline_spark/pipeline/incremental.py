@@ -95,3 +95,41 @@ def incremental_rollup_merge(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"touched_days": sorted(str(t) for t in touched)}
+
+
+def rollup_stream_sink(events_stream, path: str, checkpoint_dir: str):
+    """Maintain the rollup from a stream: each micro-batch folds in via
+    ``incremental_rollup_merge`` under ``foreachBatch``.
+
+    Structured Streaming's contract is at-least-once invocation of
+    foreachBatch (a batch can be REPLAYED after a crash between sink commit
+    and checkpoint commit), so the sink keeps its own batch-id ledger next
+    to the table and skips ids it has already applied — ledger + additive
+    merge together give end-to-end exactly-once, the same trick a
+    transactional table format plays with its commit log.
+    """
+    import os
+
+    # sibling dir, not inside `path`: the initial build_rollup write must
+    # see a non-existent table directory
+    ledger = path.rstrip("/") + "_ledger"
+
+    def fold(batch_df, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        mark = os.path.join(ledger, f"batch-{batch_id}")
+        if os.path.exists(mark):  # replayed batch: already applied, skip
+            return
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            incremental_rollup_merge(spark, path, batch_df)
+        else:
+            build_rollup(spark, batch_df, path)
+        with open(mark, "w") as f:
+            f.write("applied")
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
