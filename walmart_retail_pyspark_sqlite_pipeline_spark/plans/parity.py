@@ -1421,3 +1421,85 @@ ORDER BY o_year
 register_local(
     QuerySpec("q35_market_share", q35_market_share, Q35_SQL, ("J6",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q36 — SQL pipe syntax (Spark 4's `|>` operators): the same pricing-
+# summary semantics as q01 expressed as a linear pipeline — scan |> filter
+# |> aggregate |> sort. Catalyst compiles it to the identical plan as the
+# nested form, so this is a pure surface-parity entry; the oracle is plain
+# ANSI SQL (DuckDB has no pipe syntax). Integer-exact sums per the house
+# discipline.
+# ---------------------------------------------------------------------------
+def q36_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE'1998-09-02'
+        |> AGGREGATE
+             COUNT(*) AS n_rows,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_c,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS price_c
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+Q36_SQL = """
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS price_c
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+register_local(
+    QuerySpec("q36_pipe_syntax", q36_pipe_syntax, Q36_SQL, ("PS1",))
+)
+
+
+# ---------------------------------------------------------------------------
+# q37 — equi-width histogram of order totals: bucket index by exact integer
+# arithmetic (cents div bucket-width-in-cents), so bucket boundaries cannot
+# drift between engines the way float width_bucket edges can. One
+# aggregation shuffle on ≤ n_buckets+1 groups; the scan dominates — the
+# shape of every "distribution of X" dashboard query at 100 TB.
+# ---------------------------------------------------------------------------
+_HIST_BUCKETS = 20
+_HIST_LO, _HIST_HI = 0, 600_000  # dollars; o_totalprice ∈ (~400, ~560k)
+
+
+def q37_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width_c = (_HIST_HI - _HIST_LO) * 100 // _HIST_BUCKETS
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                f"least(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+                f" div {width_c}, {_HIST_BUCKETS - 1}) "
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+Q37_SQL = f"""
+SELECT
+  least(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+          // {(_HIST_HI - _HIST_LO) * 100 // _HIST_BUCKETS},
+        {_HIST_BUCKETS - 1}) AS bucket,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+register_local(QuerySpec("q37_histogram", q37_histogram, Q37_SQL, ("H1",)))
