@@ -154,3 +154,25 @@ def test_percentile_approx_tracks_exact_quantiles(spark):
     ).collect()[0].q
     for a, e in zip(got, exact):
         assert abs(a - e) / e < 0.01
+
+
+def test_map_in_arrow_token_counts_match_jvm_expression(spark):
+    # the Arrow-native Python boundary must agree exactly with the
+    # whole-stage-codegen JVM expression it parallels
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.arrow_ops import (
+        token_counts_arrow,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    got = {
+        r.doc_id: r.n_tokens for r in token_counts_arrow(docs).collect()
+    }
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    assert got == want and len(got) > 0

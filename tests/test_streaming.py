@@ -417,3 +417,74 @@ def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
         spark.read.parquet(path).select(*cols).orderBy(*cols[:3]).collect()
     )
     assert again == got
+
+
+def test_streaming_session_window_emits_closed_sessions(spark, tmp_path):
+    """session_window under a real stream: three time-ordered files move
+    the watermark forward batch by batch, so sessions that closed before
+    the final watermark are emitted in append mode — and every emitted
+    session must appear, identical, in the batch session_window twin
+    (streaming can only emit a prefix, never invent or distort a session)."""
+    import pyspark.sql.functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    src = tmp_path / "sessions_src"
+    # time-ordered files: the per-batch max(ts) ratchets the watermark
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+         ("2024-01-21", "2024-01-31")]
+    ):
+        ev.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    gap, delay = "30 minutes", "1 hour"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("s"),
+            F.col("session_window.end").cast("long").alias("e"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r.user_id, r.s, r.e): r.n_events
+        for r in spark.table("sess_stream").collect()
+    }
+    assert emitted  # watermark moved across batches: early sessions closed
+
+    batch = {
+        (r.user_id, r.s, r.e): r.n_events
+        for r in ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("s"),
+            F.col("session_window.end").cast("long").alias("e"),
+            "n_events",
+        )
+        .collect()
+    }
+    # prefix property: everything emitted exists identically in batch
+    for k, n in emitted.items():
+        assert batch[k] == n
+    # and emission was substantial, not vacuous: sessions from the first
+    # two files' span are closed by the final watermark
+    assert len(emitted) > len(batch) * 0.3, (len(emitted), len(batch))
