@@ -176,3 +176,28 @@ def test_map_in_arrow_token_counts_match_jvm_expression(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ansi_overflow_try_variants(spark):
+    # Spark 4 runs ANSI mode by default: long-sum overflow must RAISE, and
+    # the try_* family must return NULL instead — the two behaviors an
+    # engine at scale has to keep straight (a silent wraparound in a 100 TB
+    # aggregate is the worst failure mode). The engine's own money sums
+    # stay far inside int64 by design (cents of 2-decimal values).
+    import pytest
+
+    big = spark.createDataFrame(
+        [(2**63 - 1,), (2**63 - 1,)], "x long"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="(?i)overflow"):
+            big.agg(F.sum("x")).collect()
+        assert big.agg(F.try_sum("x")).collect()[0][0] is None
+        assert (
+            big.select(F.try_add("x", F.lit(1)).alias("y")).collect()[0].y
+            is None
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -459,3 +459,61 @@ ORDER BY doc_id, rnk
 register_local(
     QuerySpec("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, ("TX9",))
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_chunk_dedup — chunk-granular exact dedup: Arrow-batched chunking
+# (operators/chunking.py, the 100 TB chunker) feeding the same hash-groupBy
+# histogram shape as dedup_exact_hist. Chunk-level dedup is what catches
+# boilerplate shared across otherwise-distinct documents (headers, license
+# blocks) that document-level hashing misses entirely. Plan: embarrassingly
+# parallel expand (no shuffle) → hash → two grouped aggregations; nothing
+# is quadratic and nothing collects.
+# ---------------------------------------------------------------------------
+CHUNK_DEDUP_WIDTH = 32
+
+
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunk_text_batched
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text_batched(docs, CHUNK_DEDUP_WIDTH)
+    return (
+        chunks.select(F.md5(F.col("chunk")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_copies")
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NULL
+),
+ch AS (
+  SELECT substr(text, CAST(i AS BIGINT) * {CHUNK_DEDUP_WIDTH} + 1,
+                {CHUNK_DEDUP_WIDTH}) AS chunk
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, (n + {CHUNK_DEDUP_WIDTH} - 1)
+                           // {CHUNK_DEDUP_WIDTH})) AS i
+    FROM n
+  )
+)
+SELECT n_copies, COUNT(*) AS n_groups FROM (
+  SELECT md5(chunk) AS h, COUNT(*) AS n_copies FROM ch GROUP BY h
+) GROUP BY n_copies ORDER BY n_copies
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_chunk_dedup",
+        corpus_chunk_dedup,
+        CHUNK_DEDUP_SQL,
+        ("DD10",),
+        doc="chunk-granular exact dedup over the Arrow-batched chunker",
+    )
+)
