@@ -40,10 +40,10 @@ def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        # numerically comparable to float, but a Decimal on one side means
-        # the engines disagree on the column TYPE — surfaced via
-        # _type_mismatch() so it can't silently pass the local gate
-        return float(v)
+        # reaches here only for columns BOTH engines typed as the same
+        # decimal(p,s) (the compare() tripwire rejects one-sided decimals);
+        # canonical string keeps the comparison exact beyond 2^53
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -83,17 +83,35 @@ def compare(name, spark_df, con, sql):
     d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
 
     problems = []
-    dec_cols = [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
-    if dec_cols:
-        problems.append(f"duck decimal columns (type drift): {dec_cols}")
+    # Decimal columns are allowed ONLY when BOTH engines declare the same
+    # (precision, scale) for the column — a deliberately-decimal query like
+    # q39. One-sided or mismatched-scale decimals are the q20-class type
+    # drift this tripwire exists for.
+    d_dec = {
+        f.name: (f.type.precision, f.type.scale)
+        for f in tbl.schema
+        if pa.types.is_decimal(f.type)
+    }
+    s_dec = {
+        f.name: (f.dataType.precision, f.dataType.scale)
+        for f in spark_df.schema.fields
+        if f.dataType.typeName().startswith("decimal")
+    }
+    if d_dec != s_dec:
+        problems.append(
+            f"decimal type drift: spark={s_dec} duck={d_dec}"
+        )
         return False, problems
-    s_dec = [f.name for f in spark_df.schema.fields
-             if f.dataType.typeName().startswith("decimal")]
-    if s_dec:
-        problems.append(f"spark decimal columns (type drift): {s_dec}")
-        return False, problems
+    dec_idx = {
+        side: [i for i, c in enumerate(cols) if c in d_dec]
+        for side, cols in (("spark", s_cols), ("duck", d_cols))
+    }
     for side, rows in (("spark", s_rows), ("duck", d_rows)):
-        if rows and any(isinstance(c, Decimal) for c in rows[0]):
+        ok_idx = set(dec_idx[side])
+        if rows and any(
+            isinstance(c, Decimal) and i not in ok_idx
+            for i, c in enumerate(rows[0])
+        ):
             problems.append(f"{side} returned Decimal cells (type drift)")
             return False, problems
     if sorted(s_cols) != sorted(d_cols):

@@ -1503,3 +1503,91 @@ ORDER BY bucket
 
 
 register_local(QuerySpec("q37_histogram", q37_histogram, Q37_SQL, ("H1",)))
+
+
+# ---------------------------------------------------------------------------
+# q38 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+# match each other instead of disappearing, the semantics dedup and SCD
+# merge keys need when business keys are nullable. Spark plans <=> as a
+# regular hash join on a null-safe-wrapped key — same shuffle shape as an
+# equi-join, NOT a nested loop (an engine that demotes it to NLJ dies at
+# scale). Keys are synthesized with NULLIF so the data actually contains a
+# NULL join group.
+# ---------------------------------------------------------------------------
+def q38_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.expr("NULLIF(o_custkey % 100, 7)").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.expr("NULLIF(c_custkey % 100, 7)").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        o.join(c, o.k.eqNullSafe(c.k))
+        .select(o.k.alias("k"), "n_orders", "n_customers")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+Q38_SQL = """
+WITH o AS (
+  SELECT NULLIF(o_custkey % 100, 7) AS k, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT NULLIF(c_custkey % 100, 7) AS k, COUNT(*) AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT o.k AS k, n_orders, n_customers
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+ORDER BY k ASC NULLS FIRST
+"""
+
+
+register_local(
+    QuerySpec("q38_nullsafe_join", q38_nullsafe_join, Q38_SQL, ("J7",))
+)
+
+
+# ---------------------------------------------------------------------------
+# q39 — DECIMAL arithmetic end-to-end: money as DECIMAL(12,2), summed in
+# exact fixed-point (no float accumulation at all) and exported as
+# DECIMAL(18,2) on both engines. This is the type discipline a financial
+# deployment would use instead of the cents-int idiom the other queries
+# demonstrate; the two must agree, which q39's sum_cents column cross-checks
+# in the same row.
+# ---------------------------------------------------------------------------
+def q39_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").alias("sum_dec"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q39_SQL = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_dec,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+register_local(
+    QuerySpec("q39_decimal_money", q39_decimal_money, Q39_SQL, ("DEC1",))
+)
