@@ -1591,3 +1591,46 @@ ORDER BY o_orderstatus
 register_local(
     QuerySpec("q39_decimal_money", q39_decimal_money, Q39_SQL, ("DEC1",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q40 — MapType surface: per-user event-type counts built into a map
+# (map_from_entries ∘ collect_list(struct)), then consumed with size() and
+# element_at(). The map is assembled per-group AFTER the count aggregation,
+# so collect_list's arbitrary order only permutes map entries — every
+# exported value is order-independent. Oracle: the same numbers from plain
+# relational aggregation (DuckDB's MAP type exists but the point is value
+# parity of the map OPERATIONS, not the container encoding).
+# ---------------------------------------------------------------------------
+def q40_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.element_at("m", "click").alias("click_cnt"),
+        F.element_at("m", "purchase").alias("purchase_cnt"),
+    ).orderBy("user_id")
+
+
+Q40_SQL = """
+SELECT user_id,
+  COUNT(DISTINCT event_type) AS n_types,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+    AS click_cnt,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+    AS purchase_cnt
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+register_local(QuerySpec("q40_map_type", q40_map_type, Q40_SQL, ("MAP1",)))
