@@ -327,3 +327,41 @@ def test_analyze_table_feeds_cbo_statistics(spark):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_lineitem")
+
+
+def test_join_strategy_hints_steer_planner(spark):
+    """Explicit join-strategy hints: when statistics mislead (stale catalog,
+    opaque views), `merge` must force sort-merge and `shuffle_hash` a
+    shuffled hash join — the manual overrides an operator at 100 TB needs
+    when the optimizer's size estimate is wrong."""
+    li = read_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    o = read_table(spark, SF_SMALL, "orders").select("o_orderkey")
+
+    smj = li.join(
+        o.hint("merge"), li.l_orderkey == o.o_orderkey
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj
+
+    shj = li.join(
+        o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in shj
+
+
+def test_max_records_per_file_caps_file_size(spark, tmp_path):
+    """maxRecordsPerFile bounds output file size regardless of partition
+    count — the writer-side guard against the 10 GB-file problem that
+    breaks downstream range splitting."""
+    out = str(tmp_path / "capped")
+    ev = read_table(spark, SF_SMALL, "events")
+    (
+        ev.coalesce(1)
+        .write.option("maxRecordsPerFile", 250)
+        .parquet(out)
+    )
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    files = list(Path(out).glob("*.parquet"))
+    assert len(files) == 4  # 1000 rows / 250 cap
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 250 for f in files)
