@@ -1242,3 +1242,164 @@ register_local(
         doc="int8-quantized integer-dot ANN ranking",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_ivf_pairs — embedding near-dup with IVF-cell blocking:
+# the scale form the label-blocked dedup_embedding_cosine docstring points
+# at. Every vector is assigned to its nearest coarse centroid (_ivf_cells),
+# and candidate pairs are generated ONLY within a cell — pair count drops
+# from N^2 to ~N^2/k with no all-pairs shuffle; the cell id is the shuffle
+# key. At 100 TB the vectors are stored bucketed by cell (see ann_ivf_topk)
+# so this query's self-join is Exchange-free.
+# ---------------------------------------------------------------------------
+def dedup_embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v")).join(
+        _ivf_cells(spark, sf_dir), "vec_id"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMB_IVF_SQL = f"""
+WITH {_IVF_CELLS_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({vectors.cosine_sql('ea.v', 'eb.v')}, 6) AS cos
+FROM cells a
+JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE ROUND({vectors.cosine_sql('ea.v', 'eb.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_near_docs — incremental NEAR-dup for nightly ingestion,
+# completing dedup_incremental_new_docs (exact hash) with the minhash path:
+# incoming docs (src10..src19) are banded and joined against the EXISTING
+# corpus's band index (src0..src9) only — never incoming-vs-incoming, never
+# all-pairs — then candidates are verified with true shingle Jaccard.
+# At scale the existing side's (band, key) index is a persisted table the
+# nightly batch joins against; state grows O(corpus), work grows O(batch).
+# ---------------------------------------------------------------------------
+def dedup_incremental_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    src_num = F.split_part(F.col("source"), F.lit("src"), F.lit(2)).cast("int")
+    side = docs.select("doc_id", src_num.alias("srcnum"))
+    sig = _minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+                        ).alias("key"),
+                    )
+                    for i in range(len(PERMS) // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key").join(side, "doc_id")
+    new_b = bands.filter(F.col("srcnum") >= 10).select(
+        F.col("doc_id").alias("doc_new"), "band", "key"
+    )
+    old_b = bands.filter(F.col("srcnum") < 10).select(
+        F.col("doc_id").alias("doc_old"), "band", "key"
+    )
+    cand = new_b.join(old_b, ["band", "key"]).select("doc_new", "doc_old").distinct()
+    uni = _doc_shingles(spark, sf_dir)
+    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ua = uni.select(F.col("doc_id").alias("doc_new"), "t")
+    ub = uni.select(F.col("doc_id").alias("doc_old"), "t")
+    common = (
+        cand.join(ua, "doc_new")
+        .join(ub, ["doc_old", "t"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_new")
+        .join(nb, "doc_old")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+        .select("doc_new", "doc_old", "jaccard")
+        .orderBy("doc_new", "doc_old")
+    )
+
+
+DEDUP_INCR_NEAR_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+side AS (
+  SELECT doc_id, CAST(split_part(source, 'src', 2) AS INTEGER) AS srcnum
+  FROM documents
+),
+bands AS ({_BAND_SELECTS}),
+sbands AS (SELECT bands.doc_id, band, key, srcnum FROM bands JOIN side USING (doc_id)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM sbands n JOIN sbands o
+    ON n.band = o.band AND n.key = o.key
+   AND n.srcnum >= 10 AND o.srcnum < 10
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_new, cand.doc_old, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_new
+  JOIN uni ub ON ub.doc_id = cand.doc_old AND ub.t = ua.t
+  GROUP BY 1, 2
+)
+SELECT doc_new, doc_old,
+       ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.doc_new = na.doc_id
+JOIN sizes nb ON common.doc_old = nb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= {MINHASH_VERIFY_THRESHOLD}
+ORDER BY doc_new, doc_old
+"""
+
+
+for _spec in [
+    QuerySpec(
+        "dedup_embedding_ivf_pairs",
+        dedup_embedding_ivf_pairs,
+        DEDUP_EMB_IVF_SQL,
+        ("DD6", "SIM4"),
+        doc="embedding near-dup pairs blocked by IVF cell (scale form)",
+    ),
+    QuerySpec(
+        "dedup_incremental_near_docs",
+        dedup_incremental_near_docs,
+        DEDUP_INCR_NEAR_SQL,
+        ("DD7", "DD3", "DD4"),
+        doc="incremental near-dup: new-batch bands vs persisted corpus band index",
+    ),
+]:
+    register_local(_spec)
