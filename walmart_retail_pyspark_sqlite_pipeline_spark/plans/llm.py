@@ -1403,3 +1403,131 @@ for _spec in [
     ),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merge_candidates — one round of BPE vocabulary induction at
+# corpus scale: corpus-frequency-weighted adjacent character-pair counts,
+# the argmax of which is the next BPE merge. The full tokenizer training
+# loop is this same query iterated with a growing symbol table (driver loop
+# over a cached word-frequency table); one round is the distributed kernel
+# and is exactly SQL-expressible. Plan shape: explode→groupBy(word) (one
+# shuffle, heavy combine since words repeat), then pair-explode over the
+# DISTINCT word table (tiny) → groupBy(pair). No shuffle touches the corpus
+# again after the word count.
+# ---------------------------------------------------------------------------
+BPE_TOPK = 20
+
+
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    words = (
+        tok.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    w = F.col("w")
+    pairs_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("wc", F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+TEXT_BPE_MERGE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+wc AS (
+  SELECT w, COUNT(*) AS wc FROM (SELECT unnest(tok) AS w FROM tk) GROUP BY w
+),
+pos AS (
+  SELECT w, wc, unnest(range(1, length(w))) AS i FROM wc
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc FROM pos
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_weighted_sample — deterministic quality-proportional
+# sampling: doc kept iff content-hash residue < quality_score * 1000, i.e.
+# a Bernoulli(quality) draw whose coin is the content hash — reproducible
+# across runs, engines, and cluster layouts (df.sample() is none of those),
+# and stable under re-ingestion because the coin is CONTENT, not position.
+# Pure projection + filter: no shuffle at any scale.
+# ---------------------------------------------------------------------------
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    q = F.round(
+        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+        * (
+            1.0
+            - (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ),
+        6,
+    )
+    h = hashing.poly_hash(F.col("text")) % 1000
+    return (
+        docs.select("doc_id", q.alias("quality_score"), h.alias("coin"))
+        .filter(F.col("coin").cast("double") < F.col("quality_score") * 1000.0)
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_QSAMPLE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_TOK_SQL} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
+      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
+      6) AS DOUBLE) AS quality_score,
+    ({hashing.poly_hash_sql('text')}) % 1000 AS coin
+  FROM tk
+)
+SELECT doc_id, quality_score, coin
+FROM scored
+WHERE CAST(coin AS DOUBLE) < quality_score * 1000.0
+ORDER BY doc_id
+"""
+
+
+for _spec in [
+    QuerySpec(
+        "text_bpe_merge_candidates",
+        text_bpe_merge_candidates,
+        TEXT_BPE_MERGE_SQL,
+        ("TX5", "TX10"),
+        doc="one BPE round: corpus-weighted adjacent char-pair merge scores",
+    ),
+    QuerySpec(
+        "corpus_quality_weighted_sample",
+        corpus_quality_weighted_sample,
+        CORPUS_QSAMPLE_SQL,
+        ("PIPE3", "PIPE4"),
+        doc="deterministic Bernoulli(quality) sampling keyed on content hash",
+    ),
+]:
+    register_local(_spec)
