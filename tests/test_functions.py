@@ -201,3 +201,54 @@ def test_ansi_overflow_try_variants(spark):
         )
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (functions/bpe.py)
+# ---------------------------------------------------------------------------
+def test_bpe_trainer_first_merge_matches_distributed_kernel(spark):
+    """The trainer's first merge == top row of text_bpe_merge_candidates
+    (same counts, same tiebreak) on the same corpus."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        text_bpe_merge_candidates,
+    )
+    from tests.conftest import SF_SMALL
+
+    merges = bpe.train_bpe(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet"), n_merges=1
+    )
+    top = text_bpe_merge_candidates(spark, SF_SMALL).limit(1).collect()[0]
+    assert merges[0][0] + merges[0][1] == top["pair"]
+
+
+def test_bpe_trainer_known_corpus(spark):
+    """Hand-checkable corpus: 'aaab' x3 + 'aab' x1.
+
+    Pair counts round 1: ('a','a') = 2*3 + 1 = 7; ('a','b') = 3 + 1 = 4
+    -> merge 'aa'. Round 2: ('aa','a') 3, ('aa','b') 1+... recount:
+    'aaab' -> [aa, a, b] (greedy left-to-right), 'aab' -> [aa, b];
+    pairs: (aa,a)=3, (a,b)=3, (aa,b)=1 -> tie 3 between 'aaa' and 'ab'
+    -> lexicographically smaller 'aaa' wins.
+    """
+    from pyspark.sql import Row
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [Row(text="aaab aaab aaab aab")]
+    )
+    merges = bpe.train_bpe(docs, n_merges=2)
+    assert merges == [("a", "a"), ("aa", "a")]
+    assert bpe.segment("aaab", merges) == ["aaa", "b"]
+    assert bpe.segment("aab", merges) == ["aa", "b"]
+    assert bpe.segment("zq", merges) == ["z", "q"]
+
+
+def test_bpe_segment_idempotent_merge_order(spark):
+    """Merges apply in order: later merges can consume earlier ones."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe
+
+    merges = [("a", "b"), ("ab", "c")]
+    assert bpe.segment("abc", merges) == ["abc"]
+    assert bpe.segment("acb", merges) == ["a", "c", "b"]
