@@ -153,3 +153,37 @@ def test_pipeline_parquet_sink_partitioned_by_year(
     assert "PartitionFilters: [" in plan and "year" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0]
+
+
+def test_pipeline_constraint_gate(spark, walmart_fixtures, tmp_path):
+    """The default FK gate + write-time row constraints report zero
+    violations on clean fixtures; a store missing from stores.csv trips
+    the pre-sink FK gate BEFORE any write when configured to fail."""
+    import shutil
+
+    import pytest
+
+    db = tmp_path / "retail.db"
+    cfg = PipelineConfig(raw_dir=str(walmart_fixtures["root"]), output_db=str(db))
+    result = run_pipeline(spark, cfg)
+    cv = result["constraint_violations"]
+    assert cv["sales_curated"]["foreign_key(store_id)"] == 0
+    assert cv["sales_curated"]["not_null(store_id)"] == 0
+    assert cv["sales_curated"]["in_range(week,1,53)"] == 0
+
+    # corrupt: drop store 1 from the dimension -> orphaned fact rows
+    broken = tmp_path / "raw_broken"
+    shutil.copytree(walmart_fixtures["root"], broken)
+    stores = (broken / "stores.csv").read_text().splitlines()
+    kept = [stores[0]] + [l for l in stores[1:] if not l.startswith("1,")]
+    (broken / "stores.csv").write_text("\n".join(kept) + "\n")
+
+    db2 = tmp_path / "retail2.db"
+    cfg2 = PipelineConfig(
+        raw_dir=str(broken),
+        output_db=str(db2),
+        fail_on_constraint_violation=True,
+    )
+    with pytest.raises(ValueError, match="foreign_key"):
+        run_pipeline(spark, cfg2)
+    assert not db2.exists()  # the gate fired before any write

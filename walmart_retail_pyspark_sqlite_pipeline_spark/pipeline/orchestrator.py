@@ -56,6 +56,18 @@ class PipelineConfig:
     )
     #: optional acquisition hook: called with raw_dir before reading
     acquire: Callable[[str], None] | None = None
+    #: pre-sink referential-integrity gate: (table, fk_col, dataset, ref_col)
+    #: anti-join checks run BEFORE any write, so a violation can actually
+    #: block the sink (set fail_on_constraint_violation). The typed inputs
+    #: are cached by QC, so each check costs one anti-join over cache.
+    fk_checks: list[tuple[str, str, str, str]] = field(
+        default_factory=lambda: [("sales_curated", "store_id", "stores", "Store")]
+    )
+    #: row-level constraint counters ride the sink write's observe() — the
+    #: SAME job that materializes the table, zero extra passes. None ->
+    #: default suite on sales_curated (see _default_observe_constraints).
+    observe_constraints: Callable[[], dict[str, list]] | None = None
+    fail_on_constraint_violation: bool = False
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "PipelineConfig":
@@ -70,6 +82,20 @@ _SCHEMAS = {
     "features": cur.FEATURES_SCHEMA,
     "stores": cur.STORES_SCHEMA,
 }
+
+
+def _default_observe_constraints() -> dict[str, list]:
+    """Write-time row constraints for the curated fact (built lazily — a
+    Column needs the JVM, so this can't be a dataclass default)."""
+    from ..quality.constraints import in_range, not_null
+
+    return {
+        "sales_curated": [
+            not_null("store_id"),
+            not_null("date"),
+            in_range("week", 1, 53),
+        ]
+    }
 
 
 def run_pipeline(
@@ -106,6 +132,23 @@ def run_pipeline(
         spark, typed["train"], typed["features"], typed["stores"]
     )
 
+    # pre-sink referential-integrity gate (anti-join over cached inputs):
+    # runs BEFORE any write so fail_on_constraint_violation can block it
+    from ..quality.constraints import foreign_key, validate
+
+    constraint_violations: dict[str, dict[str, int]] = {}
+    for tbl, fk_col, ds, ref_col in cfg.fk_checks:
+        rep = validate(tables[tbl], [foreign_key(fk_col, typed[ds], ref_col)])
+        for cname, cnt in rep.violations.items():
+            constraint_violations.setdefault(tbl, {})[cname] = cnt
+            if cnt:
+                msg = f"constraint {cname} on {tbl}: {cnt} violating rows"
+                log.warning(msg)
+                if cfg.fail_on_constraint_violation:
+                    raise ValueError(msg)
+
+    obs_constraints = (cfg.observe_constraints or _default_observe_constraints)()
+
     table_rows: dict[str, int] = {}
     observed: dict[str, dict] = {}
     db_path = Path(cfg.output_db)
@@ -113,12 +156,21 @@ def run_pipeline(
     for name, df in tables.items():
         # observe(): write-time metrics from the SAME job that materializes
         # the table — zero extra passes (the reference re-executes every
-        # plan with a pre-write count(), SURVEY §4.3)
+        # plan with a pre-write count(), SURVEY §4.3). Row-level constraint
+        # counters ride the same observation.
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        row_cons = [c for c in obs_constraints.get(name, []) if c.kind == "row"]
         obs = Observation(f"obs_{name}")
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            *[
+                F.sum(F.when(c.violated, 1).otherwise(0)).alias(f"__v{i}")
+                for i, c in enumerate(row_cons)
+            ],
+        )
         if cfg.sink in ("sqlite", "both"):
             table_rows[name] = write_sqlite(df, db_path, name)
             log.info("wrote %s: %d rows -> %s", name, table_rows[name], db_path)
@@ -129,7 +181,16 @@ def run_pipeline(
             )
             log.info("wrote %s -> %s", name, out)
         if cfg.sink in ("sqlite", "parquet", "both"):
-            observed[name] = dict(obs.get)
+            got = dict(obs.get)
+            for i, c in enumerate(row_cons):
+                cnt = int(got.pop(f"__v{i}") or 0)
+                constraint_violations.setdefault(name, {})[c.name] = cnt
+                if cnt:
+                    log.warning(
+                        "constraint %s on %s: %d violating rows (write-time)",
+                        c.name, name, cnt,
+                    )
+            observed[name] = got
             # parquet-only runs still report row counts — from the write-time
             # observation, not an extra count() job
             table_rows.setdefault(name, observed[name]["rows"])
@@ -138,5 +199,6 @@ def run_pipeline(
         "reports": reports,
         "table_rows": table_rows,
         "observed": observed,
+        "constraint_violations": constraint_violations,
         "elapsed_s": round(time.perf_counter() - t0, 3),
     }
