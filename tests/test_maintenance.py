@@ -188,3 +188,48 @@ def test_upsert_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert once == twice
+
+
+def test_delete_rows_touched_partitions_only(spark, tmp_path):
+    """GDPR-delete: tombstoned keys disappear, only partitions containing
+    them are rewritten, absent keys are a no-op (idempotent)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators import delete_rows
+
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.partitionBy("event_type").parquet(path)
+
+    doomed = [
+        r.event_id
+        for r in ev.filter("event_type = 'click'").limit(4).collect()
+    ]
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if "event_type=click" not in f
+    }
+    tomb = spark.createDataFrame([(k,) for k in doomed], "event_id long")
+    stats = delete_rows(
+        spark, path, tomb, key_cols=["event_id"], partition_col="event_type"
+    )
+    assert stats["touched_partitions"] == ["click"]
+    assert stats["deleted_rows"] == 4
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count() - 4
+    assert back.filter(back.event_id.isin(doomed)).count() == 0
+    untouched_after = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if "event_type=click" not in f
+    }
+    assert untouched_after == untouched_before
+
+    # idempotent: deleting the same (now absent) keys is a clean no-op
+    stats2 = delete_rows(
+        spark, path, tomb, key_cols=["event_id"], partition_col="event_type"
+    )
+    assert stats2 == {"touched_partitions": [], "deleted_rows": 0, "kept_rows": 0}
+    assert spark.read.parquet(path).count() == ev.count() - 4

@@ -118,3 +118,55 @@ def upsert_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"touched_partitions": sorted(touched), "merged_rows": merged.count()}
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> dict:
+    """Targeted row deletion (the GDPR-erasure / right-to-be-forgotten job)
+    on a hive-partitioned parquet table.
+
+    Same touched-partition discipline as :func:`upsert_parquet`: only
+    partitions containing a tombstoned key are read back, anti-joined
+    against the tombstone keys, and rewritten with dynamic partition
+    overwrite — untouched partitions stay byte-identical (provable, and
+    proven in the test). Deleting 100 users from a 10,000-partition table
+    reads and rewrites only the partitions those users appear in.
+
+    The tombstone side is usually tiny (a key list) → Catalyst broadcasts
+    both the partition-discovery semi-join and the anti-join. A deleted key
+    absent from the table is a no-op, not an error (idempotent — erasure
+    jobs are retried).
+    """
+    base = spark.read.parquet(path)
+    keys = tombstones.select(*key_cols).distinct()
+    touched = [
+        r[0]
+        for r in base.join(keys, key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return {"touched_partitions": [], "deleted_rows": 0, "kept_rows": 0}
+    base_touched = base.filter(base[partition_col].isin(touched))
+    before = base_touched.count()
+    kept = base_touched.join(keys, key_cols, "left_anti").localCheckpoint(
+        eager=True
+    )
+    kept_rows = kept.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "touched_partitions": sorted(touched),
+        "deleted_rows": before - kept_rows,
+        "kept_rows": kept_rows,
+    }
