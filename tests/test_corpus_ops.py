@@ -68,3 +68,48 @@ def test_cc_clusters_partition_the_pair_graph(spark):
     for doc, (cid, size) in clusters.items():
         assert cid <= doc and size >= 2
         assert cid in clusters and clusters[cid][0] == cid
+
+
+def test_corpus_pipeline_lifecycle(spark, tmp_path):
+    """prep → split → partitioned sink: output partition layout prunes by
+    (split, lang); observed stats match the oracle-verified prep query;
+    split membership matches the content-hash rule."""
+    import os
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.pipeline import (
+        CorpusConfig,
+        run_corpus_pipeline,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        corpus_prep_pipeline,
+        corpus_split_train_val_test,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "corpus")
+    stats = run_corpus_pipeline(
+        spark, CorpusConfig(input_dir=SF_SMALL, output_dir=out)
+    )
+    expect = corpus_prep_pipeline(spark, SF_SMALL)
+    assert stats["docs"] == expect.count()
+    assert stats["tokens"] == expect.agg(F.sum("n_tokens")).collect()[0][0]
+    assert stats["languages"] >= 2
+
+    # hive layout: split=<s>/lang=<l> directories only
+    top = sorted(d for d in os.listdir(out) if not d.startswith(("_", ".")))
+    assert all(d.startswith("split=") for d in top)
+
+    back = spark.read.parquet(out)
+    assert back.count() == stats["docs"]
+    # split assignment matches the deterministic content-hash rule
+    rule = corpus_split_train_val_test(spark, SF_SMALL).select("doc_id", "split")
+    mismatch = (
+        back.select("doc_id", F.col("split").alias("got"))
+        .join(rule, "doc_id")
+        .filter(F.col("got") != F.col("split"))
+        .count()
+    )
+    assert mismatch == 0
+    # reading one split prunes to its directories and is a proper subset
+    train = spark.read.parquet(out).filter(F.col("split") == "train")
+    assert 0 < train.count() < stats["docs"]

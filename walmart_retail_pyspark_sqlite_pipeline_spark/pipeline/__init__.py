@@ -4,9 +4,12 @@ from .incremental import (
     incremental_rollup_merge,
     rollup_stream_sink,
 )
+from .corpus import CorpusConfig, run_corpus_pipeline
 from .orchestrator import PipelineConfig, run_pipeline
 
 __all__ = [
+    "CorpusConfig",
+    "run_corpus_pipeline",
     "PipelineConfig",
     "run_pipeline",
     "hourly_rollup",
