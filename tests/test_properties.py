@@ -124,3 +124,65 @@ def test_left_join_preserves_rows_under_unique_right_keys(spark, seed):
     lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
     joined = lf.join(rf, "k", "left")
     assert joined.count() == len(left)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(string.ascii_lowercase + " .,!", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_word_frequencies_match_counter(spark, texts):
+    """The distributed word-frequency pass == a Python Counter over the
+    same tokenization (the merge loop is pure Python on top of it)."""
+    import re
+    from collections import Counter
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe
+
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = bpe.word_frequencies(df)
+    want = Counter(
+        w for t in texts for w in re.split(r"[^a-z0-9]+", t.lower()) if w
+    )
+    assert got == dict(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 150)),
+            st.sampled_from(["ok", "meh", "bad"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_constraint_counts_match_python(spark, rows):
+    """Row-level constraint counters == a straight Python recount."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [Row(qty=q, status=s) for q, s in rows],
+        "qty int, status string",
+    )
+    rep = validate(
+        df,
+        [not_null("qty"), in_range("qty", 0, 100), accepted_values("status", ("ok", "bad"))],
+    )
+    assert rep.row_count == len(rows)
+    assert rep.violations["not_null(qty)"] == sum(q is None for q, _ in rows)
+    assert rep.violations["in_range(qty,0,100)"] == sum(
+        q is None or q < 0 or q > 100 for q, _ in rows
+    )
+    assert rep.violations["accepted_values(status)"] == sum(
+        s not in ("ok", "bad") for _, s in rows
+    )
