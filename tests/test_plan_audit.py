@@ -1,0 +1,72 @@
+"""Fleet-wide physical-plan audit: every registry query (exported AND
+local) is statically planned and scanned for scale hazards.
+
+This is the systematic form of the per-query plan checks in PLANS.md:
+instead of trusting that each new query was hand-audited, the suite fails
+if ANY registered plan picks up
+
+- a ``CartesianProduct`` (unbounded cross join — the classic accidental
+  O(N^2); broadcast 1-row cross joins plan as BroadcastNestedLoopJoin and
+  are allowed only when the build side is a broadcast),
+- row-at-a-time Python (``BatchEvalPython`` — the slow path this engine
+  bans in relational queries; Arrow surfaces ``ArrowEvalPython`` /
+  ``MapInPandas`` / ``PythonMapInArrow`` and UDTFs are whitelisted where
+  deliberate),
+- a sort-based fallback aggregate where a hash aggregate was expected is
+  NOT checked: ``ObjectHashAggregate``/``SortAggregate`` appear legally
+  for collect_list/sketches.
+
+Static planning (``df._jdf.queryExecution().sparkPlan()``) never runs a
+job, so auditing all ~86 queries costs seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import all_specs
+
+#: queries whose Python boundary is the point (UDTF chunker, Arrow
+#: multimodal plumbing) — any OTHER query showing Python in its plan fails.
+PYTHON_ALLOWED = {
+    "text_chunks",  # deliberate Python UDTF surface (functions/udtfs.py)
+    "multimodal_image_meta",  # Arrow mapInPandas decode stub
+    "multimodal_frame_sample",  # Arrow mapInPandas 1->N expansion
+    "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
+}
+
+#: queries that legitimately execute a Structured Streaming job inside the
+#: query function; their batch plan is audited via their batch twins.
+STREAMING = {"stream_event_counts"}
+
+
+def _specs():
+    return [
+        (name, spec)
+        for name, spec in sorted(all_specs(include_local=True).items())
+        if name not in STREAMING
+    ]
+
+
+@pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
+def test_plan_has_no_scale_hazards(spark, name, spec):
+    df = spec.fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+
+    if name not in PYTHON_ALLOWED:
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python\n{plan}"
+        assert "MapInPandas" not in plan and "EvalPythonUDTF" not in plan, (
+            f"{name}: unexpected Python boundary\n{plan}"
+        )
+
+    # BroadcastNestedLoopJoin is only tolerable when it IS a broadcast —
+    # i.e. never as an inner/outer join without a broadcast side (Spark
+    # plans non-equi joins this way; all of ours must be broadcast-sized)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line, (
+                f"{name}: non-broadcast nested loop\n{line}"
+            )
