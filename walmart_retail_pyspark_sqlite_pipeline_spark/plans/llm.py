@@ -1531,3 +1531,67 @@ for _spec in [
     ),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# ann_knn_join — batch k-NN join: top-k cosine neighbors for EVERY query
+# vector at once (ann_topk_cosine answers one query; training pipelines —
+# retrieval eval, hard-negative mining, kNN-LM — ask in batches). Plan:
+# corpus × broadcast(queries) projection, then one window per query
+# (rank over cos). Work is Q×N with the small side broadcast — the exact
+# baseline; at large Q you block by IVF cell first (ann_ivf_topk /
+# dedup_embedding_ivf_pairs show that path).
+# ---------------------------------------------------------------------------
+KNN_Q = 5  # vec_id < 5 are the query batch
+KNN_K = 5
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= KNN_Q)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "rank", "vec_id", "cos")
+        .orderBy("q_id", "rank")
+    )
+
+
+ANN_KNN_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {KNN_Q}),
+scored AS (
+  SELECT q_id, vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+  FROM e, q WHERE vec_id >= {KNN_Q}
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY q_id, rank
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_knn_join",
+        ann_knn_join,
+        ANN_KNN_JOIN_SQL,
+        ("SIM2", "SIM6"),
+        doc="batch k-NN join: top-k neighbors for every query vector at once",
+    )
+)
