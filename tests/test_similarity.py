@@ -80,3 +80,38 @@ def test_int8_quantization_bounds_and_recall(spark):
         for r in all_specs()["ann_int8_topk"].fn(spark, SF_SMALL).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.6  # measured 0.8
+
+
+def test_incremental_topk_equals_full_recompute(spark):
+    """topk(old corpus) merged with a new batch's scores == topk over the
+    full corpus (monotonicity of top-k under union)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.similarity import (
+        topk_merge,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def scored(df):
+        return df.crossJoin(F.broadcast(q)).select(
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+
+    corpus = e.filter(F.col("vec_id") != 0)
+    old = corpus.filter(F.col("vec_id") < 300)
+    batch = corpus.filter(F.col("vec_id") >= 300)
+
+    prior = scored(old).orderBy(F.col("cos").desc(), "vec_id").limit(10)
+    incremental = topk_merge(prior, scored(batch), k=10).collect()
+    full = (
+        scored(corpus).orderBy(F.col("cos").desc(), "vec_id").limit(10).collect()
+    )
+    assert incremental == full
+    assert len(full) == 10

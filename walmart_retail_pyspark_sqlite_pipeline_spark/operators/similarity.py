@@ -55,3 +55,28 @@ def topk_cosine(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def topk_merge(
+    prior_topk: DataFrame,
+    new_scored: DataFrame,
+    k: int = 10,
+    score_col: str = "cos",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session pattern:
+    keep a materialized top-k, fold in each new batch without rescanning
+    the corpus).
+
+    Correct because top-k is monotone under union:
+    ``topk(A ∪ B) = topk(topk(A) ∪ topk(B))`` — so the update reads k
+    prior rows plus the new batch's scores, never the old corpus. At
+    scale the prior top-k is a k-row table (driver-cached or broadcast)
+    and each nightly batch pays only its own scoring pass; equivalence to
+    the full recompute is proven in ``tests/test_similarity.py``.
+    """
+    return (
+        prior_topk.unionByName(new_scored)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .limit(k)
+    )

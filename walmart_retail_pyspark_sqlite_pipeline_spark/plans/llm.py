@@ -1595,3 +1595,64 @@ register_local(
         doc="batch k-NN join: top-k neighbors for every query vector at once",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_sentiment — lexicon-based sentiment scoring (the classic large-scale
+# Spark text workload, e.g. EDBT'16 Twitter sentiment at scale): per doc,
+# (positive-hits − negative-hits) / tokens with a fixed broadcast lexicon.
+# Pure Column expressions — the lexicon inlines into the projection, so the
+# plan is a scan + map with zero shuffles at any corpus size.
+# ---------------------------------------------------------------------------
+SENT_POS = ("good", "great", "fast", "love", "excellent", "happy", "best")
+SENT_NEG = ("bad", "slow", "poor", "hate", "terrible", "sad", "worst")
+
+
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    pos = text.stopword_hits(tok, SENT_POS)
+    neg = text.stopword_hits(tok, SENT_NEG)
+    n = F.size(tok)
+    score = F.when(n > 0, F.round((pos - neg).cast("double") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        score.alias("sentiment"),
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(tok, t -> t IN ({inlist})))"
+    )
+
+
+TEXT_SENTIMENT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+)
+SELECT doc_id,
+  CAST({_hits_sql(SENT_POS)} AS INTEGER) AS pos_hits,
+  CAST({_hits_sql(SENT_NEG)} AS INTEGER) AS neg_hits,
+  CASE WHEN len(tok) > 0
+       THEN ROUND(CAST({_hits_sql(SENT_POS)} - {_hits_sql(SENT_NEG)} AS DOUBLE)
+                  / len(tok), 6)
+       ELSE 0.0 END AS sentiment
+FROM tk ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_sentiment",
+        text_sentiment,
+        TEXT_SENTIMENT_SQL,
+        ("TX12",),
+        doc="lexicon sentiment scoring: shuffle-free broadcast-lexicon projection",
+    )
+)
