@@ -1,3 +1,4 @@
+from .dedup_stream import near_dup_gate_stream
 from .events import asof_last_event, hourly_counts_stream, sessionize
 from .stateful import (
     running_user_totals_stream,
@@ -6,6 +7,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "near_dup_gate_stream",
     "sessionize",
     "hourly_counts_stream",
     "asof_last_event",
