@@ -11,6 +11,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from decimal import Decimal
 from pathlib import Path
@@ -142,17 +143,35 @@ def compare(name, spark_df, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --plain: simulate the DRIVER's environment — a default-config
+    # SparkSession (no engine tuning: default shuffle partitions, Java
+    # serializer, system timezone, ANSI as shipped). The r1 q20 failure
+    # was only visible under the driver's session; this flag makes that
+    # condition reproducible locally.
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from walmart_retail_pyspark_sqlite_pipeline_spark.plans import all_specs
-    from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark
 
     specs = all_specs(include_local=True)
     qs = {name: s.fn for name, s in specs.items()}
     oracles = {name: s.oracle for name, s in specs.items()
                if s.oracle is not None}
-    spark = get_spark("oracle-check")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-plain")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]")
+            .getOrCreate()
+        )
+    else:
+        from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_skip = 0
