@@ -1656,3 +1656,57 @@ register_local(
         doc="lexicon sentiment scoring: shuffle-free broadcast-lexicon projection",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# entity_match_customers — record linkage / entity resolution: near-
+# identical entity names via blocked edit distance. The blocking key
+# (nation, name length) bounds the candidate self-join the same way LSH
+# bands bound document dedup — never all-pairs; levenshtein only runs
+# inside a block. Output: per-nation count of distance-1 name pairs (the
+# merge-candidate queue an MDM pipeline reviews).
+# ---------------------------------------------------------------------------
+def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("len")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.len") == F.col("b.len"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+        .select(F.col("a.c_nationkey").alias("nation"))
+    )
+    return (
+        pairs.groupBy("nation")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("nation")
+    )
+
+
+ENTITY_MATCH_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name, length(c_name) AS len FROM customer
+)
+SELECT a.c_nationkey AS nation, COUNT(*) AS n_pairs
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.len = b.len
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register_local(
+    QuerySpec(
+        "entity_match_customers",
+        entity_match_customers,
+        ENTITY_MATCH_SQL,
+        ("DD14",),
+        doc="record linkage: blocked edit-distance entity matching",
+    )
+)
