@@ -233,3 +233,45 @@ def test_delete_rows_touched_partitions_only(spark, tmp_path):
     )
     assert stats2 == {"touched_partitions": [], "deleted_rows": 0, "kept_rows": 0}
     assert spark.read.parquet(path).count() == ev.count() - 4
+
+
+def test_expire_partitions_is_directory_level(spark, tmp_path):
+    """TTL drops whole expired partitions without touching surviving
+    files (no rewrite, no Spark job over row data)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    ev.write.partitionBy("day").parquet(path)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cutoff = days[3]
+    survivors_before = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if not any(f"day={d}" in f for d in days[:3])
+    }
+
+    stats = expire_partitions(spark, path, keep=lambda d: d >= cutoff)
+    assert stats["dropped"] == days[:3]
+    assert stats["kept"] == days[3:]
+
+    back = spark.read.parquet(path)
+    got_days = sorted(
+        r.day
+        for r in back.select(F.col("day").cast("string").alias("day"))
+        .distinct()
+        .collect()
+    )
+    assert got_days == days[3:]
+    assert back.count() == ev.filter(F.col("day") >= cutoff).count()
+    survivors_after = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(path)
+        if not any(f"day={d}" in f for d in days[:3])
+    }
+    assert survivors_after == survivors_before

@@ -544,3 +544,63 @@ def test_streaming_near_dup_gate(spark, tmp_path):
     # store now holds all four docs' signatures
     sigs = spark.read.parquet(os.path.join(state, "sig"))
     assert sorted(r.doc_id for r in sigs.collect()) == [1, 2, 10, 11]
+
+
+def test_streaming_topk_equals_batch_topk(spark, tmp_path):
+    """Continuous top-k over two availableNow runs == batch top-k over the
+    union of all vectors seen."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.dedup_stream import (
+        topk_stream,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in qrow.embedding]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+
+    src = tmp_path / "vecs"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    corpus.filter(F.col("vec_id") < 250).coalesce(1).write.parquet(str(src / "b1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = topk_stream(stream, qv, state, ckpt, k=10)
+        assert q.awaitTermination(timeout=120)
+
+    run_once()
+    corpus.filter(F.col("vec_id") >= 250).coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+
+    got = sorted(
+        (r.vec_id, r.cos)
+        for r in spark.read.parquet(os.path.join(state, "topk")).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cos)
+        for r in corpus.select(
+            "vec_id",
+            F.round(
+                vectors.cosine(
+                    vectors.as_double(F.col("embedding")),
+                    F.array(*[F.lit(x) for x in qv]),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == want

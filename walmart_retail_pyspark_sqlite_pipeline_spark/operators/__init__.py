@@ -1,5 +1,10 @@
 from .chunking import chunk_text_batched
-from .maintenance import compact_small_files, delete_rows, upsert_parquet
+from .maintenance import (
+    compact_small_files,
+    delete_rows,
+    expire_partitions,
+    upsert_parquet,
+)
 from .projections import enforce_schema, rename_columns
 from .range_join import binned_range_join
 from .skew import salted_agg
@@ -12,5 +17,6 @@ __all__ = [
     "binned_range_join",
     "compact_small_files",
     "delete_rows",
+    "expire_partitions",
     "upsert_parquet",
 ]

@@ -170,3 +170,34 @@ def delete_rows(
         "deleted_rows": before - kept_rows,
         "kept_rows": kept_rows,
     }
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    keep: "callable",
+) -> dict:
+    """Retention/TTL: drop whole hive partitions whose value fails ``keep``.
+
+    The cheapest possible data-lifecycle job — no Spark job touches row
+    data at all: partition values come from directory names, and expiry is
+    a directory delete (on an object store: a prefix delete / metadata
+    commit). A predicate-based ``delete_rows`` would scan and rewrite;
+    TTL by partition never should. Surviving partitions keep their exact
+    files.
+
+    ``keep`` receives the partition's string value (e.g. ``"2024-01-03"``
+    for ``day=2024-01-03``) and returns True to retain.
+    """
+    dropped, kept = [], []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full) or "=" not in entry:
+            continue
+        value = entry.split("=", 1)[1]
+        if keep(value):
+            kept.append(value)
+        else:
+            shutil.rmtree(full)
+            dropped.append(value)
+    return {"dropped": dropped, "kept": kept}

@@ -128,3 +128,55 @@ def near_dup_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_stream(
+    vectors_stream: DataFrame,
+    query_vec: list[float],
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous top-k maintenance: fold each micro-batch of new vectors
+    into a materialized top-k (``operators/similarity.py::topk_merge``)
+    without ever rescanning history — per batch the work is one scoring
+    pass over the batch plus a k-row merge (top-k is monotone under
+    union, so the store IS the full-corpus answer at every step).
+
+    The store (``{state_dir}/topk``) is a k-row parquet table — at any
+    scale this is the "running leaderboard" pattern: score the delta,
+    merge, overwrite k rows.
+    """
+    import os as _os
+
+    from ..functions import vectors as _vectors
+    from ..operators.similarity import topk_merge
+
+    topk_dir = _os.path.join(state_dir, "topk")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                _vectors.cosine(_vectors.as_double(F.col(vec_col)), qv), 6
+            ).alias("cos"),
+        )
+        if _os.path.exists(topk_dir):
+            prior = spark.read.parquet(topk_dir)
+            merged = topk_merge(prior, scored, k=k)
+        else:
+            merged = scored.orderBy(F.col("cos").desc(), "vec_id").limit(k)
+        # k rows: localCheckpoint breaks lineage to the store files being
+        # overwritten, then the overwrite is tiny
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(topk_dir)
+
+    return (
+        vectors_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
