@@ -57,9 +57,16 @@ def main() -> None:
     cold = [s for s in specs if not s.warm_index]
     warm = [s for s in specs if s.warm_index]
 
+    # one global warm-up lap BEFORE any timing (same 3 executions per spec
+    # as warm-up-then-time per spec, but all JVM/JIT/codegen/IO-cache
+    # warming happens up front — the first timed spec no longer absorbs
+    # the session's cold-start)
+    for spec in cold:
+        run_to_completion(spec.fn(spark, sf_dir))
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for spec in cold:
-        run_to_completion(spec.fn(spark, sf_dir))  # warm-up (codegen, IO cache)
         best = float("inf")
         for _ in range(2):  # min of 2 timed runs: local-mode jitter is ±10-20%
             spark.catalog.clearCache()  # drop .cache()d intermediates: pay full cost
