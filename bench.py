@@ -3,10 +3,11 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Timing methodology: each query plan is executed to completion with the noop
-writer (full scan→shuffle→agg work, no driver collect skew). Each query runs
-twice and the SECOND run is reported: run 1 absorbs JVM/codegen/warm-cache
-startup, run 2 is the steady-state throughput that scales to a long-lived
-cluster.
+writer (full scan→shuffle→agg work, no driver collect skew). One global
+warm-up lap runs every cold query once before ANY timing (absorbing
+JVM/JIT/codegen/IO-cache startup for the whole session), then each query is
+timed twice and the best run is reported — the steady-state throughput that
+scales to a long-lived cluster.
 
 Two timing protocols:
 
