@@ -275,3 +275,32 @@ def test_expire_partitions_is_directory_level(spark, tmp_path):
         if not any(f"day={d}" in f for d in days[:3])
     }
     assert survivors_after == survivors_before
+
+
+def test_vacuum_removes_stale_debris_only(spark, tmp_path):
+    """Stale _temporary/compact leftovers go; fresh debris and data stay."""
+    import time
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators import vacuum
+
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").select("event_id", "value")
+    ev.write.parquet(path)
+
+    stale_tmp = tmp_path / "tbl" / "_temporary"
+    stale_tmp.mkdir()
+    (stale_tmp / "part-junk").write_text("x")
+    old_swap = tmp_path / "tbl.__compact_old__"
+    old_swap.mkdir()
+    fresh_tmp = tmp_path / "tbl" / "year=2024" / "_temporary"
+    fresh_tmp.mkdir(parents=True)
+
+    past = time.time() - 48 * 3600
+    os.utime(stale_tmp, (past, past))
+    os.utime(old_swap, (past, past))
+
+    stats = vacuum(path, older_than_s=24 * 3600)
+    assert sorted(stats["removed"]) == ["tbl.__compact_old__", "tbl/_temporary"]
+    assert not stale_tmp.exists() and not old_swap.exists()
+    assert fresh_tmp.exists()  # inside grace period: a live job's staging
+    assert spark.read.parquet(path).count() == ev.count()

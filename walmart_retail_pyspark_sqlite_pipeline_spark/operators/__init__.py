@@ -4,6 +4,7 @@ from .maintenance import (
     delete_rows,
     expire_partitions,
     upsert_parquet,
+    vacuum,
 )
 from .projections import enforce_schema, rename_columns
 from .range_join import binned_range_join
@@ -19,4 +20,5 @@ __all__ = [
     "delete_rows",
     "expire_partitions",
     "upsert_parquet",
+    "vacuum",
 ]

@@ -201,3 +201,37 @@ def expire_partitions(
             shutil.rmtree(full)
             dropped.append(value)
     return {"dropped": dropped, "kept": kept}
+
+
+def vacuum(
+    path: str,
+    older_than_s: float = 24 * 3600,
+    _now: float | None = None,
+) -> dict:
+    """Remove write debris a crashed job can leave inside a table directory:
+    Spark's ``_temporary`` staging dirs and this module's ``__compact_tmp__``
+    / ``__compact_old__`` swap leftovers.
+
+    Only debris older than ``older_than_s`` goes (a LIVE job's staging dir
+    must survive its own write — the same grace-period rule Delta's VACUUM
+    applies to unreferenced files). Data files are never touched: matching
+    is by the writer-protocol names, not by reachability analysis, so this
+    is safe to run concurrently with readers.
+    """
+    import time as _time
+
+    now = _now if _now is not None else _time.time()
+    removed: list[str] = []
+    candidates: list[str] = []
+    base = path.rstrip("/")
+    for suffix in (".__compact_tmp__", ".__compact_old__"):
+        candidates.append(base + suffix)
+    for root, dirs, _files in os.walk(base):
+        for d in dirs:
+            if d == "_temporary":
+                candidates.append(os.path.join(root, d))
+    for c in candidates:
+        if os.path.exists(c) and now - os.path.getmtime(c) >= older_than_s:
+            shutil.rmtree(c)
+            removed.append(os.path.relpath(c, os.path.dirname(base)))
+    return {"removed": sorted(removed)}
