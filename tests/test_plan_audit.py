@@ -33,6 +33,8 @@ PYTHON_ALLOWED = {
     "text_chunks",  # deliberate Python UDTF surface (functions/udtfs.py)
     "multimodal_image_meta",  # Arrow mapInPandas decode stub
     "multimodal_frame_sample",  # Arrow mapInPandas 1->N expansion
+    "multimodal_image_resize",  # Arrow mapInPandas resize planning
+    "multimodal_image_features",  # Arrow mapInPandas feature vectors
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }
 

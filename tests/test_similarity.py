@@ -115,3 +115,37 @@ def test_incremental_topk_equals_full_recompute(spark):
     )
     assert incremental == full
     assert len(full) == 10
+
+
+def test_image_features_pipe_into_ann(spark):
+    """multimodal feature vectors are ANN-ready: array<double> output
+    ranks by cosine with the same expression stack as the embedding ops."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+    from walmart_retail_pyspark_sqlite_pipeline_spark.multimodal import (
+        attach_fake_payload,
+        image_features,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(50)
+    feats = image_features(attach_fake_payload(docs))
+    assert dict(feats.dtypes)["feat"] == "array<double>"
+
+    q = feats.filter(F.col("doc_id") == 0).select(F.col("feat").alias("qv"))
+    top = (
+        feats.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(vectors.cosine(F.col("feat"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert len(top) == 5
+    assert all(-1.0 <= r.cos <= 1.0 for r in top)
+    assert top[0].cos >= top[-1].cos

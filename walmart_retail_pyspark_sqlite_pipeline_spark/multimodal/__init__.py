@@ -1,3 +1,15 @@
-from .binary import attach_fake_payload, frame_sample, image_meta
+from .binary import (
+    attach_fake_payload,
+    frame_sample,
+    image_features,
+    image_meta,
+    image_resize,
+)
 
-__all__ = ["attach_fake_payload", "image_meta", "frame_sample"]
+__all__ = [
+    "attach_fake_payload",
+    "image_meta",
+    "image_resize",
+    "image_features",
+    "frame_sample",
+]

@@ -106,3 +106,86 @@ def image_meta(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         run, schema=IMAGE_META_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, out_bytes int"
+)
+
+
+def image_resize(
+    df_with_payload: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Aspect-preserving resize planning via Arrow-batched ``mapInPandas``
+    (STUB decode — see module doc): source dims come from the stub decode,
+    output dims scale by ``min(target/w, target/h)`` exactly as a Pillow
+    ``thumbnail`` kernel would, and ``out_bytes`` models the re-encoded
+    size. All integer arithmetic — deterministic, so the DuckDB oracle
+    reproduces it. A real deployment swaps the body for
+    ``img.resize((out_w, out_h))`` + re-encode; schema and batching stay.
+    """
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            meta = _decode_batch(pdf)
+            w = meta["width"].to_numpy().astype("int64")
+            h = meta["height"].to_numpy().astype("int64")
+            # scale = min(target_w/w, target_h/h), kept in exact integer
+            # form: the binding dimension hits its target exactly, the
+            # other scales by floor division (both engines reproduce this)
+            width_binding = (w * target_h) >= (h * target_w)
+            out_w = np.where(width_binding, target_w, (w * target_h) // h)
+            out_h = np.where(width_binding, (h * target_w) // w, target_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "out_bytes": (out_w * out_h * 3).astype("int32"),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+FEATURES_DIM = 16
+
+FEATURES_SCHEMA = "doc_id long, feat array<double>"
+
+
+def image_features(df_with_payload: DataFrame) -> DataFrame:
+    """Feature extraction to a fixed-dim vector via Arrow-batched
+    ``mapInPandas``: a 16-bin byte-value histogram (fractions, rounded) —
+    the STUB stand-in for a CNN/CLIP embedding kernel. NumPy-vectorized
+    per batch (``np.frombuffer`` + ``bincount``), no per-row Python in
+    the inner loop beyond the payload walk a real decoder would also do.
+    The output column is ``array<double>`` — exactly the shape the ANN /
+    dedup operators consume, so ``image_features`` output pipes straight
+    into ``ann_*`` / ``dedup_embedding_*``.
+    """
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr % FEATURES_DIM, minlength=FEATURES_DIM)
+                    # round half-AWAY like SQL ROUND (np.round is
+                    # half-even: 0.0390625 would flip the oracle hash)
+                    frac = np.floor(hist / arr.size * 1e6 + 0.5) / 1e6
+                    feats.append(frac.tolist())
+                else:
+                    feats.append([0.0] * FEATURES_DIM)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )

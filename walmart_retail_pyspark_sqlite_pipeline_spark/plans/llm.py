@@ -1710,3 +1710,96 @@ register_local(
         doc="record linkage: blocked edit-distance entity matching",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_resize / multimodal_image_features — the remaining two
+# media ops of the decode/feature-extract/resize/frame-sample family
+# (multimodal/binary.py; decode is the documented deterministic STUB, the
+# Arrow plumbing is real). The resize plans aspect-preserving integer
+# output dims; features is a 16-bin byte-histogram vector — shaped
+# array<double> so it pipes straight into the ann_*/dedup_embedding_* ops.
+# ---------------------------------------------------------------------------
+RESIZE_TW, RESIZE_TH = 48, 32
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import image_resize
+
+    docs = read_table(spark, sf_dir, "documents")
+    return image_resize(
+        attach_fake_payload(docs), target_w=RESIZE_TW, target_h=RESIZE_TH
+    ).orderBy("doc_id")
+
+
+IMAGE_RESIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         16 + octet_length(encode(text)) % 64 AS w,
+         16 + (octet_length(encode(text)) * 7) % 64 AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, w, h, (w * {RESIZE_TH}) >= (h * {RESIZE_TW}) AS width_binding
+  FROM d
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(CASE WHEN width_binding THEN {RESIZE_TW} ELSE (w * {RESIZE_TH}) // h END AS INTEGER) AS out_w,
+  CAST(CASE WHEN width_binding THEN (h * {RESIZE_TW}) // w ELSE {RESIZE_TH} END AS INTEGER) AS out_h,
+  CAST((CASE WHEN width_binding THEN {RESIZE_TW} ELSE (w * {RESIZE_TH}) // h END)
+     * (CASE WHEN width_binding THEN (h * {RESIZE_TW}) // w ELSE {RESIZE_TH} END)
+     * 3 AS INTEGER) AS out_bytes
+FROM r ORDER BY doc_id
+"""
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import image_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    return image_features(attach_fake_payload(docs)).orderBy("doc_id")
+
+
+# documents text is ASCII in the testdata, so byte values == ascii(char);
+# the histogram oracle walks characters (a general blob-byte walk would go
+# through hex() slicing — unnecessary here and much slower)
+IMAGE_FEATURES_SQL = """
+WITH chars AS (
+  SELECT doc_id, ascii(c) % 16 AS bucket
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c <> ''
+),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM chars GROUP BY doc_id),
+cnt AS (SELECT doc_id, bucket, COUNT(*) AS k FROM chars GROUP BY doc_id, bucket),
+grid0 AS (
+  SELECT tot.doc_id, t.b AS bucket, tot.n FROM tot, range(0, 16) t(b)
+),
+grid AS (
+  SELECT g.doc_id, g.bucket, g.n, COALESCE(c.k, 0) AS k
+  FROM grid0 g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+)
+SELECT doc_id,
+       list(ROUND(CAST(k AS DOUBLE) / n, 6) ORDER BY bucket) AS feat
+FROM grid GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+for _spec in [
+    QuerySpec(
+        "multimodal_image_resize",
+        multimodal_image_resize,
+        IMAGE_RESIZE_SQL,
+        ("MM3",),
+        doc="aspect-preserving resize planning via Arrow-batched mapInPandas",
+    ),
+    QuerySpec(
+        "multimodal_image_features",
+        multimodal_image_features,
+        IMAGE_FEATURES_SQL,
+        ("MM4",),
+        doc="byte-histogram feature vectors (CNN-embedding stand-in), ANN-ready",
+    ),
+]:
+    register_local(_spec)
