@@ -35,6 +35,7 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",  # Arrow mapInPandas 1->N expansion
     "multimodal_image_resize",  # Arrow mapInPandas resize planning
     "multimodal_image_features",  # Arrow mapInPandas feature vectors
+    "multimodal_audio_meta",  # Arrow mapInPandas audio metadata
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }
 

@@ -1,5 +1,6 @@
 from .binary import (
     attach_fake_payload,
+    audio_meta,
     frame_sample,
     image_features,
     image_meta,
@@ -8,6 +9,7 @@ from .binary import (
 
 __all__ = [
     "attach_fake_payload",
+    "audio_meta",
     "image_meta",
     "image_resize",
     "image_features",

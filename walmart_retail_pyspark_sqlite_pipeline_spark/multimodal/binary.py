@@ -189,3 +189,36 @@ def image_features(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, byte_len int, sample_rate int, n_samples int, duration_ms int"
+)
+
+
+def audio_meta(df_with_payload: DataFrame) -> DataFrame:
+    """Audio-side twin of :func:`image_meta`: typed metadata from an opaque
+    payload via Arrow-batched ``mapInPandas`` (STUB decode — a real kernel
+    is ``torchaudio.info`` / ``soundfile.info``). Stub model: 16-bit mono
+    PCM at a deterministic sample rate, so every derived field is integer
+    arithmetic both engines reproduce.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blen = pdf["payload"].map(len).astype("int64")
+            rate = (8000 * (1 + blen % 3)).astype("int64")  # 8/16/24 kHz
+            n_samples = blen // 2  # 16-bit mono PCM
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blen.astype("int32"),
+                    "sample_rate": rate.astype("int32"),
+                    "n_samples": n_samples.astype("int32"),
+                    "duration_ms": (n_samples * 1000 // rate).astype("int32"),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )

@@ -1803,3 +1803,40 @@ for _spec in [
     ),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_meta — audio twin of image_meta (16-bit mono PCM stub):
+# completes the image/audio/video coverage of the opaque-binary multimodal
+# family. Same Arrow-batched mapInPandas plumbing; oracle reproduces the
+# stub's integer arithmetic.
+# ---------------------------------------------------------------------------
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import audio_meta
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_meta(attach_fake_payload(docs)).orderBy("doc_id")
+
+
+AUDIO_META_SQL = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+)
+SELECT doc_id,
+  CAST(blen AS INTEGER) AS byte_len,
+  CAST(8000 * (1 + blen % 3) AS INTEGER) AS sample_rate,
+  CAST(blen // 2 AS INTEGER) AS n_samples,
+  CAST((blen // 2) * 1000 // (8000 * (1 + blen % 3)) AS INTEGER) AS duration_ms
+FROM d ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "multimodal_audio_meta",
+        multimodal_audio_meta,
+        AUDIO_META_SQL,
+        ("MM5",),
+        doc="audio metadata extraction (PCM stub), Arrow-batched",
+    )
+)
