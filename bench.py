@@ -6,8 +6,8 @@ Timing methodology: each query plan is executed to completion with the noop
 writer (full scan→shuffle→agg work, no driver collect skew). One global
 warm-up lap runs every cold query once before ANY timing (absorbing
 JVM/JIT/codegen/IO-cache startup for the whole session), then each query is
-timed twice and the best run is reported — the steady-state throughput that
-scales to a long-lived cluster.
+timed three times and the best run is reported — the steady-state throughput
+that scales to a long-lived cluster.
 
 Two timing protocols:
 
@@ -69,7 +69,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for spec in cold:
         best = float("inf")
-        for _ in range(2):  # min of 2 timed runs: local-mode jitter is ±10-20%
+        for _ in range(3):  # min of 3 timed runs: local-mode jitter is ±10-20%
             spark.catalog.clearCache()  # drop .cache()d intermediates: pay full cost
             t0 = time.perf_counter()
             run_to_completion(spec.fn(spark, sf_dir))
@@ -88,7 +88,7 @@ def main() -> None:
         for spec in warm:
             run_to_completion(spec.fn(spark, sf_dir))  # codegen warm-up
             best = float("inf")
-            for _ in range(2):  # no clearCache: marginal cost over the index
+            for _ in range(3):  # no clearCache: marginal cost over the index
                 t0 = time.perf_counter()
                 run_to_completion(spec.fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
