@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         exported = set(all_specs(include_local=False))
         for name, spec in sorted(specs.items()):
             kind = "exported" if name in exported else "local"
-            print(f"{name:35s} [{kind}] {spec.doc or ''}".rstrip())
+            desc = spec.doc or "SURVEY " + ",".join(spec.tags)
+            print(f"{name:35s} [{kind}] {desc}".rstrip())
         return 0
 
     from pyspark.sql import SparkSession
