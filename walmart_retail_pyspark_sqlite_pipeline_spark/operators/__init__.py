@@ -8,6 +8,7 @@ from .maintenance import (
 )
 from .projections import enforce_schema, rename_columns
 from .range_join import binned_range_join
+from .scd import scd2_apply, scd2_as_of, scd2_init
 from .skew import salted_agg
 
 __all__ = [
@@ -21,4 +22,7 @@ __all__ = [
     "expire_partitions",
     "upsert_parquet",
     "vacuum",
+    "scd2_init",
+    "scd2_apply",
+    "scd2_as_of",
 ]
