@@ -72,6 +72,7 @@ def _load_all() -> None:
     from . import llm  # noqa: F401
     from . import corpus  # noqa: F401
     from . import timeseries  # noqa: F401
+    from . import sketches  # noqa: F401
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
