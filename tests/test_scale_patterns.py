@@ -365,54 +365,3 @@ def test_max_records_per_file_caps_file_size(spark, tmp_path):
     files = list(Path(out).glob("*.parquet"))
     assert len(files) == 4  # 1000 rows / 250 cap
     assert all(pq.ParquetFile(f).metadata.num_rows <= 250 for f in files)
-
-
-def test_runtime_bloom_filter_prunes_probe_side(spark):
-    """Runtime Bloom-filter join pruning: for a shuffle join whose build
-    side is selectively filtered, the optimizer should inject a
-    bloom_filter_agg/might_contain pre-filter on the probe side so the
-    big table discards non-matching rows BEFORE the shuffle — at 100 TB
-    this is the difference between shuffling the whole fact table and
-    shuffling only the ~matching fraction. Results must equal the plain
-    join exactly (Bloom false positives are re-checked by the join)."""
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        # local data is tiny; drop the size gates so the rule fires the
-        # same way it would on a TB-scale probe side
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = read_table(spark, SF_SMALL, "lineitem").select(
-            "l_orderkey", "l_quantity"
-        )
-        o = read_table(spark, SF_SMALL, "orders").filter(
-            F.col("o_orderstatus") == "F"
-        ).select("o_orderkey")
-        joined = li.join(o, li.l_orderkey == o.o_orderkey)
-        plan = joined._jdf.queryExecution().optimizedPlan().toString()
-        assert "might_contain" in plan, plan[:2000]
-        n_pruned = joined.count()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    n_plain = (
-        read_table(spark, SF_SMALL, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .join(
-            read_table(spark, SF_SMALL, "orders")
-            .filter(F.col("o_orderstatus") == "F")
-            .select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .count()
-    )
-    assert n_pruned == n_plain

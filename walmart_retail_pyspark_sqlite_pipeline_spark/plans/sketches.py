@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.layout import _interleave
 from ..sources import read_table
 from .registry import QuerySpec, register_local
 
@@ -128,15 +129,6 @@ ORDER BY o_orderstatus
 _ZBITS = 4  # 16 buckets per dimension -> 8-bit z key
 
 
-def _interleave_expr(hi: str, lo: str) -> F.Column:
-    """Bit-interleave two <=4-bit ints: hi bits at odd positions."""
-    z = F.lit(0)
-    for i in range(_ZBITS):
-        z = z + F.expr(f"shiftleft(shiftright({hi}, {i}) & 1, {2 * i + 1})")
-        z = z + F.expr(f"shiftleft(shiftright({lo}, {i}) & 1, {2 * i})")
-    return z
-
-
 def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order key over (price bucket, order month) with locality stats.
 
@@ -167,7 +159,9 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bucketed.select(
-            _interleave_expr("price_bucket", "month_bucket").alias("z_key"),
+            _interleave(
+                F.col("price_bucket"), F.col("month_bucket"), bits=_ZBITS
+            ).alias("z_key"),
             "price_bucket",
             "month_bucket",
         )
