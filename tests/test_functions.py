@@ -252,3 +252,55 @@ def test_bpe_segment_idempotent_merge_order(spark):
     merges = [("a", "b"), ("ab", "c")]
     assert bpe.segment("abc", merges) == ["abc"]
     assert bpe.segment("acb", merges) == ["a", "c", "b"]
+
+
+def test_grouped_agg_pandas_udaf_matches_builtin(spark):
+    """GROUPED_AGG pandas UDF (the Python UDAF surface): an Arrow-batched
+    custom aggregate — exact interquartile mean per group — with the same
+    statistic recomputed via built-in JVM expressions as the oracle. This is the
+    escape hatch for aggregates Catalyst lacks; like every UDAF it must be
+    algebraic per group, and at 100 TB it costs one Arrow transfer of each
+    group — acceptable for bounded groups, never for the global axis."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    @pandas_udf("double")
+    def iqm(v: pd.Series) -> float:
+        q1, q3 = np.percentile(v, [25, 75])
+        mid = v[(v >= q1) & (v <= q3)]
+        return float(mid.mean())
+
+    orders = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    got = {
+        r.o_orderstatus: r.m
+        for r in orders.groupBy("o_orderstatus")
+        .agg(iqm("o_totalprice").alias("m"))
+        .collect()
+    }
+
+    # oracle: same trimmed mean via built-in percentile + filtered avg
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    want = {
+        r.o_orderstatus: r.m
+        for r in orders.join(bounds, "o_orderstatus")
+        .filter(
+            (F.col("o_totalprice") >= F.col("q1"))
+            & (F.col("o_totalprice") <= F.col("q3"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6 * max(1.0, abs(want[k]))
