@@ -114,3 +114,29 @@ def test_sample_violations(spark, messy):
     ).collect()
     assert len(fk_rows) == 3
     assert all(r.l_orderkey % 7 == 0 for r in fk_rows)
+
+
+def test_validation_frame_matches_validate(spark, messy):
+    """The DataFrame form of the suite (used by the oracle-graded
+    qc_constraint_suite query) reports exactly the counters validate()
+    collects — one row per constraint, including the zero rows."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.quality import (
+        validation_frame,
+    )
+
+    ref = spark.createDataFrame([Row(rid=1), Row(rid=2)])
+    suite = [
+        not_null("id"),
+        in_range("qty", 0, 100),
+        accepted_values("status", ("ok",)),
+        matches_regex("email", r"^[^@]+@[^@]+\.[^@]+$"),
+        unique("id"),
+        foreign_key("id", ref, "rid"),
+    ]
+    report = validate(messy, suite)
+    frame = {
+        r.constraint: r.violations
+        for r in validation_frame(messy, suite).collect()
+    }
+    assert frame == report.violations
+    assert len(frame) == len(suite)

@@ -11,6 +11,7 @@ from .constraints import (
     satisfies,
     unique,
     validate,
+    validation_frame,
 )
 
 __all__ = [
@@ -28,5 +29,6 @@ __all__ = [
     "unique",
     "foreign_key",
     "validate",
+    "validation_frame",
     "sample_violations",
 ]

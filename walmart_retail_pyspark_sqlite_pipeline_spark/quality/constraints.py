@@ -169,3 +169,63 @@ def sample_violations(
             .limit(limit)
         )
     raise ValueError(f"unknown constraint kind {constraint.kind!r}")
+
+
+def validation_frame(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """The suite as a DataFrame of ``(constraint, violations)`` rows instead
+    of a collected report — composable into larger plans (and into the
+    oracle gate). Same job shape as :func:`validate`: all row-level
+    constraints share ONE aggregate; each unique/FK constraint contributes
+    its own 1-row aggregate; the tiny per-constraint rows are unioned."""
+    row_cs = [c for c in constraints if c.kind == "row"]
+    uniq_cs = [c for c in constraints if c.kind == "unique"]
+    fk_cs = [c for c in constraints if c.kind == "foreign_key"]
+
+    parts = []
+    if row_cs:
+        one_pass = df.agg(
+            *[
+                F.sum(F.when(c.violated, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__v{i}")
+                for i, c in enumerate(row_cs)
+            ]
+        )
+        # unpivot the single counters row to (constraint, violations)
+        stack = ", ".join(
+            f"'{c.name}', __v{i}" for i, c in enumerate(row_cs)
+        )
+        parts.append(
+            one_pass.selectExpr(
+                f"stack({len(row_cs)}, {stack}) AS (constraint, violations)"
+            )
+        )
+    for c in uniq_cs:
+        parts.append(
+            df.groupBy(*c.keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("violations")
+            )
+            .select(F.lit(c.name).alias("constraint"), "violations")
+        )
+    for c in fk_cs:
+        orphans = (
+            df.filter(F.col(c.fk_col).isNotNull())
+            .join(
+                c.ref.select(F.col(c.ref_col).alias(c.fk_col)).distinct(),
+                c.fk_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .select(F.lit(c.name).alias("constraint"), "violations")
+        )
+        parts.append(orphans)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
