@@ -365,3 +365,36 @@ def test_max_records_per_file_caps_file_size(spark, tmp_path):
     files = list(Path(out).glob("*.parquet"))
     assert len(files) == 4  # 1000 rows / 250 cap
     assert all(pq.ParquetFile(f).metadata.num_rows <= 250 for f in files)
+
+
+def test_salted_join_equals_direct(spark):
+    """salted_join spreads a hot key across n_salts reducers; results must
+    be exactly the plain join's (verified for inner and left against a
+    shuffle-forced direct join)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = read_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderstatus")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+
+    for how in ("inner", "left"):
+        direct = li.join(o, ["l_orderkey"], how)
+        salted = salted_join(li, o, ["l_orderkey"], n_salts=8, how=how)
+        assert salted.count() == direct.count()
+        # exact multiset equality of full rows
+        assert (
+            salted.exceptAll(direct).count() == 0
+            and direct.exceptAll(salted).count() == 0
+        )
+
+    # the salted plan shuffles on (key, salt): the hot key no longer maps
+    # to a single reducer partition
+    plan = (
+        salted_join(li, o.hint("shuffle_hash"), ["l_orderkey"], n_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan
