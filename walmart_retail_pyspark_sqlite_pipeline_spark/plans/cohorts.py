@@ -1,0 +1,96 @@
+"""Cohort / retention analytics over the event stream.
+
+The classic product-analytics rollup: bucket users by the week of their
+first event (the cohort), then for every later week count how many of
+them came back. Three hash aggregations and one equi-join — no window
+over the full history, no per-user collect — so the plan is the same
+shape at 100 TB: the (user, week) distinct is the only pass over raw
+events, and everything after runs on user-cardinality data. Weeks are
+ISO-Monday `date_trunc('week', ...)` on the UTC-pinned event timestamps
+(`sources/tables.py` reads events with the session clamped to UTC, so
+week boundaries agree with the tz-naive oracle).
+
+Extension beyond the reference (no event-stream analytics at all there);
+the registry's event family covers windows/sessionization — this adds
+the cohort matrix every growth dashboard is built on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import QuerySpec, register_local
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    act = weeks.join(first, "user_id")
+    counts = (
+        act.withColumn(
+            "week_offset", F.expr("datediff(week, cohort) DIV 7")
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        counts.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id
+),
+act AS (
+  SELECT w.user_id, f.cohort, w.week
+  FROM weeks w JOIN firsts f USING (user_id)
+),
+counts AS (
+  SELECT cohort, (week - cohort) // 7 AS week_offset,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1
+)
+SELECT counts.cohort, week_offset, n_active, cohort_size,
+  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM counts JOIN sizes USING (cohort)
+ORDER BY cohort, week_offset
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_cohort_retention",
+        events_cohort_retention,
+        COHORT_RETENTION_SQL,
+        ("TS2",),
+        doc="weekly cohort retention matrix (first-event cohorts, distinct return users)",
+    )
+)

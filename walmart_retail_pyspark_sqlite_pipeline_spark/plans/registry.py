@@ -75,6 +75,7 @@ def _load_all() -> None:
     from . import sketches  # noqa: F401
     from . import quality_suite  # noqa: F401
     from . import scd_history  # noqa: F401
+    from . import cohorts  # noqa: F401
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
