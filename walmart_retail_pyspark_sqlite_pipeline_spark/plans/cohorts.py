@@ -94,3 +94,92 @@ register_local(
         doc="weekly cohort retention matrix (first-event cohorts, distinct return users)",
     )
 )
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel.
+
+    One aggregation collapses each user to their first timestamp per step
+    (conditional min — no self-joins over raw events), one more counts
+    users whose steps happened in order. The batch twin of the
+    watermarked stream-stream funnel join (`streaming/events.py`); at
+    100 TB this is two hash aggregations, the second over one row per
+    user.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    got_view = F.col("t_view").isNotNull()
+    got_click = got_view & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    got_purchase = got_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    counts = firsts.agg(
+        F.sum(got_view.cast("bigint")).alias("n_view"),
+        F.sum(got_click.cast("bigint")).alias("n_click"),
+        F.sum(got_purchase.cast("bigint")).alias("n_purchase"),
+    )
+    steps = counts.selectExpr(
+        "stack(3, 1, 'view', n_view, CAST(NULL AS BIGINT),"
+        " 2, 'click', n_click, n_view,"
+        " 3, 'purchase', n_purchase, n_click)"
+        " AS (step_no, step, n_users, n_prev)"
+    )
+    return steps.select(
+        "step_no",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("n_prev"), 6
+        ).alias("conversion"),
+    ).orderBy("step_no")
+
+
+FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT
+    CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+    CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 END) AS BIGINT) AS n_click,
+    CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+               THEN 1 END) AS BIGINT) AS n_purchase
+  FROM firsts
+)
+SELECT step_no, step, n_users,
+  ROUND(CAST(n_users AS DOUBLE) / n_prev, 6) AS conversion
+FROM (
+  SELECT 1 AS step_no, 'view' AS step, n_view AS n_users,
+         CAST(NULL AS BIGINT) AS n_prev FROM counts
+  UNION ALL
+  SELECT 2, 'click', n_click, n_view FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n_purchase, n_click FROM counts
+)
+ORDER BY step_no
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_funnel_conversion",
+        events_funnel_conversion,
+        FUNNEL_SQL,
+        ("TS3",),
+        doc="ordered view->click->purchase funnel with per-step conversion",
+    )
+)
