@@ -183,3 +183,80 @@ register_local(
         doc="ordered view->click->purchase funnel with per-step conversion",
     )
 )
+
+
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day.
+
+    Windowed COUNT(DISTINCT) isn't a thing (not algebraic over frames), so
+    the scale pattern is bounded replication: each (user, active-day) row
+    is exploded to the <=7 observation days it can influence, then one
+    hash aggregation counts distinct users per observation day — 7x fanout
+    of the (user, day)-distinct table (user-cardinality, not event-
+    cardinality), never a per-day rescan of history. DAU rides the same
+    pass as a conditional distinct.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    bounds = daily.agg(F.max("d").alias("max_d"))
+    exploded = daily.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "obs_day"
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(bounds))
+        .filter(F.col("obs_day") <= F.col("max_d"))
+        .groupBy("obs_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("obs_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            "obs_day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("obs_day")
+    )
+
+
+ACTIVE_USERS_7D_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+exploded AS (
+  SELECT user_id, d, d + CAST(x.i AS INTEGER) AS obs_day
+  FROM daily, (SELECT unnest(range(7)) AS i) x
+),
+bounds AS (SELECT MAX(d) AS max_d FROM daily)
+SELECT obs_day,
+  CAST(COUNT(DISTINCT CASE WHEN d = obs_day THEN user_id END) AS BIGINT) AS dau,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+  ROUND(CAST(COUNT(DISTINCT CASE WHEN d = obs_day THEN user_id END) AS DOUBLE)
+        / COUNT(DISTINCT user_id), 6) AS stickiness
+FROM exploded, bounds
+WHERE obs_day <= max_d
+GROUP BY obs_day
+ORDER BY obs_day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_active_users_7d",
+        events_active_users_7d,
+        ACTIVE_USERS_7D_SQL,
+        ("TS4",),
+        doc="DAU / trailing-7d WAU / stickiness via bounded-fanout windowed distinct",
+    )
+)
