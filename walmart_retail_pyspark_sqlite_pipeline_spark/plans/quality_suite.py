@@ -96,3 +96,97 @@ register_local(
         doc="Deequ-style constraint suite as oracle-graded (constraint, violations) rows",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: chi-square statistic between a reference window and
+# the current window of the same table — the monitoring check a training-
+# data pipeline runs before trusting a new ingest. Chi-square (not PSI/KL)
+# on purpose: only +,*,/ arithmetic, no transcendental functions, so both
+# engines produce IEEE-identical doubles and the oracle compare is exact.
+# Bucketing is integer math on whole dollars. One scan, one small agg.
+# --------------------------------------------------------------------------
+_DRIFT_SPLIT_YEAR = 1995  # <= split -> reference window, > split -> current
+_DRIFT_BUCKET = 50_000  # whole-dollar bucket width
+
+
+def qc_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.expr(
+            f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_DRIFT_BUCKET}"
+        ).alias("bucket"),
+        (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .filter(F.col("n_ref") > 0)  # buckets unseen in reference are reported raw
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(
+                (
+                    F.col("n_cur").cast("double")
+                    - F.col("t_cur").cast("double")
+                    * F.col("n_ref")
+                    / F.col("t_ref")
+                )
+                ** 2
+                / (
+                    F.col("t_cur").cast("double")
+                    * F.col("n_ref")
+                    / F.col("t_ref")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QC_DRIFT_CHI2_SQL = f"""
+WITH bucketed AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_DRIFT_BUCKET} AS bucket,
+         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT bucket, n_ref, n_cur,
+  ROUND(
+    POW(CAST(n_cur AS DOUBLE) - CAST(t_cur AS DOUBLE) * n_ref / t_ref, 2)
+      / (CAST(t_cur AS DOUBLE) * n_ref / t_ref),
+    6) AS chi2_term
+FROM counts, totals
+WHERE n_ref > 0
+ORDER BY bucket
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_drift_chi2",
+        qc_drift_chi2,
+        QC_DRIFT_CHI2_SQL,
+        ("Q4",),
+        doc="distribution drift between reference/current windows (chi-square terms)",
+    )
+)
