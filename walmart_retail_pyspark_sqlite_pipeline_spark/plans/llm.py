@@ -1840,3 +1840,43 @@ register_local(
         doc="audio metadata extraction (PCM stub), Arrow-batched",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall — retrieval-quality eval: recall@k of the single-probe IVF
+# search against the exact top-k, as a query. Both sides are the existing
+# deterministic plans, so the measurement itself is reproducible and graded;
+# this is the eval loop a pipeline runs when tuning nlist/nprobe — low
+# recall here says "probe more cells", and the number is the evidence.
+# ---------------------------------------------------------------------------
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_topk_cosine(spark, sf_dir).select("vec_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            F.lit(ANN_K).cast("bigint").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / ANN_K, 6).alias("recall"),
+        )
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+SELECT CAST({ANN_K} AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / {ANN_K}, 6) AS recall
+FROM ({ANN_TOPK_SQL}) exact JOIN ({ANN_IVF_TOPK_SQL}) approx USING (vec_id)
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_ivf_recall",
+        ann_ivf_recall,
+        ANN_IVF_RECALL_SQL,
+        ("SIM4",),
+        doc="recall@k eval of single-probe IVF vs exact top-k (the nprobe tuning loop)",
+    )
+)
