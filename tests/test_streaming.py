@@ -604,3 +604,44 @@ def test_streaming_topk_equals_batch_topk(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
+    """HLL in Structured Streaming: approx_count_distinct is algebraic, so
+    its partial sketches merge across micro-batches exactly like any
+    sum/count — the streaming distinct-users rollup never stores the user
+    set. The streamed estimate must EQUAL the batch estimate on the same
+    data (same sketch, same merge algebra), not merely approximate it."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(SF_SMALL)
+        .select("event_type", "user_id")
+    )
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("u"))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: r.u
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    want = {
+        r.event_type: r.u
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("u"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
