@@ -245,6 +245,28 @@ def test_bpe_trainer_known_corpus(spark):
     assert bpe.segment("zq", merges) == ["z", "q"]
 
 
+def test_bpe_vocab_cap_preserves_merges_when_not_binding(spark):
+    """max_vocab ≥ |distinct words| must leave the merge list unchanged
+    (the cap only trims the tail it is allowed to drop), and a binding cap
+    keeps only the top-V words by (count desc, word asc)."""
+    from pyspark.sql import Row
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [Row(text="aaab aaab aaab aab zz zz qq")]
+    )
+    uncapped = bpe.train_bpe(docs, n_merges=3, max_vocab=None)
+    for v in (4, 10, 1000):  # vocab is 4 distinct words
+        assert bpe.train_bpe(docs, n_merges=3, max_vocab=v) == uncapped
+
+    # binding cap: top-2 words by frequency are 'aaab'(3) and 'aab'... ties
+    # between aab/zz (1 vs 2): counts are aaab=3, zz=2, aab=1, qq=1 —
+    # top-2 = {aaab, zz}; merge votes then come from those words only
+    freqs = bpe.word_frequencies(docs, max_vocab=2)
+    assert freqs == {"aaab": 3, "zz": 2}
+
+
 def test_bpe_segment_idempotent_merge_order(spark):
     """Merges apply in order: later merges can consume earlier ones."""
     from walmart_retail_pyspark_sqlite_pipeline_spark.functions import bpe

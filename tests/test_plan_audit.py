@@ -30,7 +30,8 @@ from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import all_spec
 #: queries whose Python boundary is the point (UDTF chunker, Arrow
 #: multimodal plumbing) — any OTHER query showing Python in its plan fails.
 PYTHON_ALLOWED = {
-    "text_chunks",  # deliberate Python UDTF surface (functions/udtfs.py)
+    "text_chunks",  # Arrow-batched mapInPandas chunker (operators/chunking.py)
+    "text_chunks_udtf",  # local-only Python UDTF surface (functions/udtfs.py)
     "multimodal_image_meta",  # Arrow mapInPandas decode stub
     "multimodal_frame_sample",  # Arrow mapInPandas 1->N expansion
     "multimodal_image_resize",  # Arrow mapInPandas resize planning

@@ -34,18 +34,35 @@ from . import text
 #: to stay aligned with the one-round SQL kernel.
 
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> dict[str, int]:
+#: default driver-side vocabulary bound. The distinct-word table of a noisy
+#: web corpus is heavy-tailed (typos, ids, hashes), so the collect is capped
+#: executor-side at the top-V words by frequency — the same move production
+#: trainers make (HF/SentencePiece operate on a bounded word table). The
+#: tail it drops carries frequency ~1 and cannot win a merge vote against
+#: the head at any realistic n_merges.
+DEFAULT_MAX_VOCAB = 1_000_000
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", max_vocab: int = DEFAULT_MAX_VOCAB
+) -> dict[str, int]:
     """The distributed stage: corpus word-frequency table, collected.
 
-    The collect is safe by construction — the result is vocabulary-sized
-    (distinct words), already aggregated executor-side.
+    Bounded by construction: aggregated executor-side, then capped to the
+    ``max_vocab`` most frequent words (count desc, word asc for determinism)
+    BEFORE the collect, so driver memory is O(max_vocab) regardless of
+    corpus size. ``max_vocab=None`` disables the cap (tests only).
     """
-    rows = (
+    wc = (
         docs.select(F.explode(text.tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
-        .collect()
     )
+    if max_vocab is not None:
+        # TakeOrderedAndProject: executors keep top-max_vocab heaps, the
+        # driver merges V-sized slices — never the unbounded distinct table
+        wc = wc.orderBy(F.col("wc").desc(), F.col("w")).limit(max_vocab)
+    rows = wc.collect()
     return {r["w"]: r["wc"] for r in rows}
 
 
@@ -76,10 +93,13 @@ def _merge_seq(s: list[str], a: str, b: str) -> list[str]:
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_vocab: int = DEFAULT_MAX_VOCAB,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges; returns them in merge order."""
-    freqs = word_frequencies(docs, text_col)
+    freqs = word_frequencies(docs, text_col, max_vocab=max_vocab)
     seqs = {w: list(w) for w in freqs}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import read_table
-from .registry import QuerySpec, register_local
+from .registry import QuerySpec, register, register_local
 
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +85,8 @@ ORDER BY cohort, week_offset
 """
 
 
-register_local(
+# round-3 rotation: driver-graded.
+register(
     QuerySpec(
         "events_cohort_retention",
         events_cohort_retention,
@@ -174,7 +175,8 @@ ORDER BY step_no
 """
 
 
-register_local(
+# round-3 rotation: driver-graded.
+register(
     QuerySpec(
         "events_funnel_conversion",
         events_funnel_conversion,

@@ -854,14 +854,26 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
-# text_chunks — fixed-width document chunking via a Python UDTF composed in
-# SQL with a LATERAL join (the context-window prep step). The oracle
-# reproduces the chunk arithmetic with substr over a lateral range.
+# text_chunks — fixed-width document chunking (the context-window prep
+# step). The EXPORTED surface is the Arrow-batched mapInPandas chunker
+# (operators/chunking.py) — the 100 TB path, no per-row Python call
+# overhead. The Python-UDTF formulation (SQL LATERAL join over
+# functions/udtfs.py::ChunkText) is kept as a local-registry twin
+# (text_chunks_udtf) demonstrating Spark 4's UDTF surface; both are graded
+# against the same oracle, which reproduces the chunk arithmetic with
+# substr over a lateral range.
 # ---------------------------------------------------------------------------
 CHUNK_WIDTH = 200
 
 
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_text_batched
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text_batched(docs, CHUNK_WIDTH).orderBy("doc_id", "chunk_idx")
+
+
+def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import register_udtfs
 
     register_udtfs(spark)
@@ -1118,17 +1130,13 @@ for _spec in [
     QuerySpec("ann_topk_cosine", ann_topk_cosine, ANN_TOPK_SQL,
               ("SIM2",), bench=True),
     QuerySpec("ann_lsh_buckets", ann_lsh_buckets, ANN_LSH_SQL, ("SIM3",)),
-    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL, ("SIM4", "SIM2")),
     QuerySpec("text_langid", text_langid, TEXT_LANGID_SQL, ("TX1",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, ("TX2",)),
-    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
     QuerySpec("text_bpe_tokens", text_bpe_tokens, TEXT_BPE_SQL, ("TX5",)),
-    QuerySpec("text_chunks", text_chunks, TEXT_CHUNKS_SQL, ("TX6", "UDTF1")),
+    QuerySpec("text_chunks", text_chunks, TEXT_CHUNKS_SQL, ("TX6",)),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FP_SQL, ("TX4",)),
     QuerySpec("multimodal_image_meta", multimodal_image_meta, MULTIMODAL_SQL,
               ("MM1",)),
-    QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
-              FRAME_SAMPLE_SQL, ("MM2",)),
     QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline, CORPUS_PREP_SQL,
               ("DD1", "DD2", "TX2", "TX3", "PIPE1"), bench=True,
               warm_index=True),
@@ -1160,11 +1168,21 @@ SELECT doc_id, t, {hashing.poly_hash_sql('t')} AS h FROM uni
 # Strict sub-plans of exported queries (signatures stage of the LSH pipeline;
 # cell assignment stage of IVF top-k; the shared shingle index every dedup
 # consumer reads): oracle-verified locally, not exported to the driver's
-# 50-query window.
+# 50-query window. Round-3 rotation also parked ann_ivf_topk (SIM4/SIM2 now
+# driver-graded via ann_ivf_recall — which composes it — and
+# dedup_embedding_ivf_pairs), text_stats (TX3 exported via
+# corpus_prep_pipeline), and multimodal_frame_sample (MM plumbing graded via
+# multimodal_image_meta) here.
 for _spec in [
     QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures,
               DEDUP_MINHASH_SIG_SQL, ("DD3",)),
     QuerySpec("ann_ivf_cells", ann_ivf_cells, ANN_IVF_CELLS_SQL, ("SIM4",)),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL, ("SIM4", "SIM2")),
+    QuerySpec("text_chunks_udtf", text_chunks_udtf, TEXT_CHUNKS_SQL,
+              ("TX6", "UDTF1")),
+    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, ("TX3",)),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
+              FRAME_SAMPLE_SQL, ("MM2",)),
     QuerySpec("corpus_shingle_index", corpus_shingle_index,
               CORPUS_SHINGLE_INDEX_SQL, ("DD2", "DD3"), bench=True),
 ]:
@@ -1386,23 +1404,28 @@ ORDER BY doc_new, doc_old
 """
 
 
-for _spec in [
+# round-3 rotation: dedup_embedding_ivf_pairs is the 100TB-scale form of
+# embedding dedup — it earns a driver-graded slot (freed by ann_ivf_topk,
+# whose plan it subsumes on the blocking side).
+register(
     QuerySpec(
         "dedup_embedding_ivf_pairs",
         dedup_embedding_ivf_pairs,
         DEDUP_EMB_IVF_SQL,
         ("DD6", "SIM4"),
         doc="embedding near-dup pairs blocked by IVF cell (scale form)",
-    ),
+    )
+)
+
+register_local(
     QuerySpec(
         "dedup_incremental_near_docs",
         dedup_incremental_near_docs,
         DEDUP_INCR_NEAR_SQL,
         ("DD7", "DD3", "DD4"),
         doc="incremental near-dup: new-batch bands vs persisted corpus band index",
-    ),
-]:
-    register_local(_spec)
+    )
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1871,12 +1894,14 @@ FROM ({ANN_TOPK_SQL}) exact JOIN ({ANN_IVF_TOPK_SQL}) approx USING (vec_id)
 """
 
 
-register_local(
+# round-3 rotation: driver-graded — composes ann_ivf_topk against the exact
+# baseline, so one green row covers the whole IVF path (SIM2+SIM4).
+register(
     QuerySpec(
         "ann_ivf_recall",
         ann_ivf_recall,
         ANN_IVF_RECALL_SQL,
-        ("SIM4",),
+        ("SIM4", "SIM2"),
         doc="recall@k eval of single-probe IVF vs exact top-k (the nprobe tuning loop)",
     )
 )

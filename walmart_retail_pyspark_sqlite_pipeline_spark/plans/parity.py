@@ -1021,33 +1021,22 @@ for _spec in [
               ("J1", "A2", "O2", "O4"), bench=True),
     QuerySpec("q03_sales_by_nation_year", q03_sales_by_nation_year, Q03_SQL,
               ("J1", "J2", "A2", "C2"), bench=True),
-    QuerySpec("q04_returnflag_by_year", q04_returnflag_by_year, Q04_SQL,
-              ("A3", "C2")),
     QuerySpec("q05_null_profile_orders", q05_null_profile_orders, Q05_SQL,
               ("Q2", "A8", "F1")),
     QuerySpec("q06_dup_stats", q06_dup_stats, Q06_SQL, ("A5", "A6", "Q3")),
-    QuerySpec("q07_distinct_flag_status", q07_distinct_flag_status, Q07_SQL,
-              ("A5", "A7")),
     QuerySpec("q08_supplier_rank_in_nation", q08_supplier_rank_in_nation, Q08_SQL,
               ("W1", "A1", "J1")),
     QuerySpec("q11_event_hourly", q11_event_hourly, Q11_SQL,
               ("ST1", "A1"), bench=True),
-    QuerySpec("q12_building_customers", q12_building_customers, Q12_SQL,
-              ("F1", "P3")),
     QuerySpec("q13_semi_anti", q13_semi_anti, Q13_SQL, ("J3", "J4")),
     QuerySpec("q14_curated_wide", q14_curated_wide, Q14_SQL,
               ("J1", "J2", "P3", "P4", "C1", "C2", "C3", "C4"), bench=True),
-    QuerySpec("q15_top_orders_per_customer", q15_top_orders_per_customer, Q15_SQL,
-              ("W1", "O4")),
     QuerySpec("q16_status_pivot", q16_status_pivot, Q16_SQL, ("A1", "PV1")),
     QuerySpec("q17_grouping_sets", q17_grouping_sets, Q17_SQL, ("G1", "SQL1")),
-    QuerySpec("q18_rolling_avg", q18_rolling_avg, Q18_SQL, ("W2",)),
     QuerySpec("q19_salted_skew_agg", q19_salted_skew_agg, Q19_SQL, ("SK1", "A1")),
     QuerySpec("q20_json_props", q20_json_props, Q20_SQL, ("C9", "A1")),
-    QuerySpec("q21_percentiles", q21_percentiles, Q21_SQL, ("A9",)),
     QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
               ("J1", "J2", "A1"), bench=True),
-    QuerySpec("q23_promo_share", q23_promo_share, Q23_SQL, ("A1", "F1")),
     QuerySpec("q27_full_outer_join", q27_full_outer_join, Q27_SQL, ("J5",)),
     QuerySpec("q28_multiset_ops", q28_multiset_ops, Q28_SQL, ("SET2",)),
 ]:
@@ -1056,8 +1045,23 @@ for _spec in [
 # Oracle-verified locally (oracle_check --all + pytest) but outside the
 # driver's 50-query window: alternate API surfaces of capabilities the
 # exported registry already grades (q09 DataFrame rollup vs q17 SQL grouping
-# sets; q10 distinct set ops vs q28 multiset forms).
+# sets; q10 distinct set ops vs q28 multiset forms; round-3 rotation moved
+# q04/q07/q12/q15/q18/q21/q23 here — each tag stays exported via a sibling:
+# A3→q29 cube, A5/A7→q06/dedup_exact_hist, F1/P3→q01+q05/q14, W1/O4→q08/q02,
+# W2→corpus_pack_tokens, A9→sketch_approx_quantile, A1/F1→many — freeing
+# driver slots for previously ungraded capability families).
 for _spec in [
+    QuerySpec("q04_returnflag_by_year", q04_returnflag_by_year, Q04_SQL,
+              ("A3", "C2")),
+    QuerySpec("q07_distinct_flag_status", q07_distinct_flag_status, Q07_SQL,
+              ("A5", "A7")),
+    QuerySpec("q12_building_customers", q12_building_customers, Q12_SQL,
+              ("F1", "P3")),
+    QuerySpec("q15_top_orders_per_customer", q15_top_orders_per_customer, Q15_SQL,
+              ("W1", "O4")),
+    QuerySpec("q18_rolling_avg", q18_rolling_avg, Q18_SQL, ("W2",)),
+    QuerySpec("q21_percentiles", q21_percentiles, Q21_SQL, ("A9",)),
+    QuerySpec("q23_promo_share", q23_promo_share, Q23_SQL, ("A1", "F1")),
     QuerySpec("q09_rollup_flag_status", q09_rollup_flag_status, Q09_SQL,
               ("A1", "G1")),
     QuerySpec("q10_nation_set_ops", q10_nation_set_ops, Q10_SQL, ("SET1",)),
@@ -1219,11 +1223,17 @@ ORDER BY c_custkey
 """
 
 
+# round-3 rotation: q29 (CUBE — also the exported A3 boolean-dim grouped agg,
+# subsuming q04) and q31 (scalar subqueries) earn driver-graded slots.
 for _spec in [
     QuerySpec("q29_cube_returnflag_status", q29_cube_returnflag_status,
-              Q29_SQL, ("G2",)),
-    QuerySpec("q30_unpivot_metrics", q30_unpivot_metrics, Q30_SQL, ("PV2",)),
+              Q29_SQL, ("G2", "A3")),
     QuerySpec("q31_scalar_subquery", q31_scalar_subquery, Q31_SQL, ("SQ1",)),
+]:
+    register(_spec)
+
+for _spec in [
+    QuerySpec("q30_unpivot_metrics", q30_unpivot_metrics, Q30_SQL, ("PV2",)),
     QuerySpec("q32_window_depth", q32_window_depth, Q32_SQL, ("W3",)),
 ]:
     register_local(_spec)

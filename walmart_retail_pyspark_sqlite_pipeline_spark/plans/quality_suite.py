@@ -25,7 +25,7 @@ from ..quality.constraints import (
     validation_frame,
 )
 from ..sources import read_table
-from .registry import QuerySpec, register_local
+from .registry import QuerySpec, register, register_local
 
 
 def qc_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +87,8 @@ ORDER BY check_name
 """
 
 
-register_local(
+# round-3 rotation: driver-graded (the Q4 composite's hard-signal row).
+register(
     QuerySpec(
         "qc_constraint_suite",
         qc_constraint_suite,
