@@ -38,14 +38,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    default. Read nanos as long (runtime conf) and normalize to a proper
-    TimestampType column via exact integer division — ns epoch values
-    (~1.7e18) exceed double's 2^53 mantissa, so ``ts / 1000`` in floating
-    point would drift by hundreds of ns."""
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain ``TimestampType`` regardless
+    of how the parquet writer encoded it:
+
+    - TIMESTAMP(NANOS) read as long via ``spark.sql.legacy.parquet.
+      nanosAsLong`` → exact integer ``div 1000`` to micros (ns epoch values
+      ~1.7e18 exceed double's 2^53 mantissa, so float division would drift);
+    - ``timestamp[us]`` with isAdjustedToUTC=false, which Spark 4 infers as
+      TIMESTAMP_NTZ → cast to TimestampType. Callers pin the session
+      timezone to UTC first, so the cast is epoch-preserving and the
+      downstream ``cast(ts AS long)`` epoch-seconds idiom (which is illegal
+      on NTZ) matches DuckDB's ``epoch(ts)`` on the same naive storage.
+    """
     from pyspark.sql import functions as F
 
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # queries over events export epoch seconds (window starts, session
     # bounds); epoch extraction from a naive-storage timestamp depends on
@@ -55,9 +71,7 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relational tables.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_event_ts(df)
 
 
 def load_tables(

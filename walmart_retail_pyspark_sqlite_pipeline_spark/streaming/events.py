@@ -19,6 +19,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.tables import normalize_event_ts
 from pyspark.sql.window import Window
 
 SESSION_GAP_S = 1800
@@ -182,8 +184,7 @@ def hourly_counts_stream(
         .option("pathGlobFilter", fname)
         .parquet(base_dir)
     )
-    if ts_is_nanos and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
@@ -238,8 +239,7 @@ def click_purchase_stream_join(
             .option("pathGlobFilter", fname)
             .parquet(base_dir)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = normalize_event_ts(s)
         return (
             s.filter(F.col("event_type") == event_type)
             .select(
