@@ -253,7 +253,7 @@ ORDER BY obs_day
 """
 
 
-register_local(
+register(
     QuerySpec(
         "events_active_users_7d",
         events_active_users_7d,

@@ -305,9 +305,9 @@ for _spec in [
 ]:
     register(_spec)
 
-# iterative graph algorithm: oracle-verified locally (recursive-CTE twin);
-# stays out of the driver's 50-query window, which is full
-register_local(
+# iterative graph algorithm, oracle = DuckDB recursive-CTE twin; promoted to
+# the driver window in the round-4 rotation (first hard-signal row for DD9)
+register(
     QuerySpec("dedup_cc_clusters", dedup_cc_clusters, CC_CLUSTERS_SQL, ("DD9",))
 )
 

@@ -1019,13 +1019,9 @@ for _spec in [
               ("A1", "O1", "F1", "C5"), bench=True),
     QuerySpec("q02_top_customers", q02_top_customers, Q02_SQL,
               ("J1", "A2", "O2", "O4"), bench=True),
-    QuerySpec("q03_sales_by_nation_year", q03_sales_by_nation_year, Q03_SQL,
-              ("J1", "J2", "A2", "C2"), bench=True),
     QuerySpec("q05_null_profile_orders", q05_null_profile_orders, Q05_SQL,
               ("Q2", "A8", "F1")),
     QuerySpec("q06_dup_stats", q06_dup_stats, Q06_SQL, ("A5", "A6", "Q3")),
-    QuerySpec("q08_supplier_rank_in_nation", q08_supplier_rank_in_nation, Q08_SQL,
-              ("W1", "A1", "J1")),
     QuerySpec("q11_event_hourly", q11_event_hourly, Q11_SQL,
               ("ST1", "A1"), bench=True),
     QuerySpec("q13_semi_anti", q13_semi_anti, Q13_SQL, ("J3", "J4")),
@@ -1035,8 +1031,6 @@ for _spec in [
     QuerySpec("q17_grouping_sets", q17_grouping_sets, Q17_SQL, ("G1", "SQL1")),
     QuerySpec("q19_salted_skew_agg", q19_salted_skew_agg, Q19_SQL, ("SK1", "A1")),
     QuerySpec("q20_json_props", q20_json_props, Q20_SQL, ("C9", "A1")),
-    QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
-              ("J1", "J2", "A1"), bench=True),
     QuerySpec("q27_full_outer_join", q27_full_outer_join, Q27_SQL, ("J5",)),
     QuerySpec("q28_multiset_ops", q28_multiset_ops, Q28_SQL, ("SET2",)),
 ]:
@@ -1051,6 +1045,16 @@ for _spec in [
 # W2→corpus_pack_tokens, A9→sketch_approx_quantile, A1/F1→many — freeing
 # driver slots for previously ungraded capability families).
 for _spec in [
+    # round-4 rotation: q03/q08/q22 (each twice driver-green; J1/J2/A2/W1/A1/
+    # C2 all stay exported via q02/q14/events_asof_two_stream/events_range_join)
+    # park here so asof/range-join/knn/cc-cluster/drift/timeseries operators
+    # earn their first hard-signal rows
+    QuerySpec("q03_sales_by_nation_year", q03_sales_by_nation_year, Q03_SQL,
+              ("J1", "J2", "A2", "C2"), bench=True),
+    QuerySpec("q08_supplier_rank_in_nation", q08_supplier_rank_in_nation, Q08_SQL,
+              ("W1", "A1", "J1")),
+    QuerySpec("q22_revenue_by_region", q22_revenue_by_region, Q22_SQL,
+              ("J1", "J2", "A1"), bench=True),
     QuerySpec("q04_returnflag_by_year", q04_returnflag_by_year, Q04_SQL,
               ("A3", "C2")),
     QuerySpec("q07_distinct_flag_status", q07_distinct_flag_status, Q07_SQL,

@@ -182,7 +182,7 @@ ORDER BY bucket
 """
 
 
-register_local(
+register(
     QuerySpec(
         "qc_drift_chi2",
         qc_drift_chi2,

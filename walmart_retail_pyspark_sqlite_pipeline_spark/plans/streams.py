@@ -239,15 +239,12 @@ for _spec in [
               ("ASOF1", "W1")),
     QuerySpec("events_sliding_windows", events_sliding_windows, SLIDING_SQL,
               ("ST5",)),
-]:
-    register(_spec)
-
-# oracle-verified locally (tools/oracle_check.py checks LOCAL_REGISTRY too);
-# the driver's 50-query export window is full
-for _spec in [
+    # round-4 rotation: promoted from the local registry (driver slots freed
+    # by q03/q08/q22) — the two-table as-of join is checked against DuckDB's
+    # NATIVE ASOF LEFT JOIN operator, the strongest oracle in the registry
     QuerySpec("events_asof_two_stream", events_asof_two_stream,
               ASOF_TWO_STREAM_SQL, ("ASOF2", "W1")),
     QuerySpec("events_range_join", events_range_join, RANGE_JOIN_SQL,
               ("RJ1", "J1")),
 ]:
-    register_local(_spec)
+    register(_spec)

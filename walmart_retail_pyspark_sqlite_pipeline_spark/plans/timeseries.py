@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import read_table
-from .registry import QuerySpec, register_local
+from .registry import QuerySpec, register, register_local
 
 
 # ---------------------------------------------------------------------------
@@ -149,14 +149,18 @@ ORDER BY event_id
 """
 
 
-for _spec in [
+# round-4 rotation: promoted (first hard-signal row for TS1 gap-fill)
+register(
     QuerySpec(
         "events_gapfill_locf",
         events_gapfill_locf,
         GAPFILL_SQL,
         ("TS1",),
         doc="dense per-user day grid + LOCF forward fill",
-    ),
+    )
+)
+
+for _spec in [
     QuerySpec(
         "events_range_rolling",
         events_range_rolling,
