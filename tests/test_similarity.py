@@ -149,3 +149,35 @@ def test_image_features_pipe_into_ann(spark):
     assert len(top) == 5
     assert all(-1.0 <= r.cos <= 1.0 for r in top)
     assert top[0].cos >= top[-1].cos
+
+
+def test_kmeans_iteration_improves_or_holds_inertia(spark):
+    """One Lloyd's iteration must (a) keep every vector assigned exactly
+    once, (b) not increase total inertia vs the seed assignment (the
+    textbook monotonic-descent guarantee), and (c) report movement
+    consistent with the reassignment."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        _assign_nearest,
+        _mean_centroids,
+        embeddings_kmeans,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+
+    out = embeddings_kmeans(spark, SF_SMALL).collect()
+    total = read_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == total
+    assert all(r.n_vecs > 0 for r in out)
+    assert all(0 <= r.n_moved <= r.n_vecs for r in out)
+    assert all(r.inertia > 0 for r in out)
+
+    # seed-assignment inertia (iteration 0) for the descent check
+    e = read_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    seed_inertia = (
+        _assign_nearest(e, _mean_centroids(e, "label"))
+        .agg(F.sum("d2").alias("i0"))
+        .collect()[0]
+        .i0
+    )
+    assert sum(r.inertia for r in out) <= seed_inertia + 1e-6

@@ -493,52 +493,61 @@ FROM e ORDER BY vec_id
 # At 100 TB the centroids come from a sampled KMeans and vectors are
 # written bucketed by cell; the query-time plan is identical.
 # ---------------------------------------------------------------------------
-def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
-    )
-    ex = e.select(
-        "vec_id",
-        "label",
-        F.posexplode("v").alias("d", "x"),
-    )
-    cent = (
-        ex.groupBy("label", "d")
+def _mean_centroids(tagged: DataFrame, key: str) -> DataFrame:
+    """Per-``key`` mean vectors as ``(cell, cv)`` — deterministic across
+    engines via scaled-integer sums (round to 1e-6, sum exact longs, two
+    IEEE divisions both engines perform identically)."""
+    ex = tagged.select(F.col(key), F.posexplode("v").alias("d", "x"))
+    return (
+        ex.groupBy(key, "d")
         .agg(
             (
                 (F.sum(F.round(F.col("x") * 1000000, 0).cast("long")) / F.lit(1e6))
                 / F.count(F.lit(1))
             ).alias("c")
         )
-        .groupBy("label")
+        .groupBy(key)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
             ).alias("cv")
         )
-        .select(F.col("label").alias("cell"), "cv")
+        .select(F.col(key).alias("cell"), "cv")
     )
-    dist = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cell",
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-    )
+
+
+def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment ``(vec_id, cell, d2)``: broadcast the
+    (tiny) centroid table against every vector, squared L2 via an ordered
+    ``zip_with`` fold (both engines sum identical doubles in identical
+    order → bit-identical d2), ties broken by cell id. One data pass, no
+    shuffle of the vectors themselves — the 100 TB Lloyd-step shape."""
     from pyspark.sql.window import Window
 
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
     w = Window.partitionBy("vec_id").orderBy("d2", "cell")
     return (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        .select("vec_id", "cell", "d2")
     )
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    cent = _mean_centroids(e, "label")
+    return _assign_nearest(e, cent).select("vec_id", "cell")
 
 
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,5 +1922,98 @@ register(
         ANN_IVF_RECALL_SQL,
         ("SIM4", "SIM2"),
         doc="recall@k eval of single-probe IVF vs exact top-k (the nprobe tuning loop)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings_kmeans — one full Lloyd's iteration of k-means over the
+# embedding table: seed centroids (per-label means, as IVF), assign,
+# RECOMPUTE centroids from the assignment, REASSIGN, and report per-cluster
+# size, how many vectors moved between the two assignments, and the exact
+# scaled-integer inertia of the final assignment.
+#
+# This is the iterative-algorithm pattern the reference cannot express
+# (SURVEY §2.11 extension): each Lloyd step is one pass over the data with
+# the k×64-double centroid table BROADCAST (never shuffled), and the
+# centroid update is a map-side-combinable (cell, dim) aggregation — at
+# 100 TB each iteration costs one scan + one tiny agg, the canonical
+# distributed k-means shape (same plan Spark MLlib's KMeans lowers to).
+# Determinism across engines: centroid means use scaled-integer sums;
+# per-vector d2 is an ordered zip_with fold (bit-identical doubles both
+# sides); inertia rounds each d2 to 1e-6 and sums exact BIGINTs, so the
+# total is independent of summation order; assignment ties break by cell.
+# ---------------------------------------------------------------------------
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    seed = _mean_centroids(e, "label")
+    a1 = _assign_nearest(e, seed).select("vec_id", F.col("cell").alias("c1"))
+    c1 = _mean_centroids(
+        e.join(a1, "vec_id").select(F.col("c1").alias("cell"), "v"), "cell"
+    )
+    a2 = _assign_nearest(e, c1)
+    return (
+        a2.join(a1, "vec_id")
+        .groupBy(F.col("cell").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("cell") != F.col("c1")).cast("bigint")).alias("n_moved"),
+            (
+                F.sum(F.round(F.col("d2") * 1000000, 0).cast("long")) / F.lit(1e6)
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+EMB_KMEANS_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+ex2 AS (
+  SELECT c.cell, t.d AS d, e.v[t.d + 1] AS x
+  FROM e JOIN cells c USING (vec_id), range(0, 64) t(d)
+),
+cent2dim AS (
+  SELECT cell, d,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex2 GROUP BY cell, d
+),
+cent2 AS (
+  SELECT cell, list(c ORDER BY d) AS cv FROM cent2dim GROUP BY cell
+),
+dist2 AS (
+  SELECT e.vec_id, cent2.cell,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+      (acc, x) -> acc + x) AS d2
+  FROM e, cent2
+),
+a2 AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist2
+  ) WHERE rn = 1
+)
+SELECT a2.cell AS cluster,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(*) FILTER (WHERE a2.cell <> c1.cell) AS BIGINT) AS n_moved,
+  SUM(CAST(ROUND(a2.d2 * 1000000, 0) AS BIGINT)) / 1000000.0 AS inertia
+FROM a2 JOIN cells c1 USING (vec_id)
+GROUP BY a2.cell
+ORDER BY cluster
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_kmeans",
+        embeddings_kmeans,
+        EMB_KMEANS_SQL,
+        ("SIM7", "IT1"),
+        doc="one Lloyd's k-means iteration: broadcast-centroid assign/update/reassign",
     )
 )
