@@ -172,3 +172,19 @@ def test_training_shard_export(spark, tmp_path):
             for sh in s["shards"]:
                 sh.pop("file")
     assert m1_norm == m2_norm
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    """PageRank over the symmetric LSH graph: every graph node gets a
+    positive rank, ranks sum to ~1 (no dangling nodes, so mass is
+    conserved up to the 1e-12 contribution rounding), and higher-degree
+    nodes in a uniform-ish graph never rank below the teleport floor."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_pagerank,
+    )
+
+    out = corpus_pagerank(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    n = len(out)
+    assert all(r.pagerank >= 0.15 / n - 1e-9 for r in out)
+    assert abs(sum(r.pagerank for r in out) - 1.0) < 1e-6

@@ -517,3 +517,133 @@ register_local(
         doc="chunk-granular exact dedup over the Arrow-batched chunker",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pagerank — PageRank over the near-duplicate similarity graph
+# (minhash-LSH verified pairs, symmetrized): rank_{t+1}(v) = 0.15/N +
+# 0.85 * Σ_{u→v} rank_t(u)/deg(u), 3 fixed iterations from a uniform
+# start. Ranks surface the "most-connected" documents inside near-dup
+# neighborhoods — the doc a canonical-selection step should keep.
+#
+# The Pregel-style plan: per iteration ONE edges⨝ranks join + one groupBy
+# on dst — both keyed shuffles over an edge-sized table; the rank table
+# stays node-sized. At 100 TB, pre-partition edges by src and ranks by
+# node and every iteration is co-located (no data growth across rounds —
+# localCheckpoint cuts the lineage like the CC loop above).
+#
+# Cross-engine determinism: per-edge contributions rank/deg are
+# bit-identical doubles (identical operands, one IEEE division); each
+# per-node Σ rounds contributions to 1e-12 and sums exact BIGINTs so the
+# total is summation-order-independent; teleport/damping constants are
+# written as the same double literals on both sides. Fixed iteration
+# count (no convergence test) keeps the unrolled SQL twin exact.
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000_000
+
+
+def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    ).localCheckpoint()
+    n = nodes.count()  # node-count driver scalar, same bound as the CC loop
+    rank = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
+    for _ in range(PR_ITERS):
+        contrib = edges.join(rank, edges.src == rank.node).select(
+            F.col("dst"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(
+            (
+                F.sum(F.round(F.col("c") * PR_SCALE, 0).cast("long"))
+                / F.lit(float(PR_SCALE))
+            ).alias("s")
+        )
+        rank = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
+    ).orderBy("doc_id")
+
+
+def _pr_iter_sql(prev: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT d.node, d.deg,
+    CAST(0.15 AS DOUBLE) / n.nn
+      + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+      SUM(CAST(ROUND(r.rank / r.deg * {PR_SCALE}, 0) AS BIGINT))
+        / CAST({PR_SCALE} AS DOUBLE) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+  ) s USING (node)
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS nn FROM deg),
+r0 AS (
+  SELECT node, deg, CAST(1.0 AS DOUBLE) / n.nn AS rank FROM deg CROSS JOIN n
+),
+{_pr_iter_sql("r0", "it1")},
+{_pr_iter_sql("it1", "it2")},
+{_pr_iter_sql("it2", "it3")}
+SELECT node AS doc_id, ROUND(rank, 9) AS pagerank FROM it3 ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_pagerank",
+        corpus_pagerank,
+        PAGERANK_SQL,
+        ("DD9", "IT2"),
+        doc="PageRank over the LSH near-dup graph (canonical-doc selection signal)",
+    )
+)
