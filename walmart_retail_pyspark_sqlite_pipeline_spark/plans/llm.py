@@ -2013,7 +2013,7 @@ register_local(
         "embeddings_kmeans",
         embeddings_kmeans,
         EMB_KMEANS_SQL,
-        ("SIM7", "IT1"),
+        ("SIM8", "IT1"),
         doc="one Lloyd's k-means iteration: broadcast-centroid assign/update/reassign",
     )
 )
