@@ -204,13 +204,18 @@ ORDER BY hits.doc_id
 CC_MAX_ITERS = 15
 
 
-def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized verified LSH pair graph, checkpointed once so every graph
+    consumer (CC, PageRank, canonical selection) shares one materialization."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    return (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
+
+
+def _cc_labels(edges: DataFrame) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -242,6 +247,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cc_labels(_lsh_edges(spark, sf_dir))
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -543,13 +553,7 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000_000_000
 
 
-def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
-    )
+def _pagerank_ranks(edges: DataFrame) -> DataFrame:
     nodes = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     ).localCheckpoint()
@@ -577,6 +581,11 @@ def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return rank
+
+
+def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rank = _pagerank_ranks(_lsh_edges(spark, sf_dir))
     return rank.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     ).orderBy("doc_id")
@@ -645,5 +654,116 @@ register_local(
         PAGERANK_SQL,
         ("DD9", "IT2"),
         doc="PageRank over the LSH near-dup graph (canonical-doc selection signal)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_canonical_docs — the production OUTPUT of the near-dup pipeline:
+# for every near-duplicate cluster (connected component of the verified
+# LSH graph), keep exactly one canonical document — the member with the
+# highest PageRank (most-connected inside its neighborhood), doc_id as
+# tiebreak. This is the "which copy do we train on" decision composed
+# from the two graph operators above, sharing ONE materialized edge set:
+# build edges once, run the CC label loop and the rank loop over it, join
+# node-sized outputs. At 100 TB the join is between two node-sized tables
+# co-partitioned by doc_id — trivial next to the edge-building stage.
+# ---------------------------------------------------------------------------
+def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lsh_edges(spark, sf_dir)
+    labels = _cc_labels(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    ranks = _pagerank_ranks(edges).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("rank"), "doc_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(ranks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("canonical_doc"),
+            F.round("rank", 9).alias("pagerank"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CANONICAL_DOCS_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+lab AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS nn FROM deg),
+r0 AS (
+  SELECT node, deg, CAST(1.0 AS DOUBLE) / n.nn AS rank FROM deg CROSS JOIN n
+),
+{_pr_iter_sql("r0", "it1")},
+{_pr_iter_sql("it1", "it2")},
+{_pr_iter_sql("it2", "it3")},
+csz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+),
+ranked AS (
+  SELECT lab.cluster_id, lab.doc_id, it3.rank,
+    ROW_NUMBER() OVER (
+      PARTITION BY lab.cluster_id ORDER BY it3.rank DESC, lab.doc_id
+    ) AS rn
+  FROM lab JOIN it3 ON lab.doc_id = it3.node
+)
+SELECT ranked.cluster_id, csz.cluster_size,
+  ranked.doc_id AS canonical_doc, ROUND(ranked.rank, 9) AS pagerank
+FROM ranked JOIN csz USING (cluster_id)
+WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_canonical_docs",
+        corpus_canonical_docs,
+        CANONICAL_DOCS_SQL,
+        ("DD9", "IT2", "DD11"),
+        doc="one canonical doc per near-dup cluster: CC labels + PageRank argmax",
     )
 )

@@ -170,3 +170,87 @@ for _spec in [
     ),
 ]:
     register_local(_spec)
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — rolling z-score anomaly detection on daily
+# revenue per event type: for each (event_type, day), the z-score of the
+# day's total against the trailing 7-day window's mean/stddev, flagging
+# |z| > 2. The operational "did today spike" monitor, as two keyed
+# shuffles (daily rollup, then a partitioned ROWS window) — no
+# self-joins, no per-day rescans, scale-shape identical at 100 TB.
+#
+# Exact across engines: daily totals are integer cents; the window mean
+# and SAMPLE variance are derived from exact integer (n, Σx, Σx²) —
+# var = (n·Σx² − (Σx)²) / (n·(n−1)) — so both engines start from the
+# same integers and apply the identical IEEE division/sqrt sequence
+# (built-in stddev would instead hash-mismatch on summation order).
+# BIGINT range note: Σx² bounds this to daily totals < ~3e9 cents/key;
+# beyond that, swap the sums to DECIMAL(38,0) — same plan.
+# ---------------------------------------------------------------------------
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    n = F.count("*").over(w)
+    s1 = F.sum("cents").over(w)
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    mean = s1 / n
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    z = F.when(
+        (n > 1) & (var > 0),
+        F.round((F.col("cents") - mean) / F.sqrt(var), 6),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "cents",
+            z.alias("zscore"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ANOMALY_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, cents,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+    CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, cents,
+  CASE WHEN n > 1 AND (n * s2 - s1 * s1) / (n * (n - 1)) > 0
+    THEN ROUND((cents - CAST(s1 AS DOUBLE) / n)
+               / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)
+  END AS zscore,
+  COALESCE(abs(
+    CASE WHEN n > 1 AND (n * s2 - s1 * s1) / (n * (n - 1)) > 0
+      THEN ROUND((cents - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)
+    END) > 2.0, FALSE) AS is_anomaly
+FROM win
+ORDER BY event_type, day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_anomaly_zscore",
+        events_anomaly_zscore,
+        ANOMALY_ZSCORE_SQL,
+        ("TS6",),
+        doc="rolling 7-day z-score anomaly flags from exact integer moments",
+    )
+)
