@@ -1,0 +1,106 @@
+"""Build an sf1-EQUIVALENT probe dataset by replicating the driver's sf0.1
+tables N× with foreign-key-consistent id remapping — TIMING-ONLY input for
+``tools/scaling_probe.py`` (graded correctness always runs on driver
+testdata; the driver provides no sf1, so this measures the growth exponent
+one decade further where data, not fixed overhead, dominates).
+
+Replication semantics (what a genuinely 10×-larger org looks like):
+- region/nation: copied as-is — dimension tables don't scale with SF.
+- customer/supplier/part/orders/lineitem: each replica's keys are offset by
+  replica_index × (max_key + 1); orders→customer and lineitem→orders/part/
+  supplier references get the same offsets, so join fan-outs per key are
+  UNCHANGED while table sizes grow N× — the correct join-scaling shape.
+- events: event_id/user_id offset (N× users, same per-user activity; same
+  time span N× denser — sessionization/window key cardinality scales, per-
+  key work doesn't).
+- documents: doc_id offset AND every word suffixed with a replica tag, so
+  cross-replica docs share zero shingles: the near-dup/LSH workload gets N×
+  the docs with the SAME duplicate rate — pair count scales linearly like a
+  real bigger corpus. (Un-perturbed copies would make every doc a 10-way
+  near-duplicate and blow the pair count up quadratically — a workload no
+  real corpus exhibits.)
+- embeddings: vec_id offset, vectors copied (ANN probes time distance math,
+  which doesn't care that densities repeat).
+
+Usage: python tools/make_replica.py [src_sf_dir] [dst_dir] [n_replicas]
+Defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1_replica 10
+Skips the build if dst is already complete (cache between probe runs).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+TABLES_AS_IS = ("region", "nation")
+OFFSET_COLS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+
+def main() -> None:
+    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    dst = Path(
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1_replica"
+    )
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dst.mkdir(parents=True, exist_ok=True)
+    expected = list(TABLES_AS_IS) + list(OFFSET_COLS)
+    if all((dst / f"{t}.parquet").exists() for t in expected):
+        print(f"{dst} already complete; skipping build")
+        return
+
+    # one offset base per key-space, shared by every referencing column
+    bases: dict[str, int] = {}
+    frames: dict[str, pd.DataFrame] = {}
+    for t in OFFSET_COLS:
+        frames[t] = pd.read_parquet(src / f"{t}.parquet")
+    bases["customer"] = int(frames["customer"]["c_custkey"].max()) + 1
+    bases["supplier"] = int(frames["supplier"]["s_suppkey"].max()) + 1
+    bases["part"] = int(frames["part"]["p_partkey"].max()) + 1
+    bases["orders"] = int(frames["orders"]["o_orderkey"].max()) + 1
+    bases["events"] = int(frames["events"]["event_id"].max()) + 1
+    bases["events_user"] = int(frames["events"]["user_id"].max()) + 1
+    bases["documents"] = int(frames["documents"]["doc_id"].max()) + 1
+    bases["embeddings"] = int(frames["embeddings"]["vec_id"].max()) + 1
+
+    for t in TABLES_AS_IS:
+        pd.read_parquet(src / f"{t}.parquet").to_parquet(
+            dst / f"{t}.parquet", index=False
+        )
+        print(f"{t}: copied")
+
+    for t, colmap in OFFSET_COLS.items():
+        base_df = frames[t]
+        reps = []
+        for r in range(n):
+            rep = base_df.copy()
+            for col, space in colmap.items():
+                rep[col] = rep[col] + r * bases[space]
+            if t == "documents" and r > 0:
+                # suffix every word token -> disjoint shingle sets per replica
+                rep["text"] = rep["text"].str.replace(
+                    r"(\w+)", rf"\1q{r}", regex=True
+                )
+            reps.append(rep)
+        out = pd.concat(reps, ignore_index=True)
+        out.to_parquet(dst / f"{t}.parquet", index=False)
+        print(f"{t}: {len(base_df):,} -> {len(out):,} rows")
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()

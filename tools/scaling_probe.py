@@ -85,11 +85,16 @@ def main() -> None:
         "# SCALING — measured runtime vs scale factor",
         "",
         "`python tools/scaling_probe.py` output: best-of-2 steady-state seconds",
-        "per headline query at each driver-provided scale factor "
-        "(local[32]; see bench.py for the timing protocol). The grading",
-        "signal is the last-step growth ratio against 10x data: sub-linear",
-        "ratios mean fixed overhead still dominates; ~10x would be linear;",
-        "anything super-linear would flag an all-pairs term.",
+        "per headline query at each scale factor (local[32]; see bench.py",
+        "for the timing protocol). The grading signal is the last-step",
+        "growth ratio against 10x data: sub-linear ratios mean fixed",
+        "overhead still dominates; ~10x would be linear; anything",
+        "super-linear would flag an all-pairs term. The sf1_replica column",
+        "is a 10x FK-consistent replication of the driver's sf0.1 data",
+        "(tools/make_replica.py: keys offset per replica, document text",
+        "perturbed so cross-replica docs share no shingles) — it extends",
+        "the probe one decade past the largest driver-provided SF, where",
+        "data rather than fixed overhead dominates.",
         "",
         "| query | "
         + " | ".join(Path(s).name for s in sf_dirs)
