@@ -159,9 +159,7 @@ def asof_join(
     )
 
 
-def hourly_counts_stream(
-    spark: SparkSession, events_path: str, ts_is_nanos: bool = True
-) -> DataFrame:
+def hourly_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Run hourly tumbling-window counts as a Structured Streaming job over
     the events parquet, trigger=availableNow, complete mode → memory sink;
     returns the final result table.

@@ -146,7 +146,6 @@ def user_stats_stateful(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int | None = None,
-    ts_is_nanos: bool = True,
 ) -> DataFrame:
     """Run the stateful per-user aggregator over a directory of events
     parquet files with Structured Streaming (availableNow trigger) and
