@@ -40,6 +40,10 @@ EXTRA = [
     "qc_drift_chi2",
     "scd2_customer_history",
     "ann_ivf_recall",
+    "embeddings_kmeans",
+    "corpus_pagerank",
+    "corpus_canonical_docs",
+    "events_anomaly_zscore",
 ]
 
 DEFAULT_SFS = [
