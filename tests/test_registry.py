@@ -96,6 +96,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD10", "DD14",  # chunk-dedup / entity-match: DD1-DD9 exported
         "DD11",  # canonical-doc selection: composes exported DD9 + local IT2
         "TS6",   # z-score anomaly: TS1/TS4 exported, exact-moment variant
+        "PIPE5",  # exact-k weighted sample: PIPE3/PIPE4 sampling exported
     }
     orphaned = {
         t

@@ -2017,3 +2017,100 @@ register_local(
         doc="one Lloyd's k-means iteration: broadcast-centroid assign/update/reassign",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_sample_topk — EXACT-BUDGET weighted sampling
+# (Efraimidis–Spirakis A-ES): every doc gets the key u^(1/w) for a
+# deterministic hash-uniform u ∈ (0,1) and weight w = quality score; the
+# top-k keys ARE a weighted sample without replacement. Complements the
+# Bernoulli sampler above (corpus_quality_weighted_sample), which hits a
+# RATE but not a budget — this hits an exact k, the "select the best 10M
+# docs for the next training mix" shape.
+#
+# Plan: pure projection + TakeOrderedAndProject — one pass, per-partition
+# heaps of size k, no global sort or shuffle of the corpus; identical at
+# 100 TB. Reproducible across runs/engines/cluster layouts because u
+# comes from the content hash, not an RNG.
+#
+# Cross-engine exactness: rank by ln(u)/w (same ordering as u^(1/w),
+# since ln is monotone) ROUNDED to 12 dp — ln/pow are not guaranteed
+# correctly-rounded across libm implementations, and 12 dp absorbs any
+# last-ulp difference while the hash-uniform's 2^-20 granularity keeps
+# real key gaps far wider; doc_id breaks residual ties.
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 100
+WSAMPLE_M = 1 << 20
+
+
+def corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    q = F.round(
+        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+        * (
+            1.0
+            - (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ),
+        6,
+    )
+    u = (
+        (hashing.poly_hash(F.col("text")) % WSAMPLE_M).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(WSAMPLE_M))
+    skey = F.round(F.log(F.col("u")) / F.col("quality_score"), 12)
+    ranked = (
+        docs.select("doc_id", q.alias("quality_score"), u.alias("u"))
+        .filter(F.col("quality_score") > 0)
+        .select("doc_id", "quality_score", skey.alias("skey"))
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("skey"), "doc_id")
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).orderBy("rank")
+
+
+WSAMPLE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_TOK_SQL} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
+      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
+      6) AS DOUBLE) AS quality_score,
+    (CAST(({hashing.poly_hash_sql('text')}) % {WSAMPLE_M} AS DOUBLE) + 0.5)
+      / {float(WSAMPLE_M)} AS u
+  FROM tk
+),
+keyed AS (
+  SELECT doc_id, quality_score,
+    ROUND(ln(u) / quality_score, 12) AS skey
+  FROM scored WHERE quality_score > 0
+)
+SELECT doc_id, quality_score, skey,
+  CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+FROM keyed
+ORDER BY skey DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_weighted_sample_topk",
+        corpus_weighted_sample_topk,
+        WSAMPLE_SQL,
+        ("PIPE5",),
+        doc="exact-k weighted sample (A-ES keys from content-hash uniforms)",
+    )
+)
