@@ -97,6 +97,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD11",  # canonical-doc selection: composes exported DD9 + local IT2
         "TS6",   # z-score anomaly: TS1/TS4 exported, exact-moment variant
         "PIPE5",  # exact-k weighted sample: PIPE3/PIPE4 sampling exported
+        "PIPE6",  # language-balanced exact-k: per-group form of PIPE5
     }
     orphaned = {
         t

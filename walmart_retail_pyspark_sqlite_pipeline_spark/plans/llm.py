@@ -2114,3 +2114,94 @@ register_local(
         doc="exact-k weighted sample (A-ES keys from content-hash uniforms)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_balanced_sample_topk — language-BALANCED exact-budget sampling:
+# the same Efraimidis–Spirakis keys as corpus_weighted_sample_topk, but
+# ranked per language with an equal per-language budget — the
+# "multilingual training mix with k docs per language, best-first"
+# primitive. One shuffle on lang (the rank window), per-group heaps; no
+# global ordering of the corpus. The high-resource languages can't crowd
+# out the tail no matter how skewed the corpus is — that's the point.
+# ---------------------------------------------------------------------------
+BSAMPLE_K = 25
+
+
+def corpus_balanced_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    q = F.round(
+        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+        * (
+            1.0
+            - (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ),
+        6,
+    )
+    u = (
+        (hashing.poly_hash(F.col("text")) % WSAMPLE_M).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(WSAMPLE_M))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("skey"), "doc_id")
+    return (
+        docs.select("doc_id", "lang", q.alias("quality_score"), u.alias("u"))
+        .filter(F.col("quality_score") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.round(F.log(F.col("u")) / F.col("quality_score"), 12).alias("skey"),
+        )
+        .withColumn("lang_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("lang_rank") <= BSAMPLE_K)
+        .orderBy("lang", "lang_rank")
+    )
+
+
+BSAMPLE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, text, {_TOK_SQL} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    CAST(ROUND(
+      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
+      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
+      6) AS DOUBLE) AS quality_score,
+    (CAST(({hashing.poly_hash_sql('text')}) % {WSAMPLE_M} AS DOUBLE) + 0.5)
+      / {float(WSAMPLE_M)} AS u
+  FROM tk
+),
+keyed AS (
+  SELECT doc_id, lang, quality_score,
+    ROUND(ln(u) / quality_score, 12) AS skey
+  FROM scored WHERE quality_score > 0
+)
+SELECT doc_id, lang, quality_score, skey,
+  CAST(lang_rank AS BIGINT) AS lang_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY skey DESC, doc_id) AS lang_rank
+  FROM keyed
+)
+WHERE lang_rank <= {BSAMPLE_K}
+ORDER BY lang, lang_rank
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_balanced_sample_topk",
+        corpus_balanced_sample_topk,
+        BSAMPLE_SQL,
+        ("PIPE6",),
+        doc="language-balanced exact-k weighted sample (per-lang A-ES budgets)",
+    )
+)
