@@ -188,3 +188,52 @@ def test_pagerank_is_a_probability_distribution(spark):
     n = len(out)
     assert all(r.pagerank >= 0.15 / n - 1e-9 for r in out)
     assert abs(sum(r.pagerank for r in out) - 1.0) < 1e-6
+
+
+def test_weighted_samplers_prefer_quality_and_respect_budgets(spark):
+    """The A-ES samplers must (a) return exactly their budgets, (b) select
+    a sample whose mean quality beats the corpus mean (the point of
+    weighting), and (c) in the balanced variant, never exceed the
+    per-language budget while covering every language that has enough
+    positive-quality docs."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        BSAMPLE_K,
+        WSAMPLE_K,
+        corpus_balanced_sample_topk,
+        corpus_weighted_sample_topk,
+    )
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    top = corpus_weighted_sample_topk(spark, SF_SMALL).collect()
+    assert len(top) == WSAMPLE_K
+    assert [r.rank for r in top] == list(range(1, WSAMPLE_K + 1))
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    # corpus mean quality from the same scoring expression: compare the
+    # sample's mean score against ALL positive-quality docs
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import text as T
+
+    tok = T.tokens(F.col("text"))
+    q = F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0)) * (
+        1.0
+        - (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+        ).cast("double")
+        / F.length("text")
+    )
+    all_mean = (
+        docs.select(q.alias("q")).filter(F.col("q") > 0).agg(F.avg("q")).first()[0]
+    )
+    sel_mean = sum(r.quality_score for r in top) / len(top)
+    assert sel_mean > all_mean
+
+    bal = corpus_balanced_sample_topk(spark, SF_SMALL).collect()
+    per_lang: dict[str, int] = {}
+    for r in bal:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert 1 <= r.lang_rank <= BSAMPLE_K
+    assert all(n <= BSAMPLE_K for n in per_lang.values())
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_lang) == n_langs
