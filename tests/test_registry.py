@@ -98,6 +98,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS6",   # z-score anomaly: TS1/TS4 exported, exact-moment variant
         "PIPE5",  # exact-k weighted sample: PIPE3/PIPE4 sampling exported
         "PIPE6",  # language-balanced exact-k: per-group form of PIPE5
+        "TS7", "RJ2",  # session concurrency: TS1/TS4 + RJ1 range-join exported
+        "RFM1", "W5",  # RFM quartiles: A1/W1 family exported via q01/q02
     }
     orphaned = {
         t

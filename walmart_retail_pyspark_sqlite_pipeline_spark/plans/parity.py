@@ -1648,3 +1648,113 @@ ORDER BY user_id
 
 
 register_local(QuerySpec("q40_map_type", q40_map_type, Q40_SQL, ("MAP1",)))
+
+
+# ---------------------------------------------------------------------------
+# q41_rfm_segments — RFM (recency / frequency / monetary) customer
+# segmentation, the canonical retail-analytics operator for the
+# reference's domain (cf. /root/reference/testing/sql_queries.ipynb's
+# store-level aggs): per customer, days since last order (vs the
+# table-wide anchor date), order count, and lifetime cents; each scored
+# into quartiles (ntile) and concatenated into the familiar "444"-style
+# segment code.
+#
+# Plan: one shuffle to the per-customer rollup; each ntile is a global
+# sort over the CUSTOMER-sized table (not orders) — at 100 TB the rollup
+# is map-side-combined off the fact table, and the three quartile sorts
+# run on a table ~1000x smaller. Determinism: recency/cents are exact
+# integers; every ntile orders by (metric, c_custkey), so tie placement
+# is identical in both engines.
+# ---------------------------------------------------------------------------
+def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), "c_custkey")
+    f_w = Window.orderBy("frequency", "c_custkey")
+    m_w = Window.orderBy("monetary_cents", "c_custkey")
+    scored = per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    ).orderBy("c_custkey")
+
+
+Q41_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+    MAX(CAST(o_orderdate AS DATE)) AS last_order,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM orders GROUP BY 1
+),
+anchored AS (
+  SELECT c_custkey,
+    CAST(date_diff('day', last_order,
+      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+      AS recency_days,
+    frequency, monetary_cents
+  FROM per_cust
+),
+scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary_cents,
+    CAST(NTILE(4) OVER (ORDER BY recency_days DESC, c_custkey) AS BIGINT)
+      AS r_score,
+    CAST(NTILE(4) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+    CAST(NTILE(4) OVER (ORDER BY monetary_cents, c_custkey) AS BIGINT)
+      AS m_score
+  FROM anchored
+)
+SELECT c_custkey, recency_days, frequency, monetary_cents,
+  r_score, f_score, m_score,
+  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+    || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY c_custkey
+"""
+
+
+register_local(
+    QuerySpec(
+        "q41_rfm_segments",
+        q41_rfm_segments,
+        Q41_SQL,
+        ("RFM1", "W5"),
+        doc="RFM quartile segmentation: the retail-domain customer scoring rollup",
+    )
+)

@@ -254,3 +254,83 @@ register_local(
         doc="rolling 7-day z-score anomaly flags from exact integer moments",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_session_concurrency — how many sessions are ACTIVE in each hour:
+# sessionize per user (gap > 30 min), then explode every session to the
+# hour buckets it touches and count per bucket. The interval-overlap
+# aggregation without an interval join: fan-out per session is bounded
+# by its duration in hours (tiny), the count is one map-side-combinable
+# shuffle on hour_bucket, and — unlike the classic +1/-1 boundary sweep,
+# which needs a GLOBAL running sum — nothing here ever orders the whole
+# table in one partition. The capacity-planning curve at 100 TB cost.
+# ---------------------------------------------------------------------------
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    hours = sess.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("session_start") / 3600).cast("long"),
+                F.floor(F.col("session_end") / 3600).cast("long"),
+            )
+        ).alias("hour_bucket")
+    )
+    return (
+        hours.groupBy("hour_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_active_sessions"))
+        .select(
+            (F.col("hour_bucket") * 3600).cast("bigint").alias("hour_start"),
+            "n_active_sessions",
+        )
+        .orderBy("hour_start")
+    )
+
+
+SESSION_CONCURRENCY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+    CASE WHEN lag(ts_s) OVER w IS NULL
+              OR ts_s - lag(ts_s) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT user_id, ts_s,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_idx,
+    MIN(ts_s) // 3600 AS h_lo, MAX(ts_s) // 3600 AS h_hi
+  FROM sess GROUP BY user_id, session_idx
+),
+hours AS (
+  SELECT unnest(range(h_lo, h_hi + 1)) AS hour_bucket FROM bounds
+)
+SELECT CAST(hour_bucket * 3600 AS BIGINT) AS hour_start,
+  CAST(COUNT(*) AS BIGINT) AS n_active_sessions
+FROM hours
+GROUP BY hour_bucket
+ORDER BY hour_start
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_session_concurrency",
+        events_session_concurrency,
+        SESSION_CONCURRENCY_SQL,
+        ("TS7", "RJ2"),
+        doc="hourly active-session curve via bounded hour-explode (no global sweep)",
+    )
+)
