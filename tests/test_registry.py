@@ -100,6 +100,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "PIPE6",  # language-balanced exact-k: per-group form of PIPE5
         "TS7", "RJ2",  # session concurrency: TS1/TS4 + RJ1 range-join exported
         "RFM1", "W5",  # RFM quartiles: A1/W1 family exported via q01/q02
+        "ST7",   # native session_window: ST2 sessionization exported
     }
     orphaned = {
         t

@@ -248,3 +248,68 @@ for _spec in [
               ("RJ1", "J1")),
 ]:
     register(_spec)
+
+
+# ---------------------------------------------------------------------------
+# events_session_native — Spark's BUILT-IN session_window operator (the
+# streaming-capable sessionizer: in Structured Streaming this exact plan
+# runs with merging session state). The oracle replicates the native
+# semantics precisely: microsecond event time, sessions split when the
+# gap is >= 30 min (session_window merges only strictly-overlapping
+# [ts, ts+gap) intervals — note the window-function sessionize above
+# keeps a gap of exactly 1800 s in-session, so the two operators are
+# graded against separate oracles).
+# ---------------------------------------------------------------------------
+def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_NATIVE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+  CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start,
+  COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_session_native",
+        events_session_native,
+        SESSION_NATIVE_SQL,
+        ("ST7",),
+        doc="built-in session_window sessionization (streaming-capable operator)",
+    )
+)
