@@ -101,6 +101,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS7", "RJ2",  # session concurrency: TS1/TS4 + RJ1 range-join exported
         "RFM1", "W5",  # RFM quartiles: A1/W1 family exported via q01/q02
         "ST7",   # native session_window: ST2 sessionization exported
+        "SIM9", "IT3",  # PCA power iteration: iterative family (DD9/IT2) exported
     }
     orphaned = {
         t

@@ -181,3 +181,34 @@ def test_kmeans_iteration_improves_or_holds_inertia(spark):
         .i0
     )
     assert sum(r.inertia for r in out) <= seed_inertia + 1e-6
+
+
+def test_top_component_is_a_unit_direction(spark):
+    """The power-iteration output must be a unit vector (norm 1 after the
+    final normalize) whose direction is stable: one MORE iteration applied
+    to it must not flip or materially rotate it (cosine with the next
+    iterate close to 1) — the fixed-point property of the leading
+    eigenvector."""
+    import math
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        embeddings_top_component,
+    )
+
+    rows = embeddings_top_component(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    v = [r.loading for r in rows]
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+
+    e = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in read_table(spark, SF_SMALL, "embeddings").collect()
+    ]
+    w = [0.0] * 64
+    for _, x in e:
+        dot = sum(a * b for a, b in zip(x, v))
+        for d in range(64):
+            w[d] += x[d] * dot
+    nw = math.sqrt(sum(x * x for x in w))
+    cos = abs(sum(a * b / nw for a, b in zip(w, v)))
+    assert cos > 0.99

@@ -2205,3 +2205,114 @@ register_local(
         doc="language-balanced exact-k weighted sample (per-lang A-ES budgets)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# embeddings_top_component — the leading principal direction of the
+# embedding cloud via FOUR power iterations of X^T X from a fixed unit
+# start vector (1/8 in every dimension; dim=64): w = Σ_rows x·(x·v),
+# v' = w/‖w‖. The first step of PCA whitening / spectral embedding
+# compression, expressed as DataFrame ops: per iteration ONE pass over
+# the vectors (dot product + per-dimension scaled-integer sums, map-side
+# combinable) with the 64-double direction vector BROADCAST — the same
+# matrix-free shape distributed PCA (e.g. MLlib's) uses per iteration.
+#
+# Determinism: x·v is an ordered zip_with fold (bit-identical both
+# engines); each per-dimension Σ x_d·(x·v) rounds its terms to 1e-9 and
+# sums exact BIGINTs (order-free); the norm folds the 64 dimension sums
+# in dimension order. Output loadings rounded to 9 dp.
+# ---------------------------------------------------------------------------
+def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+
+    vcur = spark.range(1).select(
+        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)).alias(
+            "pc"
+        )
+    )
+    for _ in range(4):
+        dots = e.crossJoin(F.broadcast(vcur)).select(
+            F.posexplode("v").alias("d", "x"),
+            vectors.dot(F.col("v"), F.col("pc")).alias("dot"),
+        )
+        w = (
+            dots.groupBy("d")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("x") * F.col("dot") * 1e9, 0).cast("long")
+                    )
+                    / F.lit(1e9)
+                ).alias("w")
+            )
+        )
+        warr = w.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "w"))), lambda s: s["w"]
+            ).alias("warr")
+        )
+        vcur = warr.select(
+            F.transform(
+                F.col("warr"),
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("warr"),
+                        F.lit(0.0),
+                        lambda acc, y: acc + y * y,
+                    )
+                ),
+            ).alias("pc")
+        )
+    return (
+        vcur.select(F.posexplode("pc").alias("d", "loading"))
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            F.round("loading", 9).alias("loading"),
+        )
+        .orderBy("d")
+    )
+
+
+def _pc_iter_sql(prev: str, name: str) -> str:
+    return f"""{name}_w AS (
+  SELECT t.d AS d,
+    SUM(CAST(ROUND(e.v[t.d + 1] *
+      list_dot_product(e.v, (SELECT pc FROM {prev})) * 1e9, 0) AS BIGINT))
+      / 1e9 AS w
+  FROM e, range(0, 64) t(d)
+  GROUP BY t.d
+),
+{name} AS (
+  SELECT list_transform(wa, x -> x / sqrt(
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(wa, y -> y * y)), (acc, z) -> acc + z))) AS pc
+  FROM (SELECT list(w ORDER BY d) AS wa FROM {name}_w)
+)"""
+
+
+EMB_TOP_COMPONENT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+r0 AS (
+  SELECT list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS pc
+),
+{_pc_iter_sql("r0", "it1")},
+{_pc_iter_sql("it1", "it2")},
+{_pc_iter_sql("it2", "it3")},
+{_pc_iter_sql("it3", "it4")}
+SELECT CAST(t.d AS BIGINT) AS d, ROUND(pc[t.d + 1], 9) AS loading
+FROM it4, range(0, 64) t(d)
+ORDER BY d
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_top_component",
+        embeddings_top_component,
+        EMB_TOP_COMPONENT_SQL,
+        ("IT3", "SIM9"),
+        doc="leading PCA direction by matrix-free power iteration (4 steps)",
+    )
+)
