@@ -47,19 +47,97 @@ REGISTRY: dict[str, QuerySpec] = {}
 # set ops vs q28 multiset ops) live here instead.
 LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 
+# ---------------------------------------------------------------------------
+# Export rotation. The driver grades at most 50 queries per round, so the
+# split between REGISTRY (driver-graded) and LOCAL_REGISTRY (locally
+# oracle-checked) rotates each round: once a query has two green driver
+# rounds it parks and a never-graded query takes the slot. This single set
+# IS the rotation — ``register``/``register_local`` below route on
+# membership, so the per-module call sites record only the *default* tier
+# and never need editing.
+#
+# Round-5 window (see VERDICT.md r4 "Next round" #1):
+# - 9 keepers: first graded green in r4, held for a second green round;
+# - 12 bench headliners: every bench.py-timed query stays driver-graded
+#   (r4 verdict "What's wrong" #3);
+# - 29 first-time rotations: never-graded capabilities (iterative ML ops,
+#   exact-k samplers, SQL-surface demos q30/q32–q40, sessionization
+#   variants, layout clustering).
+EXPORTED_NAMES: frozenset[str] = frozenset(
+    {
+        # --- keepers: once-green in r4, need a second green ---
+        "events_asof_two_stream",
+        "events_range_join",
+        "dedup_incremental_near_docs",
+        "corpus_quality_weighted_sample",
+        "ann_knn_join",
+        "dedup_cc_clusters",
+        "events_gapfill_locf",
+        "qc_drift_chi2",
+        "events_active_users_7d",
+        # --- bench headliners (thrice-green but timed by bench.py) ---
+        "q01_pricing_summary",
+        "q02_top_customers",
+        "q11_event_hourly",
+        "q14_curated_wide",
+        "events_sessionization",
+        "corpus_prep_pipeline",
+        "q03_sales_by_nation_year",
+        "q22_revenue_by_region",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh_pairs",
+        "ann_topk_cosine",
+        "corpus_shingle_index",
+        # --- first-time rotations (never driver-graded before r5) ---
+        "embeddings_kmeans",
+        "corpus_pagerank",
+        "corpus_canonical_docs",
+        "events_anomaly_zscore",
+        "corpus_weighted_sample_topk",
+        "corpus_balanced_sample_topk",
+        "q41_rfm_segments",
+        "events_session_native",
+        "events_session_concurrency",
+        "embeddings_top_component",
+        "q30_unpivot_metrics",
+        "q32_window_depth",
+        "q33_variant_props",
+        "q34_correlated_scalar",
+        "q35_market_share",
+        "q36_pipe_syntax",
+        "q37_histogram",
+        "q38_nullsafe_join",
+        "q39_decimal_money",
+        "q40_map_type",
+        "ann_int8_topk",
+        "events_range_rolling",
+        "corpus_chunk_dedup",
+        "entity_match_customers",
+        "text_tfidf_topterms",
+        "text_repetition",
+        "corpus_source_mix",
+        "text_sentiment",
+        "layout_zorder_clustering",
+    }
+)
 
-def register(spec: QuerySpec) -> QuerySpec:
+
+def _route(spec: QuerySpec) -> QuerySpec:
     if spec.name in REGISTRY or spec.name in LOCAL_REGISTRY:
         raise ValueError(f"duplicate query name {spec.name!r}")
-    REGISTRY[spec.name] = spec
+    if spec.name in EXPORTED_NAMES:
+        REGISTRY[spec.name] = spec
+    else:
+        LOCAL_REGISTRY[spec.name] = spec
     return spec
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    return _route(spec)
 
 
 def register_local(spec: QuerySpec) -> QuerySpec:
-    if spec.name in REGISTRY or spec.name in LOCAL_REGISTRY:
-        raise ValueError(f"duplicate query name {spec.name!r}")
-    LOCAL_REGISTRY[spec.name] = spec
-    return spec
+    return _route(spec)
 
 
 def _load_all() -> None:
@@ -76,6 +154,10 @@ def _load_all() -> None:
     from . import quality_suite  # noqa: F401
     from . import scd_history  # noqa: F401
     from . import cohorts  # noqa: F401
+
+    missing = EXPORTED_NAMES - REGISTRY.keys()
+    if missing:  # a typo in the rotation list would silently shrink the window
+        raise RuntimeError(f"EXPORTED_NAMES entries never registered: {sorted(missing)}")
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
