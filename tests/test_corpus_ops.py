@@ -210,19 +210,11 @@ def test_weighted_samplers_prefer_quality_and_respect_budgets(spark):
     assert [r.rank for r in top] == list(range(1, WSAMPLE_K + 1))
 
     docs = read_table(spark, SF_SMALL, "documents")
-    # corpus mean quality from the same scoring expression: compare the
+    # corpus mean quality from the ONE shared scoring rule: compare the
     # sample's mean score against ALL positive-quality docs
     from walmart_retail_pyspark_sqlite_pipeline_spark.functions import text as T
 
-    tok = T.tokens(F.col("text"))
-    q = F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0)) * (
-        1.0
-        - (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
-        ).cast("double")
-        / F.length("text")
-    )
+    q = T.quality_score(F.col("text"))
     all_mean = (
         docs.select(q.alias("q")).filter(F.col("q") > 0).agg(F.avg("q")).first()[0]
     )
@@ -235,5 +227,36 @@ def test_weighted_samplers_prefer_quality_and_respect_budgets(spark):
         per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
         assert 1 <= r.lang_rank <= BSAMPLE_K
     assert all(n <= BSAMPLE_K for n in per_lang.values())
-    n_langs = docs.select("lang").distinct().count()
-    assert len(per_lang) == n_langs
+    # every language with at least one positive-quality doc appears (the
+    # sampler filters quality_score > 0, so compare against THAT language
+    # set, not all distinct languages — a testdata regeneration where some
+    # language's docs all score <= 0 is not a code bug)
+    eligible_langs = {
+        r.lang
+        for r in docs.select("lang", q.alias("q"))
+        .filter(F.col("q") > 0)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert set(per_lang) == eligible_langs
+
+
+def test_quality_score_single_rule_everywhere(spark):
+    """text_quality's reported composite must equal the shared
+    functions.text.quality_score rule the samplers use — the two are
+    intentionally the same formula and must not desynchronize."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import text as T
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import text_quality
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    reported = text_quality(spark, SF_SMALL).select("doc_id", "quality_score")
+    shared = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("expected")
+    )
+    diverged = (
+        reported.join(shared, "doc_id")
+        .filter(F.col("quality_score") != F.col("expected"))
+        .count()
+    )
+    assert diverged == 0

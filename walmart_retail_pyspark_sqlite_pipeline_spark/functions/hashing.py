@@ -66,6 +66,19 @@ def poly_hash_sql(expr: str) -> str:
     )
 
 
+def hash_uniform(col: Column, m: int) -> Column:
+    """Deterministic uniform u ∈ (0,1) from a string column's content hash:
+    ``(poly_hash(col) % m + 0.5) / m``. The reproducible "RNG" behind the
+    weighted samplers — same doc content → same u on every run, engine,
+    and cluster layout. SQL twin: :func:`hash_uniform_sql`."""
+    return ((poly_hash(col) % m).cast("double") + F.lit(0.5)) / F.lit(float(m))
+
+
+def hash_uniform_sql(expr: str, m: int) -> str:
+    """DuckDB twin of :func:`hash_uniform`."""
+    return f"(CAST(({poly_hash_sql(expr)}) % {m} AS DOUBLE) + 0.5) / {float(m)}"
+
+
 def minhash_value(hash_col: Column, perm: tuple[int, int]) -> Column:
     a, b = perm
     return (hash_col * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)

@@ -51,6 +51,40 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def quality_score(text_col: Column, tok: Column | None = None) -> Column:
+    """Sampler quality score: token-length cap (``min(n_tokens/50, 1)``)
+    times the alphanumeric-character ratio, rounded to 6 dp. The ONE scoring
+    rule shared by every sampler (Bernoulli, exact-k weighted, balanced) and
+    the corpus prep pipeline — edit here, not in a caller, or the samplers
+    silently desynchronize. SQL twin: :func:`quality_score_sql`."""
+    if tok is None:
+        tok = tokens(text_col)
+    return F.round(
+        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+        * (
+            1.0
+            - (
+                F.length(text_col)
+                - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length(text_col)
+        ),
+        6,
+    )
+
+
+def quality_score_sql(text_expr: str = "text", tok_expr: str = "tok") -> str:
+    """DuckDB twin of :func:`quality_score` (expects ``tok_expr`` bound to
+    ``tokens_sql(text_expr)`` in an enclosing CTE)."""
+    return (
+        "CAST(ROUND("
+        f"least(CAST(len({tok_expr}) AS DOUBLE) / 50.0, 1.0) * "
+        f"(1.0 - CAST(length({text_expr}) - length(regexp_replace({text_expr}, "
+        f"'[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length({text_expr})), "
+        "6) AS DOUBLE)"
+    )
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
     """n-word shingles joined by single spaces; empty array when the doc has
     fewer than n tokens. (Spark ``sequence(1, k)`` DESCENDS when k < 1, so

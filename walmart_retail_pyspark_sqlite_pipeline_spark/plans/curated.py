@@ -118,9 +118,13 @@ def build_curated_tables(
     f_pruned = f_.select(
         "store_id", "date", *[c for c in f_.columns if c not in overlap]
     )
-    joined = t.join(F.broadcast(f_pruned), on=["store_id", "date"], how="left")
+    # No broadcast hints: features grows as stores×weeks and a pinned hint
+    # would override AQE's size check at scale. Catalyst already picks
+    # BroadcastHashJoin unhinted at these sizes (PLANS.md q14) and AQE can
+    # fall back to SMJ when the dim outgrows autoBroadcastJoinThreshold.
+    joined = t.join(f_pruned, on=["store_id", "date"], how="left")
     # J2: string-key join form emits store_id once
-    joined = joined.join(F.broadcast(s), on="store_id", how="left")
+    joined = joined.join(s, on="store_id", how="left")
 
     curated = joined.select(*CURATED_COLUMNS)
     curated.createOrReplaceTempView("curated_sales")

@@ -703,6 +703,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(tok), F.lit(1))
         ).alias("stop_ratio_raw"),
     )
+    # composite score: same one rule as every sampler (functions.text.
+    # quality_score); recomputed here from components only because this
+    # query REPORTS the components — tests pin the equality
     score = (
         F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
         * (1.0 - F.col("punct_ratio_raw"))
@@ -1035,20 +1038,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(tok).alias("n_tokens"),
-        F.round(
-            F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
-            * (
-                1.0
-                - (
-                    F.length("text")
-                    - F.length(
-                        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
-                    )
-                ).cast("double")
-                / F.length("text")
-            ),
-            6,
-        ).alias("quality_score"),
+        text.quality_score(F.col("text"), tok).alias("quality_score"),
     ).filter(F.col("quality_score") >= QUALITY_MIN)
 
     # exact dups: keep the lowest doc_id per content hash
@@ -1078,10 +1068,7 @@ WITH tk AS (
 scored AS (
   SELECT doc_id, lang,
     CAST(len(tok) AS INTEGER) AS n_tokens,
-    CAST(ROUND(
-      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
-      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
-      6) AS DOUBLE) AS quality_score
+    {text.quality_score_sql()} AS quality_score
   FROM tk
 ),
 keep_exact AS (
@@ -1510,19 +1497,7 @@ LIMIT {BPE_TOPK}
 # ---------------------------------------------------------------------------
 def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    q = F.round(
-        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
-        * (
-            1.0
-            - (
-                F.length("text")
-                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
-            ).cast("double")
-            / F.length("text")
-        ),
-        6,
-    )
+    q = text.quality_score(F.col("text"))
     h = hashing.poly_hash(F.col("text")) % 1000
     return (
         docs.select("doc_id", q.alias("quality_score"), h.alias("coin"))
@@ -1537,10 +1512,7 @@ WITH tk AS (
 ),
 scored AS (
   SELECT doc_id,
-    CAST(ROUND(
-      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
-      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
-      6) AS DOUBLE) AS quality_score,
+    {text.quality_score_sql()} AS quality_score,
     ({hashing.poly_hash_sql('text')}) % 1000 AS coin
   FROM tk
 )
@@ -2045,23 +2017,8 @@ WSAMPLE_M = 1 << 20
 
 def corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    q = F.round(
-        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
-        * (
-            1.0
-            - (
-                F.length("text")
-                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
-            ).cast("double")
-            / F.length("text")
-        ),
-        6,
-    )
-    u = (
-        (hashing.poly_hash(F.col("text")) % WSAMPLE_M).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(WSAMPLE_M))
+    q = text.quality_score(F.col("text"))
+    u = hashing.hash_uniform(F.col("text"), WSAMPLE_M)
     skey = F.round(F.log(F.col("u")) / F.col("quality_score"), 12)
     ranked = (
         docs.select("doc_id", q.alias("quality_score"), u.alias("u"))
@@ -2084,12 +2041,8 @@ WITH tk AS (
 ),
 scored AS (
   SELECT doc_id,
-    CAST(ROUND(
-      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
-      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
-      6) AS DOUBLE) AS quality_score,
-    (CAST(({hashing.poly_hash_sql('text')}) % {WSAMPLE_M} AS DOUBLE) + 0.5)
-      / {float(WSAMPLE_M)} AS u
+    {text.quality_score_sql()} AS quality_score,
+    {hashing.hash_uniform_sql('text', WSAMPLE_M)} AS u
   FROM tk
 ),
 keyed AS (
@@ -2130,23 +2083,8 @@ BSAMPLE_K = 25
 
 def corpus_balanced_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    q = F.round(
-        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
-        * (
-            1.0
-            - (
-                F.length("text")
-                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
-            ).cast("double")
-            / F.length("text")
-        ),
-        6,
-    )
-    u = (
-        (hashing.poly_hash(F.col("text")) % WSAMPLE_M).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(WSAMPLE_M))
+    q = text.quality_score(F.col("text"))
+    u = hashing.hash_uniform(F.col("text"), WSAMPLE_M)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("lang").orderBy(F.desc("skey"), "doc_id")
@@ -2171,12 +2109,8 @@ WITH tk AS (
 ),
 scored AS (
   SELECT doc_id, lang,
-    CAST(ROUND(
-      least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) *
-      (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)),
-      6) AS DOUBLE) AS quality_score,
-    (CAST(({hashing.poly_hash_sql('text')}) % {WSAMPLE_M} AS DOUBLE) + 0.5)
-      / {float(WSAMPLE_M)} AS u
+    {text.quality_score_sql()} AS quality_score,
+    {hashing.hash_uniform_sql('text', WSAMPLE_M)} AS u
   FROM tk
 ),
 keyed AS (

@@ -185,8 +185,12 @@ for _spec in [
 # var = (n·Σx² − (Σx)²) / (n·(n−1)) — so both engines start from the
 # same integers and apply the identical IEEE division/sqrt sequence
 # (built-in stddev would instead hash-mismatch on summation order).
-# BIGINT range note: Σx² bounds this to daily totals < ~3e9 cents/key;
-# beyond that, swap the sums to DECIMAL(38,0) — same plan.
+# BIGINT range note: the binding term is n·Σx² (n=7): with daily totals
+# of x cents/key, 7·(7x²) = 49x² must stay < 2⁶³, so x < ~4.3e8
+# cents/day/key (~$4.3M/day). Past that Spark wraps silently while DuckDB
+# raises — swap the sums to DECIMAL(38,0) on BOTH sides before relying on
+# it (same plan shape; re-verify hash parity, decimal division scale
+# rules differ between engines).
 # ---------------------------------------------------------------------------
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
