@@ -103,7 +103,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "UDTF1",  # text_chunks_udtf: same oracle as exported text_chunks
         "SET1",   # q10 distinct set ops: multiset form proven via q28 (3x green)
         "C10", "C11", "C12",  # function-surface demos (q24-q26), 1x green r2
-        "MM3", "MM4", "MM5",  # multimodal plumbing: MM1 proven, decode stubbed
+        "MM3", "MM4", "MM5",  # multimodal plumbing: MM1 proven; header
+        # decode real (test_multimodal), pixel kernels stubbed
         "TX10",  # BPE merge-candidate training step: TX5 tokenizer proven
     }
     orphaned = {

@@ -2,11 +2,22 @@
 
 The Spark-side pattern is real and scale-correct — binary column, Arrow
 batches through ``mapInPandas``, per-batch vectorized work, no
-``collect()`` — but the actual media decode is a STUB: image/audio libraries
-are not in this container, so ``_decode_batch`` computes a deterministic
-fake decode from the payload bytes. Swap ``_decode_batch`` for a Pillow /
-torchaudio kernel in a real deployment; the schema, partitioning, UDF
-signature, and batch shape stay identical.
+``collect()``.
+
+The decode itself is tiered:
+
+1. **Real header decode** (always available, pure stdlib): PNG / GIF /
+   JPEG payloads get their TRUE width/height parsed from the container
+   header (IHDR chunk, logical-screen descriptor, SOF marker) — no
+   imaging library needed for metadata extraction.
+2. **PIL fallback** (import-gated; absent in this container): full decode
+   for any other format Pillow recognizes.
+3. **Deterministic pseudo-decode** for payloads no decoder recognizes
+   (e.g. the utf-8 text stand-ins the oracle-graded fixture queries use) —
+   pseudo-dims from the payload length so the DuckDB oracle can reproduce
+   them. Pixel-level ops (resize kernels, CNN features) remain stubbed;
+   the schema, partitioning, UDF signature, and batch shape are the same
+   ones a Pillow/torchaudio kernel would use.
 
 At 100 TB: payloads live in parquet binary columns (or object-store URIs
 resolved inside the batch fn); ``mapInPandas`` streams Arrow batches so
@@ -15,6 +26,7 @@ executor memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,12 +38,54 @@ IMAGE_META_SCHEMA = (
 )
 
 _HAVE_PIL = False
-try:  # real decoder gated behind an import-try; absent in this container
+try:  # full-decode fallback gated behind an import-try; absent here
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
 except ImportError:
     pass
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carrying dimensions (C4=DHT, C8=JPG ext,
+# CC=DAC are NOT SOF)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(b: bytes) -> tuple[int, int] | None:
+    """REAL metadata decode: (width, height) from a PNG / GIF / JPEG
+    payload's own header, pure stdlib. Returns ``None`` for anything
+    else (caller falls back to PIL, then to the pseudo-decode)."""
+    if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segment markers to a SOF
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h)
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+    return None
+
+
+def _pil_dims(b: bytes) -> tuple[int, int] | None:
+    if not _HAVE_PIL:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(b)) as img:
+            return int(img.width), int(img.height)
+    except Exception:
+        return None
 
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -41,19 +95,31 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode: deterministic pseudo-dimensions from payload length.
+    """Tiered decode (see module doc): real header parse → PIL → pseudo.
 
-    A real implementation would be, per row, ``Image.open(BytesIO(b))`` —
-    raising here when PIL is present but unused keeps the stub honest.
+    Real image payloads (PNG/GIF/JPEG) get true dimensions and
+    ``n_frames=1``; unrecognized payloads get the deterministic
+    pseudo-dims the oracle reproduces from the byte length.
     """
     blen = pdf["payload"].map(len).astype("int64")
+    widths, heights, frames = [], [], []
+    for b, n in zip(pdf["payload"], blen):
+        dims = parse_image_dims(bytes(b)) or _pil_dims(bytes(b))
+        if dims is not None:
+            widths.append(dims[0])
+            heights.append(dims[1])
+            frames.append(1)
+        else:
+            widths.append(16 + n % 64)
+            heights.append(16 + (n * 7) % 64)
+            frames.append(1 + n % 8)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
             "byte_len": blen.astype("int32"),
-            "width": (16 + blen % 64).astype("int32"),
-            "height": (16 + (blen * 7) % 64).astype("int32"),
-            "n_frames": (1 + blen % 8).astype("int32"),
+            "width": pd.Series(widths, index=pdf.index).astype("int32"),
+            "height": pd.Series(heights, index=pdf.index).astype("int32"),
+            "n_frames": pd.Series(frames, index=pdf.index).astype("int32"),
         }
     )
 
