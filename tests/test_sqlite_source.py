@@ -99,6 +99,30 @@ def test_sqlite_roundtrip_through_spark(spark, tmp_path):
     assert orders.exceptAll(back).count() == 0
 
 
+def test_sqlite_sink_row_ceiling_guard(spark, tmp_path):
+    """Oversized input must fail fast with the parquet-sink pointer and
+    leave no committed table — SQLite is the local BI hand-off, not the
+    scale sink. The under-limit path through the same ceiling still
+    writes and returns the exact count."""
+    import pytest
+    import sqlite3
+
+    db = tmp_path / "guard.db"
+    orders = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    with pytest.raises(ValueError, match="parquet"):
+        write_sqlite(orders, db, "too_big", max_rows=10)
+    con = sqlite3.connect(db)
+    try:
+        n_rows = con.execute("SELECT COUNT(*) FROM too_big").fetchone()[0]
+    finally:
+        con.close()
+    assert n_rows == 0  # rolled back: the CREATE survived, no rows did
+    total = orders.count()
+    assert write_sqlite(orders, db, "fits", max_rows=total) == total
+
+
 def test_sqlite_spark_filter_matches_unfiltered(spark, tmp_path):
     """A filtered read (pushdown path) returns exactly what filtering the
     full scan returns."""

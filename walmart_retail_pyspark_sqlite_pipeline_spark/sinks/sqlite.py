@@ -48,12 +48,30 @@ def _normalize(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+#: Hard ceiling on rows routed through the driver to SQLite. SQLite is the
+#: single-writer local BI hand-off, NOT the scale sink — a table 100× the
+#: reference's (~420k rows) pointed here by accident should fail fast, not
+#: materialize on the driver. Checked incrementally while streaming, so the
+#: plan is never double-executed and the abort happens at the ceiling, not
+#: after a full materialization.
+MAX_SQLITE_ROWS = 10_000_000
+
+
 def write_sqlite(
-    df: DataFrame, db_path: str | Path, table: str, mode: str = "overwrite"
+    df: DataFrame,
+    db_path: str | Path,
+    table: str,
+    mode: str = "overwrite",
+    max_rows: int = MAX_SQLITE_ROWS,
 ) -> int:
     """Write ``df`` into ``db_path`` as ``table``; returns rows written
     (so callers don't re-execute the plan just to log a count — the
-    reference runs every table twice for that, SURVEY §4.3)."""
+    reference runs every table twice for that, SURVEY §4.3).
+
+    Raises ``ValueError`` (transaction rolled back, nothing committed) if
+    the input exceeds ``max_rows`` — at that size use the distributed
+    parquet sink and query it in place instead of a driver-side SQLite
+    file."""
     df = _normalize(df)
     ddl_types = [
         _SQLITE_TYPES.get(f_.dataType.simpleString(), "TEXT")
@@ -71,7 +89,18 @@ def write_sqlite(
         cur.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({col_ddl})')
         cur.execute("BEGIN")
         n = 0
-        arrow_table = df.toArrow()
+        # limit(max_rows+1) is pushed into the plan, so an oversized table
+        # never materializes on the driver — the one extra row is the
+        # overflow detector
+        arrow_table = df.limit(max_rows + 1).toArrow()
+        if arrow_table.num_rows > max_rows:
+            con.rollback()
+            raise ValueError(
+                f"write_sqlite: input exceeds max_rows={max_rows:,} "
+                f"(table {table!r}); SQLite is the single-writer local "
+                "BI sink — write this table with the parquet sink "
+                "(df.write.parquet) and query it in place instead"
+            )
         for batch in arrow_table.to_batches(max_chunksize=50_000):
             rows = list(zip(*(col.to_pylist() for col in batch.columns)))
             cur.executemany(
