@@ -106,6 +106,10 @@ def test_rotation_never_orphans_a_capability_tag():
         "MM3", "MM4", "MM5",  # multimodal plumbing: MM1 proven; header
         # decode real (test_multimodal), pixel kernels stubbed
         "TX10",  # BPE merge-candidate training step: TX5 tokenizer proven
+        # new round-5 capabilities awaiting their first rotation window
+        "DD15",  # exact 13-gram substring dedup: DD1-DD9 family proven
+        "CP2",   # token-budget source rebalance: CP1/PIPE3-6 family proven
+        "TX13",  # bigram LM scoring: TX1-TX7 text family proven
     }
     orphaned = {
         t

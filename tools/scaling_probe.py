@@ -10,6 +10,12 @@ the LARGE-step ratio (sf0.01 -> sf0.1), reported against the 10x data
 growth.
 
 Usage: python tools/scaling_probe.py [sf_dir ...]
+       python tools/scaling_probe.py [sf_dir ...] --only q1,q2 --section TITLE
+
+With ``--only`` the probe times just the named queries and APPENDS a
+focused section to SCALING.md instead of rewriting the headline table —
+used to push a narrow family (e.g. dedup) one decade further than the
+full suite is worth running.
 """
 
 from __future__ import annotations
@@ -58,12 +64,26 @@ def run_to_completion(df) -> None:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or DEFAULT_SFS
+    argv = sys.argv[1:]
+    only: list[str] = []
+    section = ""
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    if "--section" in argv:
+        i = argv.index("--section")
+        section = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dirs = argv or DEFAULT_SFS
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     every = all_specs()
-    specs = bench_specs() + [every[n] for n in EXTRA]
+    if only:
+        specs = [every[n] for n in only]
+    else:
+        specs = bench_specs() + [every[n] for n in EXTRA]
     # warm-up lap at the largest SF (JIT/codegen for every plan shape)
     for spec in specs:
         run_to_completion(spec.fn(spark, sf_dirs[-1]))
@@ -84,6 +104,42 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             rows.setdefault(spec.name, {})[sf_dir] = round(best, 3)
         spark.catalog.clearCache()
+
+    if only:
+        lines = [
+            "",
+            f"## {section or 'Focused probe: ' + ', '.join(only)}",
+            "",
+            "`python tools/scaling_probe.py "
+            + " ".join(Path(s).name for s in sf_dirs)
+            + " --only ...` — best-of-2 steady-state seconds; each step is",
+            "10x the data of the previous column.",
+            "",
+            "| query | "
+            + " | ".join(Path(s).name for s in sf_dirs)
+            + " | last-step growth (data 10x) |",
+            "|---|" + "---|" * (len(sf_dirs) + 1),
+        ]
+        for name, times in rows.items():
+            t = [times[s] for s in sf_dirs]
+            ratio = round(t[-1] / t[-2], 2) if t[-2] > 0 else float("nan")
+            lines.append(
+                f"| {name} | "
+                + " | ".join(f"{x:.3f}" for x in t)
+                + f" | {ratio}x |"
+            )
+        lines += [
+            "",
+            "lineitem rows per column: "
+            + ", ".join(f"{Path(s).name}={fact_rows[s]:,}" for s in sf_dirs),
+            "",
+        ]
+        out = REPO / "SCALING.md"
+        with open(out, "a") as fh:
+            fh.write("\n".join(lines))
+        print(f"appended section to {out}")
+        spark.stop()
+        return
 
     lines = [
         "# SCALING — measured runtime vs scale factor",

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import text
+from ..functions import hashing, text
 from ..sources import read_table
 from .llm import (
     _BAND_SELECTS,
@@ -765,5 +765,335 @@ register_local(
         CANONICAL_DOCS_SQL,
         ("DD9", "IT2", "DD11"),
         doc="one canonical doc per near-dup cluster: CC labels + PageRank argmax",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_ngrams — exact-substring duplication signal (the
+# 13-token-gram rule from Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): a doc is substring-contaminated when any of
+# its 13-token windows also appears in another document. Per doc: distinct
+# 13-gram count, how many of those grams are shared with at least one
+# other doc, and the shared fraction — the score a prep pipeline
+# thresholds to route docs into "drop" / "trim the shared span" handling.
+#
+# Plan shape (the 100 TB one): shingle expand (no shuffle) → hash to a
+# narrow BIGINT → distinct (doc_id, h) → gram-keyed groupBy marks grams
+# with ≥2 docs → semi-join back. No all-pairs term anywhere: cost is
+# Σ grams + the postings of duplicated grams, exactly how the
+# suffix-array pipeline's candidate stage behaves at corpus scale.
+# ---------------------------------------------------------------------------
+SUBSTR_N = 13
+
+
+def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.word_shingles(tok, SUBSTR_N))).alias(
+                "g"
+            ),
+        )
+        .select("doc_id", hashing.poly_hash(F.col("g")).alias("h"))
+        .distinct()  # hash collisions could re-merge distinct grams
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shared_per_doc = (
+        grams.join(shared, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        per_doc.join(shared_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("shared_frac"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias(
+                "has_dup_substring"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_NGRAMS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+uni AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", SUBSTR_N)}) AS g
+  FROM tk
+),
+hh AS (
+  SELECT DISTINCT doc_id, {hashing.poly_hash_sql('g')} AS h FROM uni
+),
+shared AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) >= 2),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM hh GROUP BY doc_id),
+spd AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM hh JOIN shared USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id,
+  CAST(p.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / p.n_grams, 6)
+       AS DOUBLE) AS shared_frac,
+  COALESCE(s.n_shared, 0) > 0 AS has_dup_substring
+FROM per_doc p LEFT JOIN spd s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_substring_ngrams",
+        dedup_substring_ngrams,
+        SUBSTRING_NGRAMS_SQL,
+        ("DD15",),
+        doc="exact 13-token-gram substring duplication signal (Lee et al.)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_rebalance — domain/source rebalancing to a TOKEN budget:
+# give every source an equal share of the total token budget and
+# down-sample over-represented sources with a deterministic content-hash
+# coin (accept_prob = min(1, fair_share / source_tokens); doc kept iff
+# u < accept_prob). This is the "training mix" primitive — budgets are in
+# TOKENS (what the model actually consumes), not doc counts, and the coin
+# is content-keyed so the mix is reproducible across runs, engines, and
+# re-ingestions.
+#
+# Plan: one groupBy(source) for token totals, a broadcast of the
+# (tiny) per-source table back onto docs, one more groupBy for the kept
+# rollup. The corpus is never re-shuffled by a high-cardinality key; at
+# 100 TB the only wide exchange is the source rollup (|sources| keys).
+# ---------------------------------------------------------------------------
+REBALANCE_M = 1 << 20
+
+
+def corpus_token_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).cast("long").alias("n_tokens"),
+        hashing.hash_uniform(F.col("text"), REBALANCE_M).alias("u"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    per_src = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(
+            F.lit(1.0),
+            F.col("total_tokens").cast("double")
+            / F.col("n_sources")
+            / F.col("src_tokens"),
+        ).alias("accept_prob"),
+    )
+    kept = (
+        d.join(F.broadcast(per_src.select("source", "accept_prob")), "source")
+        .filter(F.col("u") < F.col("accept_prob"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        per_src.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("accept_prob", 6).alias("accept_prob"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_REBALANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+    {hashing.hash_uniform_sql('text', REBALANCE_M)} AS u
+  FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS src_tokens
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT SUM(src_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+),
+probs AS (
+  SELECT source, n_docs, src_tokens,
+    least(1.0, CAST(total_tokens AS DOUBLE) / n_sources / src_tokens)
+      AS accept_prob
+  FROM per_src CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tokens) AS kept_tokens
+  FROM d JOIN probs USING (source)
+  WHERE d.u < probs.accept_prob
+  GROUP BY d.source
+)
+SELECT probs.source,
+  CAST(probs.n_docs AS BIGINT) AS n_docs,
+  CAST(probs.src_tokens AS BIGINT) AS src_tokens,
+  CAST(ROUND(probs.accept_prob, 6) AS DOUBLE) AS accept_prob,
+  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM probs LEFT JOIN kept USING (source)
+ORDER BY probs.source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_token_rebalance",
+        corpus_token_rebalance,
+        TOKEN_REBALANCE_SQL,
+        ("CP2",),
+        doc="token-budget source rebalancing with deterministic content coins",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_lm_score — corpus-trained bigram language-model scoring (the
+# CCNet-style "does this read like the corpus" quality signal): train
+# add-one-smoothed bigram counts on the WHOLE corpus in-plan, then score
+# every document by its average negative log-probability. Low avg_nll ≈
+# fluent/common phrasing; high ≈ gibberish or boilerplate-mangled text —
+# the standard perplexity filter for pretraining data, minus the exp().
+#
+# Plan: bigram expand → two count aggregations (bigram table, prefix
+# table) → join the per-occurrence stream back to both count tables →
+# per-doc aggregation. All built-in expressions; the LM "model" is a
+# DataFrame, never a driver-side dict, so training scales with the
+# corpus. At 100 TB the bigram join is the big shuffle — key-partitioned,
+# combiner-friendly, and reusable across scoring runs if the count tables
+# are persisted as bucketed parquet.
+#
+# Cross-engine exactness: counts and V are exact integers, so the
+# smoothed probability (n2+1)/(n1+V) has identical IEEE operands; each
+# occurrence's ln() is rounded at 1e-6 into a BIGINT, per-doc sums are
+# exact integer arithmetic (summation-order-free), and the final mean is
+# one identical double division sequence.
+# ---------------------------------------------------------------------------
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    grams = docs.select(
+        "doc_id", F.explode(text.word_shingles(tok, 2)).alias("g")
+    ).select("doc_id", "g", F.split(F.col("g"), " ").getItem(0).alias("w1"))
+    c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = docs.select(F.explode(tok).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        grams.join(c2, "g")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("qf"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -(F.col("sq").cast("double")) / F.col("n_bigrams") / 1000000.0, 6
+        ).alias("avg_nll"),
+    ).orderBy("doc_id")
+
+
+LM_SCORE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+c2 AS (SELECT g, COUNT(*) AS n2 FROM grams GROUP BY g),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM grams GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(tok) AS w FROM tk)
+),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(ln((c2.n2 + 1.0) / (c1.n1 + vocab.v)) * 1000000.0, 0)
+         AS BIGINT) AS qf
+  FROM grams
+  JOIN c2 USING (g)
+  JOIN c1 USING (w1)
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(ROUND(-(CAST(sq AS DOUBLE)) / n_bigrams / 1000000.0, 6) AS DOUBLE)
+    AS avg_nll
+FROM agg
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_lm_score",
+        text_lm_score,
+        LM_SCORE_SQL,
+        ("TX13",),
+        doc="corpus-trained add-one bigram LM scoring (avg negative logprob)",
     )
 )
