@@ -260,3 +260,84 @@ def test_quality_score_single_rule_everywhere(spark):
         .count()
     )
     assert diverged == 0
+
+
+def test_substring_ngrams_flags_planted_shared_span(spark):
+    """Docs sharing a 13-token span are flagged; unrelated docs are not.
+    Runs the operator body against a planted table through the same code
+    path (temp-view swap of `documents`)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        SUBSTR_N,
+        dedup_substring_ngrams,
+    )
+
+    span = " ".join(f"w{i}" for i in range(SUBSTR_N))
+    df = spark.createDataFrame(
+        [
+            (1, f"left intro {span} tail one", "en", "src0", 0),
+            (2, f"other head {span} different end", "en", "src0", 0),
+            (3,
+             "completely unrelated text with plenty of words spread "
+             "across a sentence long enough to shingle but sharing no "
+             "thirteen token window with the other documents at all",
+             "en", "src0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in dedup_substring_ngrams(spark, d).collect()}
+    assert rows[1].has_dup_substring and rows[2].has_dup_substring
+    assert not rows[3].has_dup_substring
+    assert rows[1].n_shared >= 1 and rows[3].n_shared == 0
+    assert 0.0 < rows[1].shared_frac <= 1.0
+
+
+def test_token_rebalance_budget_semantics(spark):
+    """Acceptance probabilities equalize token budgets: every source's
+    accept_prob is min(1, fair_share/src_tokens), kept counts respect the
+    coin, and no source exceeds its own corpus contribution."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_token_rebalance,
+    )
+
+    rows = corpus_token_rebalance(spark, SF_SMALL).collect()
+    assert rows, "no sources"
+    total = sum(r.src_tokens for r in rows)
+    fair = total / len(rows)
+    for r in rows:
+        expected = min(1.0, fair / r.src_tokens)
+        assert abs(r.accept_prob - expected) < 1e-6
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.src_tokens
+    # at least one source must be over budget (and so down-sampled) unless
+    # the corpus is perfectly balanced in tokens
+    if any(r.src_tokens > fair for r in rows):
+        assert any(r.accept_prob < 1.0 for r in rows)
+
+
+def test_lm_score_prefers_corpus_like_text(spark):
+    """A document made of the corpus's most common bigrams must score a
+    LOWER avg negative log-prob than a document of singleton gibberish."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        text_lm_score,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            # repeat the common phrasing so its bigrams dominate the LM
+            *[(i, common, "en", "src0", 0) for i in range(1, 9)],
+            (9, "zq xv qj vk jx kz qx vz jq xk zv kq", "en", "src0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in text_lm_score(spark, d).collect()}
+    assert rows[1].avg_nll < rows[9].avg_nll
+    assert rows[1].n_bigrams == len(common.split()) - 1
