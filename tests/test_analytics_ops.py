@@ -1,0 +1,204 @@
+"""Behavioral tests for the round-5 batch-2 operators: containment dedup,
+normalized-exact dedup, char entropy, MAD anomaly, top paths, market-basket
+pairs, and the Benford audit. Planted-data tests run the REAL operator body
+against a temp table dir (engine parity on driver data is proven separately
+by the oracle gate / tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _with_docs(spark, rows, fn):
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return fn(d)
+
+
+def test_containment_flags_doc_embedded_in_larger_doc(spark):
+    """A short doc fully embedded in a much longer doc has containment 1.0
+    even though Jaccard is far below the near-dup threshold — exactly the
+    pair this operator exists to catch (and jaccard_missed marks it)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        JACCARD_THRESHOLD,
+        dedup_containment,
+    )
+
+    inner = " ".join(f"core{i}" for i in range(12))
+    padding = " ".join(f"pad{i}" for i in range(80))
+    rows = _with_docs(
+        spark,
+        [
+            (1, inner, "en", "s", 0),
+            (2, f"{padding} {inner} {padding}", "en", "s", 0),
+            (3, " ".join(f"other{i}" for i in range(30)), "en", "s", 0),
+        ],
+        lambda d: dedup_containment(spark, d).collect(),
+    )
+    pairs = {(r.doc_inner, r.doc_outer): r for r in rows}
+    assert (1, 2) in pairs, f"embedded doc not flagged: {rows}"
+    r = pairs[(1, 2)]
+    assert r.containment == pytest.approx(1.0)
+    assert r.jaccard < JACCARD_THRESHOLD and r.jaccard_missed
+    assert all(3 not in (a, b) for a, b in pairs)
+
+
+def test_normalized_dedup_merges_case_and_punct_variants(spark):
+    """'Hello, WORLD!' and 'hello world' are distinct to raw md5 but one
+    group after canonicalization; the histogram shows what the
+    normalization pass buys."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_normalized_exact,
+    )
+
+    rows = _with_docs(
+        spark,
+        [
+            (1, "Hello, WORLD!", "en", "s", 0),
+            (2, "hello world", "en", "s", 0),
+            (3, "something else entirely", "en", "s", 0),
+        ],
+        lambda d: dedup_normalized_exact(spark, d).collect(),
+    )
+    hist = {r.n_copies: r for r in rows}
+    # raw: three singleton groups, no 2-copy group
+    assert hist[1].n_groups_raw == 3
+    assert 2 not in hist or hist[2].n_groups_raw == 0
+    # normalized: docs 1+2 merge -> one 2-copy group, one singleton
+    assert hist[2].n_groups_norm == 1
+    assert hist[1].n_groups_norm == 1
+
+
+def test_char_entropy_extremes(spark):
+    """Single-letter text has 0 bits; 8 equally frequent letters have
+    exactly 3 bits; prose sits in between."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        text_char_entropy,
+    )
+
+    rows = _with_docs(
+        spark,
+        [
+            (1, "aaaa aaaa aaaa", "en", "s", 0),
+            (2, "abcdefgh", "en", "s", 0),
+            (3, "The quick brown fox jumps over the lazy dog", "en", "s", 0),
+        ],
+        lambda d: text_char_entropy(spark, d).collect(),
+    )
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].entropy_bits == pytest.approx(0.0)
+    assert by_id[1].n_distinct_chars == 1
+    assert by_id[2].entropy_bits == pytest.approx(3.0, abs=1e-4)
+    assert 3.0 < by_id[3].entropy_bits < 4.8
+
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _with_events(spark, rows, fn):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return fn(d)
+
+
+def test_mad_anomaly_flags_planted_spike(spark):
+    """Fourteen ~steady days plus one 100x spike: the spike day is flagged,
+    steady days are not (MAD is robust to its own outlier, unlike the
+    z-score baseline)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_mad_anomaly,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        ts = datetime.datetime(2025, 3, day, 12, 0, 0)
+        val = 10.0 + (day % 3)  # 10, 11 or 12 dollars
+        rows.append((eid, ts, 1, "purchase", val, "{}"))
+        eid += 1
+    rows.append(
+        (eid, datetime.datetime(2025, 3, 15, 12, 0, 0), 1, "purchase", 1000.0, "{}")
+    )
+    out = _with_events(
+        spark, rows, lambda d: events_mad_anomaly(spark, d).collect()
+    )
+    flagged = {r.day for r in out if r.is_anomaly}
+    assert flagged == {datetime.date(2025, 3, 15)}, out
+
+
+def test_top_paths_counts_planted_trigrams(spark):
+    """A user looping A,B,C twice produces A>B>C twice (the top path) and
+    each wrap-around trigram once; a second user's unrelated singleton
+    stream adds no 3-step path."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_top_paths,
+    )
+
+    seq = ["A", "B", "C", "A", "B", "C"]
+    rows = [
+        (i, datetime.datetime(2025, 1, 1, 0, 0, i), 1, et, 0.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    rows.append((99, datetime.datetime(2025, 1, 1, 1, 0, 0), 2, "Z", 0.0, "{}"))
+    out = _with_events(
+        spark, rows, lambda d: events_top_paths(spark, d).collect()
+    )
+    counts = {r.path: r.n_occurrences for r in out}
+    assert counts["A>B>C"] == 2
+    assert counts["B>C>A"] == 1 and counts["C>A>B"] == 1
+    assert out[0].path == "A>B>C"  # top by count, deterministic order
+    assert all("Z" not in p for p in counts)
+
+
+def test_basket_pairs_support_and_lift(spark):
+    """Two orders {1,2,3} and {1,2}: pair (1,2) co-occurs twice with
+    support 1.0 and lift 1.0; pairs with part 3 co-occur once with lift 1.0
+    (3 appears in half the orders)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.retail import (
+        basket_part_pairs,
+    )
+
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = basket_part_pairs(spark, d).collect()
+    by_pair = {(r.part_a, r.part_b): r for r in out}
+    top = out[0]
+    assert (top.part_a, top.part_b) == (1, 2) and top.n_both == 2
+    assert top.support == pytest.approx(1.0)
+    assert top.lift == pytest.approx(1.0)  # 2*2/(2*2)
+    assert by_pair[(1, 3)].n_both == 1
+    assert by_pair[(1, 3)].lift == pytest.approx(1.0)  # 1*2/(2*1)
+
+
+def test_benford_shape_on_testdata(spark):
+    """Digits 1..9 only, frequencies sum to 1, the expectation column is
+    the Benford table, and every chi-square contribution is finite and
+    non-negative."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.retail import (
+        BENFORD_P,
+        qc_benford_totalprice,
+    )
+
+    rows = qc_benford_totalprice(spark, SF_SMALL).collect()
+    assert 1 <= len(rows) <= 9
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert sum(r.freq for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r.benford_p == pytest.approx(round(BENFORD_P[r.digit], 6))
+        assert r.chi2_contrib >= 0.0

@@ -110,6 +110,14 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD15",  # exact 13-gram substring dedup: DD1-DD9 family proven
         "CP2",   # token-budget source rebalance: CP1/PIPE3-6 family proven
         "TX13",  # bigram LM scoring: TX1-TX7 text family proven
+        # round-5 batch 2, awaiting their first rotation window
+        "DD16",  # asymmetric containment dedup: DD1-DD9 family proven
+        "DD17",  # normalized-exact dedup: DD1 exact-hash proven
+        "TX14",  # char-entropy quality signal: TX family proven
+        "TS8",   # MAD anomaly flags: z-score twin (TS6 family) proven
+        "TS9",   # top event paths: lead-window family (TS/W) proven
+        "MB1",   # market-basket pair mining: join/agg families proven
+        "QB1",   # Benford digit audit: QC family proven
     }
     orphaned = {
         t

@@ -2250,3 +2250,281 @@ register_local(
         doc="leading PCA direction by matrix-free power iteration (4 steps)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup detection: containment
+# C(A,B) = |A∩B| / min(|A|,|B|) over rare-shingle sets. Jaccard misses the
+# "small doc embedded in a much larger doc" case (the union term drowns the
+# overlap); containment is the score quote/boilerplate/wrapper dedup
+# thresholds on. Same candidate machinery as dedup_ngram_jaccard — the
+# doc-frequency-capped shingle self-join — so no all-pairs term; only the
+# score formula and the directional output differ. Pairs that containment
+# flags but Jaccard would NOT (jaccard < JACCARD_THRESHOLD) are exactly the
+# asymmetric dups this operator exists for; both scores are reported.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("sh")
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.col("t").alias("sh"))
+        .repartition(F.col("sh"))
+        .withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= DOC_FREQ_CAP)
+        .drop("df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("common").cast("double") / F.least("na", "nb"), 6
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    # direction: the smaller shingle set is the contained doc (tie → doc_a,
+    # which always holds the lower doc_id)
+    inner_is_a = F.col("na") <= F.col("nb")
+    return scored.select(
+        F.when(inner_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_inner"
+        ),
+        F.when(inner_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_outer"
+        ),
+        "containment",
+        "jaccard",
+        (F.col("jaccard") < JACCARD_THRESHOLD).alias("jaccard_missed"),
+    ).orderBy("doc_inner", "doc_outer")
+
+
+CONTAINMENT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS sh FROM tk
+),
+rare AS (
+  SELECT sh FROM (SELECT sh, COUNT(*) c FROM shing GROUP BY sh) WHERE c <= {DOC_FREQ_CAP}
+),
+shr AS (SELECT shing.doc_id, shing.sh FROM shing JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, na.n AS na, nb.n AS nb,
+    ROUND(CAST(common AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment,
+    ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+)
+SELECT
+  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_inner,
+  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_outer,
+  containment, jaccard,
+  jaccard < {JACCARD_THRESHOLD} AS jaccard_missed
+FROM scored
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_inner, doc_outer
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_containment",
+        dedup_containment,
+        CONTAINMENT_SQL,
+        ("DD16",),
+        doc="asymmetric containment dedup (doc-in-doc), rare-shingle join",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_normalized_exact — exact dedup AFTER text canonicalization
+# (lowercase, non-alphanumerics collapsed to single spaces, trimmed): the
+# cheap normalization pass every corpus pipeline runs before byte-exact
+# hashing, catching the re-encoded / re-punctuated / case-shifted copies
+# that raw md5 misses. Output is the copies-per-content histogram for BOTH
+# the raw and the normalized hash side by side, so the operator quantifies
+# what normalization buys. Plan: two hash-groupBys over one scan — same
+# scale shape as dedup_exact_hist.
+# ---------------------------------------------------------------------------
+def _norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+
+    def hist(h, out):
+        return (
+            docs.groupBy(h.alias("h"))
+            .agg(F.count("*").alias("n_copies"))
+            .groupBy("n_copies")
+            .agg(F.count("*").alias(out))
+        )
+
+    raw = hist(F.md5(F.col("text")), "n_groups_raw")
+    norm = hist(F.md5(_norm_text(F.col("text"))), "n_groups_norm")
+    return (
+        raw.join(norm, "n_copies", "full_outer")
+        .select(
+            "n_copies",
+            F.coalesce("n_groups_raw", F.lit(0)).cast("long").alias("n_groups_raw"),
+            F.coalesce("n_groups_norm", F.lit(0)).cast("long").alias("n_groups_norm"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+# DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's default)
+NORMALIZED_EXACT_SQL = """
+WITH raw AS (
+  SELECT n_copies, COUNT(*) AS n_groups_raw FROM (
+    SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1
+  ) GROUP BY n_copies
+),
+norm AS (
+  SELECT n_copies, COUNT(*) AS n_groups_norm FROM (
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+  ) GROUP BY n_copies
+)
+SELECT COALESCE(raw.n_copies, norm.n_copies) AS n_copies,
+  CAST(COALESCE(n_groups_raw, 0) AS BIGINT) AS n_groups_raw,
+  CAST(COALESCE(n_groups_norm, 0) AS BIGINT) AS n_groups_norm
+FROM raw FULL OUTER JOIN norm USING (n_copies)
+ORDER BY n_copies
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_normalized_exact",
+        dedup_normalized_exact,
+        NORMALIZED_EXACT_SQL,
+        ("DD17",),
+        doc="exact dedup after canonicalization, raw-vs-normalized histogram",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy — character-level Shannon entropy (bits) over the
+# letter distribution of each doc: the cheap gibberish/boilerplate signal
+# (natural prose sits near ~4.1 bits; keyboard mash and repeated padding
+# collapse toward 0-3). Plan: regexp letter extraction (no Python) →
+# explode → (doc, char) counts → per-doc weighted sum. Cross-engine exact
+# the same way text_lm_score is: each ln(count/n) is fixed-pointed at 1e-6
+# into a BIGINT, the Σ count·qf accumulation is exact integer arithmetic
+# (summation-order-free), and the final bits conversion is one identical
+# IEEE division sequence (ln 2 as a shared literal).
+# ---------------------------------------------------------------------------
+LN2 = 0.6931471805599453
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]"), 0)
+        ).alias("c"),
+    )
+    cnts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    tot = cnts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    term = cnts.join(tot, "doc_id").select(
+        "doc_id",
+        "cnt",
+        "n",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000.0, 0
+        )
+        .cast("long")
+        .alias("qf"),
+    )
+    agg = term.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("qf")).alias("s"),
+        F.sum("cnt").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        F.round(
+            -(F.col("s").cast("double")) / F.col("n_chars") / 1000000.0 / LN2,
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS c
+  FROM documents
+),
+cnts AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(cnt) AS n FROM cnts GROUP BY 1),
+term AS (
+  SELECT cnts.doc_id, cnt, n,
+    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT) AS qf
+  FROM cnts JOIN tot USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, SUM(cnt * qf) AS s, SUM(cnt) AS n_chars,
+         COUNT(*) AS n_distinct_chars
+  FROM term GROUP BY 1
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+  CAST(ROUND(-(CAST(s AS DOUBLE)) / n_chars / 1000000.0 / {LN2!r}, 6)
+       AS DOUBLE) AS entropy_bits
+FROM agg
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_char_entropy",
+        text_char_entropy,
+        CHAR_ENTROPY_SQL,
+        ("TX14",),
+        doc="character-level Shannon entropy quality signal (bits/char)",
+    )
+)

@@ -154,6 +154,7 @@ def _load_all() -> None:
     from . import quality_suite  # noqa: F401
     from . import scd_history  # noqa: F401
     from . import cohorts  # noqa: F401
+    from . import retail  # noqa: F401
 
     missing = EXPORTED_NAMES - REGISTRY.keys()
     if missing:  # a typo in the rotation list would silently shrink the window

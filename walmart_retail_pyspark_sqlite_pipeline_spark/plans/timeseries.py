@@ -338,3 +338,155 @@ register_local(
         doc="hourly active-session curve via bounded hour-explode (no global sweep)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_mad_anomaly — robust anomaly flags by median absolute deviation:
+# a day is anomalous for its event type when |cents − median| > 3·MAD.
+# The z-score monitor above is mean/stddev-based and a single extreme day
+# inflates its own baseline; MAD is the robust twin ops teams run beside
+# it. Exact percentile (percentile_cont 0.5) over integer-cents daily
+# totals: the median of ints is x.0 or x.5 (exact in binary), absolute
+# deviations are exact doubles, so both engines compare identical values.
+#
+# Plan: one shuffle for the daily rollup, then two tiny groupBys keyed on
+# event_type (|types| keys — per-key row count is bounded by the date
+# span, not the event count, so exact percentile per key is safe at any
+# corpus size; the re-join of the |types|-row median table broadcasts).
+# ---------------------------------------------------------------------------
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (F.col("adev") > 3.0 * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+MAD_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+    percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS med
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT daily.event_type, day, cents, med, ABS(cents - med) AS adev
+  FROM daily JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type, day, cents,
+  ROUND(med, 6) AS med,
+  ROUND(mad.mad, 6) AS mad,
+  adev > 3.0 * mad.mad AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+ORDER BY dev.event_type, day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_mad_anomaly",
+        events_mad_anomaly,
+        MAD_ANOMALY_SQL,
+        ("TS8",),
+        doc="median-absolute-deviation anomaly flags (robust twin of z-score)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common 3-step event-type sequences across user
+# streams (product-analytics "top paths"): per user, order events by
+# (ts, event_id), slide a trigram window with lead(), count each
+# type→type→type path corpus-wide, return the top 20.
+#
+# Plan: ONE shuffle on user_id feeds both lead() windows (same
+# partitioning), the path rollup is a map-side-combining groupBy on the
+# path string (≤ |types|³ distinct keys — tiny), and top-k compiles to
+# TakeOrderedAndProject, not a global sort. Deterministic: ties broken by
+# event_id within a timestamp and by path string at equal counts. Paths
+# here span the raw per-user stream; a session-bounded variant is the
+# same plan over events_sessionization's output.
+# ---------------------------------------------------------------------------
+TOP_PATHS_K = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(TOP_PATHS_K)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH tri AS (
+  SELECT user_id,
+    event_type AS e1,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+  COUNT(*) AS n_occurrences,
+  COUNT(DISTINCT user_id) AS n_users
+FROM tri
+WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path
+LIMIT {TOP_PATHS_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_top_paths",
+        events_top_paths,
+        TOP_PATHS_SQL,
+        ("TS9",),
+        doc="top 3-step event-type paths per user stream (lead-window trigrams)",
+    )
+)
