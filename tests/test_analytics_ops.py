@@ -202,3 +202,100 @@ def test_benford_shape_on_testdata(spark):
     for r in rows:
         assert r.benford_p == pytest.approx(round(BENFORD_P[r.digit], 6))
         assert r.chi2_contrib >= 0.0
+
+
+def test_label_propagation_consensus_overrules_minority(spark):
+    """Three near-identical docs labeled en/en/de: the de doc adopts the
+    cluster's majority label; an isolated doc keeps its seed label."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_label_propagation,
+    )
+
+    base = " ".join(f"token{i}" for i in range(40))
+    rows = _with_docs(
+        spark,
+        [
+            (1, base, "en", "s", 0),
+            (2, base + " extra", "en", "s", 0),
+            (3, base + " tail", "de", "s", 0),
+            (4, " ".join(f"island{i}" for i in range(30)), "fr", "s", 0),
+        ],
+        lambda d: corpus_label_propagation(spark, d).collect(),
+    )
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[3].final_label == "en" and by_id[3].changed
+    assert by_id[1].final_label == "en" and not by_id[1].changed
+    assert by_id[4].final_label == "fr" and not by_id[4].changed
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    """Docs written in the target language's bigram distribution score a
+    higher log-likelihood ratio than docs whose bigrams never occur in the
+    target slice."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_importance_weights,
+    )
+
+    en = "the cat sat on the mat and the dog sat on the rug"
+    de = "der hund lief schnell durch den park und der vogel sang"
+    rows = _with_docs(
+        spark,
+        [
+            (1, en, "en", "s", 0),
+            (2, "the cat sat on the rug and the dog sat happily", "en", "s", 0),
+            (3, de, "de", "s", 0),
+            (4, "der vogel lief durch den park und der hund sang", "de", "s", 0),
+        ],
+        lambda d: corpus_importance_weights(spark, d).collect(),
+    )
+    by_id = {r.doc_id: r for r in rows}
+    worst_en = min(by_id[1].avg_loglr, by_id[2].avg_loglr)
+    best_de = max(by_id[3].avg_loglr, by_id[4].avg_loglr)
+    assert worst_en > best_de, rows
+    assert all(by_id[i].lang == ("en" if i <= 2 else "de") for i in by_id)
+
+
+def test_readability_simple_beats_runon(spark):
+    """Short-sentence, short-word text scores a higher Flesch ease than a
+    long single-sentence polysyllabic run-on."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        text_readability,
+    )
+
+    simple = "See spot run. See spot jump. The dog is fun."
+    runon = (
+        "Notwithstanding considerable organizational complexities the "
+        "interdisciplinary implementation committee deliberately "
+        "prioritized comprehensive infrastructural modernization "
+        "initiatives without appropriate stakeholder authorization"
+    )
+    rows = _with_docs(
+        spark,
+        [(1, simple, "en", "s", 0), (2, runon, "en", "s", 0)],
+        lambda d: text_readability(spark, d).collect(),
+    )
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].flesch > 70 > by_id[2].flesch
+    assert by_id[1].n_sentences == 3
+    assert by_id[2].n_sentences == 1  # floored at 1: no terminal punctuation
+    assert by_id[2].n_syllables > by_id[2].n_words  # polysyllabic
+
+
+def test_rrf_fusion_shape_and_bounds(spark):
+    """Fused list: at most ANN_K rows, query vector excluded, scores in
+    (0, 2/61], descending, and every contributing rank within 1..FUSE_N."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ANN_K,
+        FUSE_N,
+        ann_rrf_fusion,
+    )
+
+    rows = ann_rrf_fusion(spark, SF_SMALL).collect()
+    assert 1 <= len(rows) <= ANN_K
+    assert all(r.vec_id != 0 for r in rows)
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 < s <= round(2.0 / 61.0, 6) + 1e-9 for s in scores)
+    for r in rows:
+        for rk in (r.rank_cos, r.rank_int8):
+            assert rk is None or 1 <= rk <= FUSE_N

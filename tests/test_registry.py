@@ -118,6 +118,10 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS9",   # top event paths: lead-window family (TS/W) proven
         "MB1",   # market-basket pair mining: join/agg families proven
         "QB1",   # Benford digit audit: QC family proven
+        "IT4",   # label propagation: iterative-graph family (IT1/IT2) proven
+        "CP3",   # DSIR importance weights: LM family (TX13) + samplers proven
+        "TX15",  # Flesch readability: text-quality family proven
+        "SIM10",  # RRF fusion: retriever family (SIM1/SIM5) proven
     }
     orphaned = {
         t

@@ -52,13 +52,21 @@ OFFSET_COLS = {
 
 
 def main() -> None:
-    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
-    dst = Path(
-        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1_replica"
-    )
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = sys.argv[1:]
+    # --tables documents,embeddings: replicate only the named fact tables
+    # (for family-focused probes — e.g. the 100x dedup decade needs a big
+    # documents table but not 60M pandas-materialized lineitem rows)
+    only: set[str] | None = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    src = Path(argv[0] if argv else "/root/testdata/sf0.1")
+    dst = Path(argv[1] if len(argv) > 1 else "/tmp/spark_graft_sf1_replica")
+    n = int(argv[2]) if len(argv) > 2 else 10
     dst.mkdir(parents=True, exist_ok=True)
-    expected = list(TABLES_AS_IS) + list(OFFSET_COLS)
+    fact_tables = [t for t in OFFSET_COLS if only is None or t in only]
+    expected = list(TABLES_AS_IS) + fact_tables
     if all((dst / f"{t}.parquet").exists() for t in expected):
         print(f"{dst} already complete; skipping build")
         return
@@ -83,7 +91,8 @@ def main() -> None:
         )
         print(f"{t}: copied")
 
-    for t, colmap in OFFSET_COLS.items():
+    for t in fact_tables:
+        colmap = OFFSET_COLS[t]
         base_df = frames[t]
         reps = []
         for r in range(n):

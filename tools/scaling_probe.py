@@ -75,9 +75,22 @@ def main() -> None:
         i = argv.index("--section")
         section = argv[i + 1]
         del argv[i : i + 2]
+    # --max-part-bytes 4m: shrink the parquet input-split size. The replica
+    # dirs are ONE parquet file per table; at default 128m a 57 MB file is
+    # a single input split, so every pre-shuffle stage (the shingle explode
+    # most of all) runs in ONE task and the probe times stragglers, not the
+    # engine. A real corpus at this scale is thousands of files wide —
+    # smaller splits are the representative shape, not a cheat.
+    max_part_bytes = ""
+    if "--max-part-bytes" in argv:
+        i = argv.index("--max-part-bytes")
+        max_part_bytes = argv[i + 1]
+        del argv[i : i + 2]
     sf_dirs = argv or DEFAULT_SFS
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if max_part_bytes:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_part_bytes)
 
     every = all_specs()
     if only:
@@ -91,9 +104,17 @@ def main() -> None:
 
     rows: dict[str, dict[str, float]] = {}
     fact_rows: dict[str, int] = {}
+    # family-focused replicas (make_replica --tables) may omit lineitem;
+    # use documents as the row-scale metric for EVERY column in that case
+    # so the per-column counts stay comparable
+    fact = "lineitem.parquet"
+    if any(
+        not os.path.exists(os.path.join(s, fact)) for s in sf_dirs
+    ):
+        fact = "documents.parquet"
     for sf_dir in sf_dirs:
         fact_rows[sf_dir] = (
-            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+            spark.read.parquet(os.path.join(sf_dir, fact)).count()
         )
         for spec in specs:
             best = float("inf")
@@ -130,7 +151,7 @@ def main() -> None:
             )
         lines += [
             "",
-            "lineitem rows per column: "
+            f"{fact.removesuffix('.parquet')} rows per column: "
             + ", ".join(f"{Path(s).name}={fact_rows[s]:,}" for s in sf_dirs),
             "",
         ]

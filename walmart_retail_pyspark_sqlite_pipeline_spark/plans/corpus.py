@@ -1041,12 +1041,18 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
     )
+    # exact integer micro-rounding of the mean (no float ROUND: a float
+    # round can tie-break differently across engines when the mean lands
+    # within an ulp of a 5e-7 boundary — observed on corpus_importance_
+    # weights; the (2|sq|+n) div 2n identity has no such boundary)
+    micro = F.expr(
+        "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
+    )
     return agg.select(
         "doc_id",
         "n_bigrams",
-        F.round(
-            -(F.col("sq").cast("double")) / F.col("n_bigrams") / 1000000.0, 6
-        ).alias("avg_nll"),
+        (-(micro.cast("long")) / F.lit(1000000.0)).alias("avg_nll"),
     ).orderBy("doc_id")
 
 
@@ -1081,8 +1087,9 @@ agg AS (
 )
 SELECT doc_id,
   CAST(n_bigrams AS BIGINT) AS n_bigrams,
-  CAST(ROUND(-(CAST(sq AS DOUBLE)) / n_bigrams / 1000000.0, 6) AS DOUBLE)
-    AS avg_nll
+  CAST(-(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+              * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT))
+       AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS avg_nll
 FROM agg
 ORDER BY doc_id
 """
@@ -1095,5 +1102,300 @@ register_local(
         LM_SCORE_SQL,
         ("TX13",),
         doc="corpus-trained add-one bigram LM scoring (avg negative logprob)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_label_propagation — semi-supervised label spreading over the LSH
+# near-dup graph: seed every doc with its lang, then for LP_ITERS rounds
+# each doc takes the majority label among itself and its verified
+# neighbors (ties broken by the lexicographically smallest label — fully
+# deterministic, no random visit order). The classic use: near-dup
+# clusters whose members disagree on a metadata field (language, source,
+# license) converge to one consensus value per cluster; `changed` marks
+# the docs whose seed metadata the graph overruled.
+#
+# Plan: the verified-pair edge list (banded LSH → Jaccard verify — never
+# all-pairs) plus one self-loop per doc; each round is ONE shuffle keyed
+# on the voting edge's src plus a row_number window on the same key —
+# iteration count is fixed, so the whole query is a static 3-round plan
+# with no driver-side convergence loop and no collect. At 100 TB each
+# round touches |edges| + |docs| rows, the same bound as one PageRank
+# step over the same graph.
+#
+# Cross-engine exactness: votes are integer counts; argmax-with-tie-break
+# is ROW_NUMBER over (count DESC, label) on both engines — no floats
+# anywhere.
+# ---------------------------------------------------------------------------
+LP_ITERS = 3
+
+#: shared SQL prefix: the verified near-dup pair list (same body the CC /
+#: PageRank / canonical-doc oracles inline) symmetrized into directed
+#: edges, plus one self-loop per document so isolated docs vote for
+#: themselves and the majority is over "self + neighbors".
+_LP_EDGES_CTE = f"""
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+)
+"""
+
+
+def _lp_iter_sql(prev: str, nxt: str) -> str:
+    return f"""{nxt}_votes AS (
+  SELECT e.src, p.label, COUNT(*) AS cnt
+  FROM edges e JOIN {prev} p ON e.dst = p.node
+  GROUP BY 1, 2
+),
+{nxt} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+    FROM {nxt}_votes
+  ) WHERE rn = 1
+)"""
+
+
+def corpus_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .union(
+            docs.select(
+                F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+            )
+        )
+        .localCheckpoint()  # one materialization serves every round
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("lang").alias("label"))
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
+    for _ in range(LP_ITERS):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return (
+        docs.join(labels, docs.doc_id == labels.node)
+        .select(
+            "doc_id",
+            F.col("lang").alias("seed_label"),
+            F.col("label").alias("final_label"),
+            (F.col("lang") != F.col("label")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LABEL_PROP_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+{_LP_EDGES_CTE.strip().rstrip()},
+l0 AS (SELECT doc_id AS node, lang AS label FROM documents),
+{_lp_iter_sql("l0", "l1")},
+{_lp_iter_sql("l1", "l2")},
+{_lp_iter_sql("l2", "l3")}
+SELECT d.doc_id, d.lang AS seed_label, l3.label AS final_label,
+  d.lang <> l3.label AS changed
+FROM documents d JOIN l3 ON d.doc_id = l3.node
+ORDER BY d.doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_label_propagation",
+        corpus_label_propagation,
+        LABEL_PROP_SQL,
+        ("IT4",),
+        doc="majority label spreading over the LSH graph (3 fixed rounds)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_importance_weights — DSIR-style data selection signal: per doc,
+# the average bigram log-likelihood RATIO between a TARGET distribution
+# (here: the corpus's English documents — the "domain we want more of")
+# and the BASE distribution (the whole corpus). Positive avg_loglr means
+# the doc looks more like the target than like the average corpus doc —
+# the importance-resampling key from Xie et al., "Data Selection for
+# Language Models via Importance Resampling" (DSIR), re-expressed with
+# the engine's bigram-LM machinery (add-one smoothing, shared vocab).
+#
+# Plan: both LMs are DataFrames (count tables keyed on the bigram) — the
+# model is never a driver-side dict, so training scales with the corpus.
+# Scoring joins each bigram occurrence to the base counts and LEFT-joins
+# the target counts (bigrams unseen in-target smooth to 1/(0+V)). The two
+# count tables reuse one explode; everything shuffles on the bigram key.
+#
+# Cross-engine exactness: same discipline as text_lm_score — each
+# occurrence's two ln() terms are fixed-pointed at 1e-6 into BIGINTs and
+# DIFFERENCED in integer space, so per-doc sums are summation-order-free
+# and the final mean is one identical IEEE division sequence.
+# ---------------------------------------------------------------------------
+TARGET_LANG = "en"
+
+
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text.word_shingles(tok, 2)).alias("g"),
+    ).select(
+        "doc_id", "lang", "g", F.split(F.col("g"), " ").getItem(0).alias("w1")
+    )
+    base2 = grams.groupBy("g").agg(F.count("*").alias("b2"))
+    base1 = grams.groupBy("w1").agg(F.count("*").alias("b1"))
+    tgt = grams.filter(F.col("lang") == TARGET_LANG)
+    tgt2 = tgt.groupBy("g").agg(F.count("*").alias("t2"))
+    tgt1 = tgt.groupBy("w1").agg(F.count("*").alias("t1"))
+    vocab = docs.select(F.explode(tok).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+
+    def _lp(num, den):
+        return (
+            F.round(
+                F.log((num + F.lit(1.0)) / (den + F.col("v"))) * 1000000.0, 0
+            ).cast("long")
+        )
+
+    scored = (
+        grams.join(base2, "g")
+        .join(base1, "w1")
+        .join(tgt2, "g", "left")
+        .join(tgt1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                _lp(F.coalesce(F.col("t2"), F.lit(0)), F.coalesce(F.col("t1"), F.lit(0)))
+                - _lp(F.col("b2"), F.col("b1"))
+            ).alias("qf"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
+    )
+    # final mean WITHOUT a float ROUND: the mean is rounded to integer
+    # micro-units in EXACT integer arithmetic (half-away-from-zero via the
+    # (2|sq|+n) div 2n identity), then one exact integer/literal division
+    # produces the double. A float ROUND here can tie-break differently
+    # across engines when sq/n/1e6 lands within an ulp of a 5e-7 boundary
+    # (observed on driver data: Spark BigDecimal-of-double rounds the
+    # exact binary value, DuckDB multiply-shifts) — integer rounding has
+    # no such boundary.
+    micro = F.expr(
+        "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            (micro.cast("long") / F.lit(1000000.0)).alias("avg_loglr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, g, string_split(g, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id, lang, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+base2 AS (SELECT g, COUNT(*) AS b2 FROM grams GROUP BY g),
+base1 AS (SELECT w1, COUNT(*) AS b1 FROM grams GROUP BY w1),
+tgt2 AS (
+  SELECT g, COUNT(*) AS t2 FROM grams WHERE lang = '{TARGET_LANG}' GROUP BY g
+),
+tgt1 AS (
+  SELECT w1, COUNT(*) AS t1 FROM grams WHERE lang = '{TARGET_LANG}' GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(tok) AS w FROM tk)
+),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(ln((CAST(COALESCE(t2, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / (COALESCE(t1, 0) + vocab.v))
+               * 1000000.0, 0) AS BIGINT)
+    - CAST(ROUND(ln((CAST(b2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    / (b1 + vocab.v))
+                 * 1000000.0, 0) AS BIGINT)
+      AS qf
+  FROM grams
+  JOIN base2 USING (g)
+  JOIN base1 USING (w1)
+  LEFT JOIN tgt2 USING (g)
+  LEFT JOIN tgt1 USING (w1)
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+            * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT)
+       AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS avg_loglr
+FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_importance_weights",
+        corpus_importance_weights,
+        IMPORTANCE_SQL,
+        ("CP3",),
+        doc="DSIR-style bigram log-likelihood-ratio importance weights",
     )
 )

@@ -2481,14 +2481,20 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_chars"),
         F.count("*").alias("n_distinct_chars"),
     )
+    # exact integer micro-rounding of the weighted mean, then one
+    # deterministic IEEE division chain — no float ROUND (cross-engine
+    # tie hazard; see corpus_importance_weights)
+    micro = F.expr(
+        "CASE WHEN s < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(s) + n_chars) DIV (2 * n_chars))"
+    )
     return agg.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
-        F.round(
-            -(F.col("s").cast("double")) / F.col("n_chars") / 1000000.0 / LN2,
-            6,
-        ).alias("entropy_bits"),
+        (-(micro.cast("long")) / F.lit(1000000.0) / F.lit(LN2)).alias(
+            "entropy_bits"
+        ),
     ).orderBy("doc_id")
 
 
@@ -2512,8 +2518,10 @@ agg AS (
 SELECT doc_id,
   CAST(n_chars AS BIGINT) AS n_chars,
   CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
-  CAST(ROUND(-(CAST(s AS DOUBLE)) / n_chars / 1000000.0 / {LN2!r}, 6)
-       AS DOUBLE) AS entropy_bits
+  CAST(-(CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+              * ((2 * ABS(s) + n_chars) // (2 * n_chars)) AS BIGINT))
+       AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / CAST({LN2!r} AS DOUBLE)
+    AS entropy_bits
 FROM agg
 ORDER BY doc_id
 """
@@ -2526,5 +2534,227 @@ register_local(
         CHAR_ENTROPY_SQL,
         ("TX14",),
         doc="character-level Shannon entropy quality signal (bits/char)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading-ease per doc from three integer
+# counts: words (engine tokenizer), sentences (terminal-punctuation runs,
+# floored at 1), and approximate syllables (vowel-group runs — the
+# standard cheap estimator). All three are regexp/array lengths (no
+# Python), and the score is one per-row IEEE expression over exact
+# integers, so both engines compute identical doubles. The classic
+# readability band: ~90 = very easy, ~30 = college-level.
+# ---------------------------------------------------------------------------
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.size(text.tokens(F.col("text")))
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            F.col("n_syllables").cast("long").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / F.col("n_words")),
+                6,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+    len({_TOK_SQL}) AS n_words,
+    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  ROUND(CAST(206.835 AS DOUBLE)
+        - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+        - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words),
+        6) AS flesch
+FROM c
+WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_readability",
+        text_readability,
+        READABILITY_SQL,
+        ("TX15",),
+        doc="Flesch reading-ease from integer word/sentence/syllable counts",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_rrf_fusion — reciprocal-rank fusion of two retrievers (exact cosine
+# and int8-quantized dot product) for the fixed query vector: each
+# retriever contributes 1/(60+rank) for its top-FUSE_N candidates, fused
+# score = sum, final top-ANN_K re-ranked. This is the standard hybrid-
+# search combiner (Cormack et al.); at scale each retriever's top-N is a
+# TakeOrderedAndProject over its own (possibly approximate) index and the
+# fusion join touches only 2·FUSE_N rows — never the corpus.
+#
+# Determinism: ranks are integers (ties broken by vec_id inside each
+# retriever), and the fused score is a two-term IEEE sum in fixed
+# written order over exact integer denominators.
+# ---------------------------------------------------------------------------
+FUSE_N = 100
+RRF_K0 = 60
+
+
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos_list = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(FUSE_N)
+    )
+    scale = F.lit(127.0) / F.array_max(F.transform(F.col("v"), F.abs))
+    quant = e.select(
+        "vec_id", F.transform(F.col("v"), lambda x: F.floor(x * scale)).alias("q")
+    )
+    qq = quant.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    int8_list = (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", idot.alias("idot"))
+        .orderBy(F.col("idot").desc(), F.col("vec_id"))
+        .limit(FUSE_N)
+    )
+    # rank within each top-N list (N rows — the window is trivially cheap)
+    ra = cos_list.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
+        .cast("long")
+        .alias("rank_cos"),
+    )
+    rb = int8_list.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("idot").desc(), F.col("vec_id")))
+        .cast("long")
+        .alias("rank_int8"),
+    )
+    fused = (
+        ra.join(rb, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            "rank_cos",
+            "rank_int8",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K0) + F.col("rank_cos")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K0) + F.col("rank_int8")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+    )
+    return fused
+
+
+ANN_RRF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cos_list AS (
+  SELECT vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+  FROM e, q WHERE vec_id <> 0
+  ORDER BY cos DESC, vec_id
+  LIMIT {FUSE_N}
+),
+sc AS (
+  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+quant AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS q
+  FROM sc
+),
+qv2 AS (SELECT q AS qq FROM quant WHERE vec_id = 0),
+int8_list AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2]))
+         AS BIGINT) AS idot
+  FROM quant, qv2
+  WHERE vec_id <> 0
+  ORDER BY idot DESC, vec_id
+  LIMIT {FUSE_N}
+),
+ra AS (
+  SELECT vec_id,
+    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank_cos
+  FROM cos_list
+),
+rb AS (
+  SELECT vec_id,
+    ROW_NUMBER() OVER (ORDER BY idot DESC, vec_id) AS rank_int8
+  FROM int8_list
+)
+SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+  rank_cos, rank_int8,
+  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + rank_cos), CAST(0.0 AS DOUBLE))
+        + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + rank_int8), CAST(0.0 AS DOUBLE)),
+        6) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+ORDER BY rrf DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_rrf_fusion",
+        ann_rrf_fusion,
+        ANN_RRF_SQL,
+        ("SIM10",),
+        doc="reciprocal-rank fusion of exact-cosine and int8 retrievers",
     )
 )
