@@ -299,3 +299,42 @@ def test_rrf_fusion_shape_and_bounds(spark):
     for r in rows:
         for rk in (r.rank_cos, r.rank_int8):
             assert rk is None or 1 <= rk <= FUSE_N
+
+
+def test_windowed_funnel_enforces_conversion_windows(spark):
+    """User A converts fully in-window; user B's click comes 31 minutes
+    after the view (outside the 30-minute window) so B stops at 'view';
+    user C clicked BEFORE viewing but again in-window after it — the
+    windowed funnel counts C's qualifying click, not the early one."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.cohorts import (
+        events_funnel_windowed,
+    )
+
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view -> click(+10m) -> purchase(+2h after click)
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(10), 1, "click", 0.0, "{}"),
+        (3, at(130), 1, "purchase", 0.0, "{}"),
+        # user 2: view -> click at +31m (out of window)
+        (4, at(0), 2, "view", 0.0, "{}"),
+        (5, at(31), 2, "click", 0.0, "{}"),
+        # user 3: click BEFORE view, then in-window click; no purchase
+        (6, at(-5), 3, "click", 0.0, "{}"),
+        (7, at(0), 3, "view", 0.0, "{}"),
+        (8, at(20), 3, "click", 0.0, "{}"),
+    ]
+    out = _with_events(
+        spark, rows, lambda d: events_funnel_windowed(spark, d).collect()
+    )
+    by_step = {r.step: r for r in out}
+    assert by_step["view"].n_users == 3
+    assert by_step["click"].n_users == 2  # users 1 and 3
+    assert by_step["purchase"].n_users == 1  # user 1
+    assert by_step["view"].rate_from_prev is None
+    assert abs(by_step["click"].rate_from_prev - 2 / 3) < 1e-5
+    assert by_step["purchase"].rate_from_prev == 0.5

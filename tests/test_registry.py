@@ -122,6 +122,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "CP3",   # DSIR importance weights: LM family (TX13) + samplers proven
         "TX15",  # Flesch readability: text-quality family proven
         "SIM10",  # RRF fusion: retriever family (SIM1/SIM5) proven
+        "TS10",  # windowed funnel: funnel family (TS3/ST9) proven
     }
     orphaned = {
         t

@@ -262,3 +262,143 @@ register(
         doc="DAU / trailing-7d WAU / stickiness via bounded-fanout windowed distinct",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_windowed — the funnel with BOUNDED conversion windows,
+# the production semantics the unconditional-min funnel above can't
+# express: a click only counts within CLICK_WIN of the user's first
+# view, and a purchase only within PURCHASE_WIN of that qualifying
+# click. Sequencing uses the earliest QUALIFYING event per step (min
+# over the windowed range), not the globally-first event, so a user who
+# clicked before ever viewing still converts on a later in-window click.
+#
+# Plan: one conditional-min aggregation per step, each keyed on
+# user_id — the per-step join re-uses the same hash partitioning
+# (ReusedExchange), no self-join over raw events, and the final rollup
+# is one row per user. Conversion rates are exported via the integer
+# micro-rounding identity ((2·a·1e6 + b) div 2b — see
+# corpus_importance_weights), so no float ROUND exists for engines to
+# tie-break differently.
+# ---------------------------------------------------------------------------
+CLICK_WIN_MIN = 30
+PURCHASE_WIN_H = 24
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_view"))
+            & (
+                F.col("ts")
+                <= F.col("t_view") + F.expr(f"INTERVAL {CLICK_WIN_MIN} MINUTES")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_click"))
+            & (
+                F.col("ts")
+                <= F.col("t_click") + F.expr(f"INTERVAL {PURCHASE_WIN_H} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.filter(F.col("t_view").isNotNull())
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_view"),
+            F.sum(F.col("t_click").isNotNull().cast("bigint")).alias("n_click"),
+            F.sum(F.col("t_purchase").isNotNull().cast("bigint")).alias(
+                "n_purchase"
+            ),
+        )
+    )
+    return counts.selectExpr(
+        """stack(3,
+             1, 'view',     n_view,     CAST(NULL AS BIGINT),
+             2, 'click',    n_click,    n_view,
+             3, 'purchase', n_purchase, n_click
+           ) AS (step_no, step, n_users, n_prev)""",
+    ).selectExpr(
+        "step_no",
+        "step",
+        "CAST(n_users AS BIGINT) AS n_users",
+        # integer micro-rounded conversion rate: no float ROUND tie hazard
+        """CASE WHEN n_prev IS NULL OR n_prev = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE ((2 * n_users * 1000000 + n_prev) DIV (2 * n_prev)) / 1000000.0
+           END AS rate_from_prev""",
+    ).orderBy("step_no")
+
+
+FUNNEL_WINDOWED_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1
+),
+vv AS (SELECT user_id, t_view FROM v WHERE t_view IS NOT NULL),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN vv ON e.user_id = vv.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts >= vv.t_view
+    AND e.ts <= vv.t_view + INTERVAL {CLICK_WIN_MIN} MINUTES
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.t_click
+    AND e.ts <= c.t_click + INTERVAL {PURCHASE_WIN_H} HOURS
+  GROUP BY 1
+),
+counts AS (
+  SELECT COUNT(*) AS n_view,
+    COUNT(c.user_id) AS n_click,
+    COUNT(p.user_id) AS n_purchase
+  FROM vv
+  LEFT JOIN c ON vv.user_id = c.user_id
+  LEFT JOIN p ON vv.user_id = p.user_id
+),
+steps AS (
+  SELECT 1 AS step_no, 'view' AS step, n_view AS n_users,
+         CAST(NULL AS BIGINT) AS n_prev FROM counts
+  UNION ALL
+  SELECT 2, 'click', n_click, n_view FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n_purchase, n_click FROM counts
+)
+SELECT step_no, step, CAST(n_users AS BIGINT) AS n_users,
+  CASE WHEN n_prev IS NULL OR n_prev = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST((2 * n_users * 1000000 + n_prev) // (2 * n_prev) AS BIGINT)
+         / CAST(1000000.0 AS DOUBLE)
+  END AS rate_from_prev
+FROM steps
+ORDER BY step_no
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_funnel_windowed",
+        events_funnel_windowed,
+        FUNNEL_WINDOWED_SQL,
+        ("TS10",),
+        doc="funnel with bounded conversion windows (30min click, 24h purchase)",
+    )
+)
