@@ -338,3 +338,50 @@ def test_windowed_funnel_enforces_conversion_windows(spark):
     assert by_step["view"].rate_from_prev is None
     assert abs(by_step["click"].rate_from_prev - 2 / 3) < 1e-5
     assert by_step["purchase"].rate_from_prev == 0.5
+
+
+def test_markov_transitions_rows_sum_to_one(spark):
+    """Planted stream A->B->A->B for one user: P(B|A)=1, P(A|B)=1; per-row
+    probabilities are exact micro-rounded rationals and each from_type's
+    distribution sums to ~1."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_markov_transitions,
+    )
+
+    seq = ["A", "B", "A", "B", "A"]
+    rows = [
+        (i, datetime.datetime(2025, 1, 1, 0, 0, i), 7, et, 0.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    out = _with_events(
+        spark, rows, lambda d: events_markov_transitions(spark, d).collect()
+    )
+    probs = {(r.from_type, r.to_type): r.p for r in out}
+    assert probs[("A", "B")] == 1.0 and probs[("B", "A")] == 1.0
+    sums: dict[str, float] = {}
+    for r in out:
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_minhash_est_error_identical_docs_agree_fully(spark):
+    """Two identical docs: all 8 minhash coordinates agree (est 1.0) and
+    the true Jaccard is 1.0, so the estimator error is 0."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_minhash_est_error,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = _with_docs(
+        spark,
+        [
+            (1, base, "en", "s", 0),
+            (2, base, "en", "s", 0),
+            (3, " ".join(f"other{i}" for i in range(30)), "en", "s", 0),
+        ],
+        lambda d: dedup_minhash_est_error(spark, d).collect(),
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    r = pairs[(1, 2)]
+    assert r.n_agree == 8 and r.est_jaccard == 1.0
+    assert r.true_jaccard == 1.0 and r.abs_err == 0.0

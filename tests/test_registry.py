@@ -123,6 +123,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "TX15",  # Flesch readability: text-quality family proven
         "SIM10",  # RRF fusion: retriever family (SIM1/SIM5) proven
         "TS10",  # windowed funnel: funnel family (TS3/ST9) proven
+        "TS11",  # Markov transitions: lead-window family proven
+        "DD18",  # minhash estimator error: DD3/DD4 + eval family proven
     }
     orphaned = {
         t

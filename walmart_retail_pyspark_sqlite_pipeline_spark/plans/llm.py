@@ -2758,3 +2758,152 @@ register_local(
         doc="reciprocal-rank fusion of exact-cosine and int8 retrievers",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_est_error — measurement of the minhash ESTIMATOR itself:
+# for every LSH candidate pair, the signature-agreement Jaccard estimate
+# (agreeing minhash coordinates / k) against the TRUE shingle Jaccard,
+# with the absolute error. This is the tuning loop for (k, bands) — the
+# same eval-first discipline as ann_ivf_recall, applied to the dedup
+# index. Candidates only (banded LSH), never all-pairs.
+#
+# Exactness: est is agree/8 (exactly binary-representable); the true
+# Jaccard is integer-micro-rounded ((2·c·1e6 + d) div 2d — no float
+# ROUND tie hazard); the error is one deterministic |a − b|.
+# ---------------------------------------------------------------------------
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+                        ).alias("key"),
+                    )
+                    for i in range(len(PERMS) // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(PERMS))],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(PERMS))],
+    )
+    agree = sum(
+        [
+            (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+            for j in range(len(PERMS))
+        ],
+        F.lit(0),
+    )
+    uni = _doc_shingles(spark, sf_dir)
+    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ua = uni.select(F.col("doc_id").alias("doc_a"), "t")
+    ub = uni.select(F.col("doc_id").alias("doc_b"), "t")
+    common = (
+        cand.join(ua, "doc_a")
+        .join(ub, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    k = len(PERMS)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("agree", agree)
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST(agree AS BIGINT) AS n_agree",
+            f"agree / CAST({k} AS DOUBLE) AS est_jaccard",
+            # true jaccard, integer-micro-rounded
+            """((2 * COALESCE(common, 0) * 1000000 + (na + nb - COALESCE(common, 0)))
+                DIV (2 * (na + nb - COALESCE(common, 0))))
+                / CAST(1000000.0 AS DOUBLE)
+               AS true_jaccard""",
+            f"""abs(agree / CAST({k} AS DOUBLE)
+                - ((2 * COALESCE(common, 0) * 1000000 + (na + nb - COALESCE(common, 0)))
+                   DIV (2 * (na + nb - COALESCE(common, 0))))
+                  / CAST(1000000.0 AS DOUBLE))
+               AS abs_err""",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MINHASH_EST_ERROR_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+    ({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(len(PERMS)))})
+      AS agree,
+    COALESCE(common.common, 0) AS c,
+    na.n + nb.n - COALESCE(common.common, 0) AS d
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+  LEFT JOIN common ON cand.doc_a = common.doc_a AND cand.doc_b = common.doc_b
+  JOIN sizes na ON cand.doc_a = na.doc_id
+  JOIN sizes nb ON cand.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(agree AS BIGINT) AS n_agree,
+  agree / CAST({len(PERMS)} AS DOUBLE) AS est_jaccard,
+  CAST((2 * c * 1000000 + d) // (2 * d) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS true_jaccard,
+  ABS(agree / CAST({len(PERMS)} AS DOUBLE)
+      - CAST((2 * c * 1000000 + d) // (2 * d) AS BIGINT)
+        / CAST(1000000.0 AS DOUBLE)) AS abs_err
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_minhash_est_error",
+        dedup_minhash_est_error,
+        MINHASH_EST_ERROR_SQL,
+        ("DD18",),
+        doc="minhash Jaccard estimator error vs true Jaccard on LSH candidates",
+    )
+)

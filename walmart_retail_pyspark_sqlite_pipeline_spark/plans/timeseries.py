@@ -490,3 +490,67 @@ register_local(
         doc="top 3-step event-type paths per user stream (lead-window trigrams)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior model: the event-type
+# transition matrix P(next | current) over per-user streams. Pairs come
+# from ONE lead() window (same user_id shuffle the other sequence ops
+# reuse), the rollup is a map-side-combining groupBy on ≤ |types|² keys,
+# and probabilities are integer-micro-rounded (no float ROUND tie
+# hazard). The row-normalized matrix is what anomaly/bot detectors and
+# session simulators consume; top_paths above is its order-3 cousin.
+# ---------------------------------------------------------------------------
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cnt.join(tot, "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(n_from AS BIGINT) AS n_from",
+            "((2 * n * 1000000 + n_from) DIV (2 * n_from)) / CAST(1000000.0 AS DOUBLE) AS p",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1)
+SELECT cnt.from_type, to_type,
+  CAST(n AS BIGINT) AS n,
+  CAST(n_from AS BIGINT) AS n_from,
+  CAST((2 * n * 1000000 + n_from) // (2 * n_from) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS p
+FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+ORDER BY cnt.from_type, to_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_markov_transitions",
+        events_markov_transitions,
+        MARKOV_SQL,
+        ("TS11",),
+        doc="first-order event-type transition matrix (lead-window pairs)",
+    )
+)
