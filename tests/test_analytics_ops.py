@@ -385,3 +385,88 @@ def test_minhash_est_error_identical_docs_agree_fully(spark):
     r = pairs[(1, 2)]
     assert r.n_agree == 8 and r.est_jaccard == 1.0
     assert r.true_jaccard == 1.0 and r.abs_err == 0.0
+
+
+def test_autocorr_perfect_alternation_is_minus_one(spark):
+    """A strictly alternating daily series (10, 20, 10, 20, ...) has lag-1
+    autocorrelation exactly -1 and lag-7 (odd offset over an alternating
+    series) also -1; values are exact integers so the oracle-identical
+    moment arithmetic must land on -1.0 precisely, not approximately."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_autocorr,
+    )
+
+    rows = [
+        (day, datetime.datetime(2025, 3, day + 1, 12, 0, 0), 1, "click",
+         10.0 if day % 2 == 0 else 20.0, "{}")
+        for day in range(14)
+    ]
+    out = _with_events(spark, rows, lambda d: events_autocorr(spark, d).collect())
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[1].n_pairs == 13 and by_lag[1].acf == -1.0
+    assert by_lag[7].n_pairs == 7 and by_lag[7].acf == -1.0
+
+
+def test_autocorr_constant_series_is_null(spark):
+    """Zero variance -> ACF undefined -> NULL (not NaN, not 0)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_autocorr,
+    )
+
+    rows = [
+        (day, datetime.datetime(2025, 3, day + 1, 12, 0, 0), 1, "click", 5.0, "{}")
+        for day in range(10)
+    ]
+    out = _with_events(spark, rows, lambda d: events_autocorr(spark, d).collect())
+    assert all(r.acf is None for r in out)
+
+
+def test_seasonal_naive_uses_calendar_offset_not_row_lag(spark):
+    """With a gap day in the series, the forecast for day d must come from
+    day d-7 (calendar), NOT seven observations back. Days whose d-7 was
+    never observed are not scored."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_seasonal_naive,
+    )
+
+    rows = []
+    eid = 0
+    # days 1..16 except day 5 missing; value = day dollars
+    for day in range(1, 17):
+        if day == 5:
+            continue
+        rows.append(
+            (eid, datetime.datetime(2025, 3, day, 12, 0, 0), 1, "buy",
+             float(day), "{}")
+        )
+        eid += 1
+    out = _with_events(
+        spark, rows, lambda d: events_seasonal_naive(spark, d).collect()
+    )
+    (r,) = out
+    # scored days: d in 8..16 with d-7 observed -> d != 12 (5 missing), d != 5
+    # -> days 8,9,10,11,13,14,15,16 = 8 scored days, each |d - (d-7)|*100 = 700
+    assert r.n_scored == 8
+    assert r.sum_abs_err_cents == 8 * 700
+    assert r.mae_cents == 700.0
+
+
+def test_dwell_time_gap_attribution_and_order(spark):
+    """Gaps attach to the PRECEDING event's type; the last event of a user
+    has no gap. Planted: A at t=0, B at t=10, A at t=40 -> gap 10 under A,
+    gap 30 under B."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_dwell_time,
+    )
+
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "A", 0.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=10), 7, "B", 0.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=40), 7, "A", 0.0, "{}"),
+    ]
+    out = _with_events(spark, rows, lambda d: events_dwell_time(spark, d).collect())
+    by_type = {r.event_type: r for r in out}
+    assert by_type["A"].n_gaps == 1 and by_type["A"].p50_s == 10.0
+    assert by_type["B"].n_gaps == 1 and by_type["B"].max_gap_s == 30
+    assert "A" in by_type and len(by_type) == 2

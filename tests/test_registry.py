@@ -125,6 +125,10 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS10",  # windowed funnel: funnel family (TS3/ST9) proven
         "TS11",  # Markov transitions: lead-window family proven
         "DD18",  # minhash estimator error: DD3/DD4 + eval family proven
+        # round-5 batch 3, awaiting their first rotation window
+        "TS12",  # lag-k autocorrelation: exact-moments family (TS6) proven
+        "TS13",  # seasonal-naive forecast baseline: daily-rollup family proven
+        "TS14",  # dwell-time percentiles: lead-window + percentile (TS8) proven
     }
     orphaned = {
         t

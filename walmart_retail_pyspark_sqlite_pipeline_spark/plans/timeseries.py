@@ -554,3 +554,268 @@ register_local(
         doc="first-order event-type transition matrix (lead-window pairs)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_autocorr — lag-1 and lag-7 autocorrelation of each event type's
+# daily revenue series: is today's total predictive of tomorrow's (and of
+# the same weekday next week)? The stationarity probe run before fitting
+# any forecast model on the series.
+#
+# Exact across engines by the repo's integer-moments discipline: daily
+# totals are WHOLE DOLLARS (ACF is scale-invariant, and dollars keep the
+# BIGINT moments far from 2^63 — with daily totals of x dollars/key over
+# n days, the binding term n·Σxy ≈ n²·x² must stay < 2^63, so
+# x < ~3e6 dollars/day/key for a year-long series; cents would burn 4
+# decades of that headroom for no statistical gain). Pearson r is then
+# derived from exact integer (n, Σx, Σy, Σxy, Σx², Σy²); the only float
+# steps — the final divide, multiply of the two variance terms, sqrt —
+# start from identical integers on both engines. Pairs are formed by
+# lag() over the OBSERVED series (standard sample-ACF), one shuffle on
+# event_type; the moment rollup is map-side combinable on ≤ |types|·2
+# keys. Nothing scans events twice: the daily rollup is shared by both
+# lags.
+# ---------------------------------------------------------------------------
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value")).cast("long")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 7).over(w).alias("y7"),
+    )
+    pairs = lagged.select(
+        "event_type", F.lit(1).alias("lag"), "x", F.col("y1").alias("y")
+    ).unionAll(
+        lagged.select(
+            "event_type", F.lit(7).alias("lag"), "x", F.col("y7").alias("y")
+        )
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    vy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+            ),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+    LAG(x, 1) OVER w AS y1,
+    LAG(x, 7) OVER w AS y7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 7 AS lag, x, y7 AS y FROM lagged WHERE y7 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag,
+    COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag,
+  CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    THEN ROUND((n * sxy - sx * sy)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+  END AS acf
+FROM m
+ORDER BY event_type, lag
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_autocorr",
+        events_autocorr,
+        AUTOCORR_SQL,
+        ("TS12",),
+        doc="lag-1/lag-7 daily-revenue autocorrelation from exact integer moments",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_naive — the forecasting BASELINE every model must beat:
+# predict each day's revenue as the SAME WEEKDAY last week's revenue and
+# score the error. The 7-day offset is calendar-exact (a self-join on
+# day - 7, not lag(7) rows — row-lag silently misaligns when a series
+# has gap days), errors are exact integer cents, and MAE is rounded by
+# the repo's integer-DIV trick so no float ROUND tie can split engines.
+# Plan: one shuffle for the daily rollup; the offset join re-uses the
+# same (event_type) keying and the per-type scorecard is a tiny
+# map-side-combinable agg. Self-join of an aggregate a fraction of the
+# raw table's size — scale-shape safe at 100 TB.
+# ---------------------------------------------------------------------------
+def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    scored = daily.join(fc, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("forecast_cents")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.sum("abs_err").cast("bigint").alias("sum_abs_err_cents"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            "sum_abs_err_cents",
+            F.expr(
+                "((2 * sum_abs_err_cents * 1000000 + n_scored)"
+                " DIV (2 * n_scored)) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("mae_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.event_type, ABS(d.cents - f.cents) AS abs_err
+  FROM daily d
+  JOIN daily f
+    ON d.event_type = f.event_type AND f.day = d.day - INTERVAL 7 DAY
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_scored,
+  CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_cents,
+  CAST((2 * CAST(SUM(abs_err) AS BIGINT) * 1000000 + COUNT(*))
+       // (2 * COUNT(*)) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mae_cents
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_seasonal_naive",
+        events_seasonal_naive,
+        SEASONAL_NAIVE_SQL,
+        ("TS13",),
+        doc="seasonal-naive (same weekday last week) forecast baseline + exact MAE",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_dwell_time — how long until the user does ANYTHING next, keyed by
+# what they just did: per event, the gap to that user's next event in
+# integer seconds; per event_type, the count, interpolated p50/p90 and
+# max. The engagement metric behind "do purchases end sessions?".
+#
+# One shuffle on user_id for the lead() window, then a map-side agg on
+# |types| keys. Exact percentile per type is safe here ONLY because the
+# rollup keys are a fixed enum (per-key state is the gap multiset — at
+# 100 TB swap F.percentile for approx_percentile and re-grade as
+# rows-only); p50/p90 interpolate from identical integer seconds by the
+# same (n-1)·q linear rule in both engines, then round at 1e-6.
+# ---------------------------------------------------------------------------
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.lead("ts_s", 1).over(w) - F.col("ts_s")).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DWELL_TIME_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+    LEAD(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+      - ts_s AS gap_s
+  FROM ev
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 6) AS p50_s,
+  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 6) AS p90_s,
+  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_dwell_time",
+        events_dwell_time,
+        DWELL_TIME_SQL,
+        ("TS14",),
+        doc="time-to-next-event distribution per event type (p50/p90/max)",
+    )
+)
