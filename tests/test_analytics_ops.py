@@ -470,3 +470,66 @@ def test_dwell_time_gap_attribution_and_order(spark):
     assert by_type["A"].n_gaps == 1 and by_type["A"].p50_s == 10.0
     assert by_type["B"].n_gaps == 1 and by_type["B"].max_gap_s == 30
     assert "A" in by_type and len(by_type) == 2
+
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _with_orders(spark, rows, fn):
+    df = spark.createDataFrame(rows, ORDERS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return fn(d)
+
+
+def _order_row(key, price, year):
+    return (key, 1, "O", price, datetime.datetime(year, 6, 1), "1-URGENT")
+
+
+def test_ks_identical_windows_is_zero_and_disjoint_is_one(spark):
+    """Same distribution in both windows -> D = 0; fully disjoint price
+    ranges -> D = 1 (the ECDFs separate completely at the gap)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_drift_ks,
+    )
+
+    same = [_order_row(i, 1000.0 * (i % 5), 1994 if i % 2 else 1997)
+            for i in range(40)]
+    (r,) = _with_orders(spark, same, lambda d: qc_drift_ks(spark, d).collect())
+    assert r.ks_num == 0 and r.ks_stat == 0.0
+
+    # ref all < 5000, cur all >= 100_000 (different KS grid buckets)
+    disjoint = [_order_row(i, 100.0, 1994) for i in range(20)] + [
+        _order_row(100 + i, 200_000.0, 1997) for i in range(30)
+    ]
+    (r,) = _with_orders(
+        spark, disjoint, lambda d: qc_drift_ks(spark, d).collect()
+    )
+    assert r.t_ref == 20 and r.t_cur == 30
+    assert r.ks_num == 20 * 30 and r.ks_stat == 1.0
+
+
+def test_psi_identical_windows_is_zero_and_shift_is_positive(spark):
+    """Equal per-bucket shares -> every PSI term is exactly 0 (ln(1) = 0
+    survives the fixed-point rounding); a mass shift produces strictly
+    positive terms in the buckets that gained or lost share."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_drift_psi,
+    )
+
+    same = [_order_row(i, 60_000.0 * (i % 3), 1994 if i % 2 else 1997)
+            for i in range(60)]
+    out = _with_orders(spark, same, lambda d: qc_drift_psi(spark, d).collect())
+    assert out and all(r.psi_term == 0.0 for r in out)
+
+    shifted = [_order_row(i, 10_000.0, 1994) for i in range(30)] + [
+        _order_row(100 + i, 120_000.0, 1997) for i in range(30)
+    ]
+    out = _with_orders(
+        spark, shifted, lambda d: qc_drift_psi(spark, d).collect()
+    )
+    by_bucket = {r.bucket: r for r in out}
+    assert by_bucket[0].psi_term > 0 and by_bucket[2].psi_term > 0

@@ -129,6 +129,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS12",  # lag-k autocorrelation: exact-moments family (TS6) proven
         "TS13",  # seasonal-naive forecast baseline: daily-rollup family proven
         "TS14",  # dwell-time percentiles: lead-window + percentile (TS8) proven
+        "Q5",   # KS drift statistic: drift family (Q4 chi2, driver-green) proven
+        "Q6",   # PSI drift terms: drift family (Q4) + fixed-point-ln (TX13) proven
     }
     orphaned = {
         t

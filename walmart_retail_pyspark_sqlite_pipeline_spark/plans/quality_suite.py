@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..quality.constraints import (
     accepted_values,
@@ -189,5 +190,210 @@ register(
         QC_DRIFT_CHI2_SQL,
         ("Q4",),
         doc="distribution drift between reference/current windows (chi-square terms)",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# qc_drift_ks — two-sample Kolmogorov–Smirnov statistic between the same
+# reference/current windows qc_drift_chi2 monitors: D = max |ECDF_ref −
+# ECDF_cur|. Unlike chi-square, KS is bucket-width-insensitive in shape —
+# it catches a location shift chi-square dilutes across buckets.
+#
+# Exactness: the ECDF difference at each grid point is the exact integer
+# |cum_ref·t_cur − cum_cur·t_ref| (a common-denominator rational), maxed
+# as a BIGINT; only the final ratio is a double. Overflow bound:
+# cum·t ≤ t_ref·t_cur must stay < 2^63 → fine until BOTH windows exceed
+# ~3e9 rows; past that compute the max over per-bucket doubles instead.
+#
+# Scale note: the running ECDF needs an ORDERED cumulative sum. Running
+# it over raw distinct prices would put an unbounded single-partition
+# window in the plan, so the domain is first quantized to a FIXED price
+# grid (_KS_BUCKET-dollar steps → ≤ ~price_range/_KS_BUCKET rows); the
+# global window is bounded by construction, which is how monitoring KS
+# is run in practice (binned ECDF), and the binned D understates the
+# exact D by at most the max in-bin mass.
+# --------------------------------------------------------------------------
+_KS_BUCKET = 5_000  # whole-dollar ECDF grid step
+
+
+def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.expr(f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_KS_BUCKET}").alias(
+            "bucket"
+        ),
+        (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("n_ref").over(w).alias("cum_ref"),
+        F.sum("n_cur").over(w).alias("cum_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_ref") * F.col("t_cur")
+                    - F.col("cum_cur") * F.col("t_ref")
+                )
+            ).alias("ks_num"),
+            F.first("t_ref").alias("t_ref"),
+            F.first("t_cur").alias("t_cur"),
+        )
+        .select(
+            "t_ref",
+            "t_cur",
+            F.col("ks_num").cast("bigint").alias("ks_num"),
+            F.round(
+                F.col("ks_num")
+                / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+QC_DRIFT_KS_SQL = f"""
+WITH bucketed AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_KS_BUCKET} AS bucket,
+         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+cum AS (
+  SELECT
+    CAST(SUM(n_ref) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+    CAST(SUM(n_cur) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur
+  FROM counts
+),
+totals AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT t_ref, t_cur,
+  CAST(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref)) AS BIGINT) AS ks_num,
+  ROUND(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref))
+        / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)), 6) AS ks_stat
+FROM cum, totals
+GROUP BY t_ref, t_cur
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_drift_ks",
+        qc_drift_ks,
+        QC_DRIFT_KS_SQL,
+        ("Q5",),
+        doc="two-sample KS drift statistic over a bounded binned ECDF grid",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# qc_drift_psi — population stability index terms per bucket, the
+# industry-standard scorecard drift metric (PSI > 0.25 ≈ "retrain").
+# Same windows and bucket width as qc_drift_chi2, so the three monitors
+# (chi², KS, PSI) read one consistent grid.
+#
+# PSI needs ln(), which libm does not guarantee correctly rounded — so
+# per the repo's fixed-point discipline each ln() is rounded at 1e-6
+# into a BIGINT before use (same as text_lm_score): both engines then
+# multiply IDENTICAL doubles and the compare stays exact. Zero buckets
+# are Laplace-smoothed (+1 per bucket over t+B) rather than dropped —
+# dropping is what makes naive PSI blind to novel buckets, the very
+# drift it should scream about. Emitted per-bucket (not summed): summing
+# rounded doubles would reintroduce order-dependence, and per-bucket
+# terms are what the ops dashboard plots anyway.
+# --------------------------------------------------------------------------
+def qc_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.expr(
+            f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_DRIFT_BUCKET}"
+        ).alias("bucket"),
+        (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count("*").cast("bigint").alias("b"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("b"))
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("b"))
+    qln = F.round(F.log(p_cur / p_ref) * 1000000.0, 0).cast("bigint")
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * qln / 1000000.0, 6).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+QC_DRIFT_PSI_SQL = f"""
+WITH bucketed AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_DRIFT_BUCKET} AS bucket,
+         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+         CAST(COUNT(*) AS BIGINT) AS b
+  FROM counts
+),
+terms AS (
+  SELECT bucket, n_ref, n_cur,
+    CAST(n_ref + 1 AS DOUBLE) / (t_ref + b) AS p_ref,
+    CAST(n_cur + 1 AS DOUBLE) / (t_cur + b) AS p_cur
+  FROM counts, totals
+)
+SELECT bucket, n_ref, n_cur,
+  ROUND((p_cur - p_ref)
+    * CAST(ROUND(ln(p_cur / p_ref) * 1000000.0, 0) AS BIGINT)
+    / 1000000.0, 6) AS psi_term
+FROM terms
+ORDER BY bucket
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_drift_psi",
+        qc_drift_psi,
+        QC_DRIFT_PSI_SQL,
+        ("Q6",),
+        doc="per-bucket PSI drift terms (Laplace-smoothed, fixed-point ln)",
     )
 )
