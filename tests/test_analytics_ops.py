@@ -533,3 +533,69 @@ def test_psi_identical_windows_is_zero_and_shift_is_positive(spark):
     )
     by_bucket = {r.bucket: r for r in out}
     assert by_bucket[0].psi_term > 0 and by_bucket[2].psi_term > 0
+
+
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string, "
+    "p_size int, p_retailprice double"
+)
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def _with_lineitem_part(spark, li_rows, part_rows, fn):
+    li = spark.createDataFrame(li_rows, LINEITEM_SCHEMA)
+    pt = spark.createDataFrame(part_rows, PART_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        pt.write.mode("overwrite").parquet(f"{d}/part.parquet")
+        return fn(d)
+
+
+def _li_row(key, partkey, qty, price, disc):
+    return (key, partkey, 1, 1, qty, price, disc, 0.0, "N", "O",
+            datetime.datetime(1995, 6, 1))
+
+
+def test_abc_classes_split_exactly_at_80_and_95(spark):
+    """Planted revenue 80/15/5 across three brands: the 80% brand is A
+    (boundary INCLUSIVE, compared as exact integer rationals), the brand
+    reaching cumulative 95% is B, the tail is C."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.retail import (
+        q42_abc_analysis,
+    )
+
+    parts = [(1, "pa", "BRAND_A", "t", 1, 1.0),
+             (2, "pb", "BRAND_B", "t", 1, 1.0),
+             (3, "pc", "BRAND_C", "t", 1, 1.0)]
+    lis = [_li_row(1, 1, 1.0, 80.0, 0.0),
+           _li_row(2, 2, 1.0, 15.0, 0.0),
+           _li_row(3, 3, 1.0, 5.0, 0.0)]
+    out = _with_lineitem_part(
+        spark, lis, parts, lambda d: q42_abc_analysis(spark, d).collect()
+    )
+    cls = {r.p_brand: r.abc_class for r in out}
+    assert cls == {"BRAND_A": "A", "BRAND_B": "B", "BRAND_C": "C"}
+    shares = {r.p_brand: r.cum_share for r in out}
+    assert shares["BRAND_A"] == 0.8 and shares["BRAND_C"] == 1.0
+
+
+def test_elasticity_slope_recovers_planted_line(spark):
+    """Points exactly on y = 0.1·x (x in basis points): slope_num/slope_den
+    = 0.1 qty/bp, reported as 10 qty per PERCENTAGE POINT of discount."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.retail import (
+        q43_elasticity_slope,
+    )
+
+    parts = [(1, "p", "BRAND_X", "t", 1, 1.0)]
+    lis = [_li_row(i, 1, 10.0 * i, 100.0, 0.01 * i) for i in (1, 2, 3)]
+    out = _with_lineitem_part(
+        spark, lis, parts, lambda d: q43_elasticity_slope(spark, d).collect()
+    )
+    (r,) = out
+    assert r.slope_num / r.slope_den == 0.1
+    assert r.qty_per_pct_discount == 10.0

@@ -131,6 +131,9 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS14",  # dwell-time percentiles: lead-window + percentile (TS8) proven
         "Q5",   # KS drift statistic: drift family (Q4 chi2, driver-green) proven
         "Q6",   # PSI drift terms: drift family (Q4) + fixed-point-ln (TX13) proven
+        "ABC1",  # Pareto ABC classification: window+agg families proven
+        "REG1",  # per-group OLS slope: exact-moments family (TS6/TS12) proven
+        "LAT1",  # LATERAL correlated subquery: SQL-surface family (SQ1/SQ2) proven
     }
     orphaned = {
         t

@@ -1758,3 +1758,45 @@ register_local(
         doc="RFM quartile segmentation: the retail-domain customer scoring rollup",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# q44_lateral_topn — the LATERAL correlated-subquery surface: for every
+# region, the two nations holding the most customer balance, written as a
+# per-row lateral subquery (the "top-N per group as a subquery" idiom SQL
+# users reach for before learning window functions). One SQL text runs on
+# BOTH engines. Catalyst decorrelates the lateral into a
+# partitioned rank-filter plan — same shape as q15's window top-k, so
+# the lateral SURFACE costs nothing extra at scale: no per-region rescan
+# survives optimization (DecorrelateInnerQuery + RewriteLateralSubquery),
+# and the dims are broadcast.
+# ---------------------------------------------------------------------------
+_Q44_BODY = """
+SELECT r.r_name AS region, t.n_name AS nation, t.bal_cents
+FROM region r,
+LATERAL (
+  SELECT n.n_name,
+    CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      AS bal_cents
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY bal_cents DESC, n.n_name
+  LIMIT 2
+) t
+ORDER BY region, bal_cents DESC, nation
+"""
+
+
+def q44_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q44_BODY)
+
+
+Q44_SQL = _Q44_BODY  # identical ANSI SQL runs on both engines
+
+
+register_local(
+    QuerySpec("q44_lateral_topn", q44_lateral_topn, Q44_SQL, ("LAT1",))
+)

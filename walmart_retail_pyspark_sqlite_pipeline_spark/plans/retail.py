@@ -215,3 +215,180 @@ register_local(
         doc="Benford first-digit audit on order totals (string-exact digits)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# q42_abc_analysis — ABC (Pareto) inventory classification: rank brands by
+# revenue, take the running revenue share, and label A (first 80% of
+# revenue), B (to 95%), C (tail). The assortment-planning cut every
+# retail org runs; the reference's notebook stops at plain grouped sums
+# (testing/sql_queries.ipynb "top stores"), this is the classification
+# layer above it.
+#
+# Plan: one shuffle for the brand rollup (map-side combinable, |brands|
+# keys), then an ordered window over |brands| rows — bounded by the brand
+# enum, not the data, so the single-partition window is safe at any SF.
+# Classification compares exact integer rationals (cum·100 vs
+# threshold·total), never floats; cum_share is fixed-point-rounded by the
+# integer-DIV rule. Ties in revenue order are broken by brand key.
+# ---------------------------------------------------------------------------
+def q42_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("revenue_cents"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("revenue_cents").alias("total_cents"))
+    return (
+        rev.withColumn("cum_cents", F.sum("revenue_cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "((2 * cum_cents * 1000000 + total_cents)"
+                " DIV (2 * total_cents)) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("cum_share"),
+            F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue_cents"), "p_brand")
+    )
+
+
+Q42_ABC_SQL = """
+WITH rev AS (
+  SELECT p_brand,
+    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+cum AS (
+  SELECT p_brand, revenue_cents,
+    CAST(SUM(revenue_cents) OVER (
+      ORDER BY revenue_cents DESC, p_brand
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_cents,
+    CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total_cents
+  FROM rev
+)
+SELECT p_brand, revenue_cents,
+  CAST((2 * cum_cents * 1000000 + total_cents) // (2 * total_cents)
+       AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS cum_share,
+  CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+       WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM cum
+ORDER BY revenue_cents DESC, p_brand
+"""
+
+
+register_local(
+    QuerySpec(
+        "q42_abc_analysis",
+        q42_abc_analysis,
+        Q42_ABC_SQL,
+        ("ABC1",),
+        doc="Pareto ABC classification of brands by cumulative revenue share",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# q43_elasticity_slope — per-brand OLS regression of quantity sold on the
+# discount offered: the first-cut "does discounting move volume" price-
+# response read. Slope and intercept come from exact integer moments
+# (discount in basis points, quantity in units):
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+# with numerator/denominator emitted as BIGINTs (the auditable rational)
+# plus the rounded double consumers chart. Overflow bound: x ≤ 1000 bps,
+# so the binding term n·Σx² ≤ n²·10⁶ stays under 2^63 until a brand
+# exceeds ~3e6 rows PER BRAND at full precision — past that, pre-
+# aggregate per (brand, bps) first (same moments, |brands|·1001 rows).
+# One shuffle on brand, map-side combinable; no window, no join.
+# ---------------------------------------------------------------------------
+def q43_elasticity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    xy = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_brand",
+            F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
+            F.round(F.col("l_quantity")).cast("long").alias("y"),
+        )
+    )
+    m = xy.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return m.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(den > 0, F.round(num / den.cast("double") * 100.0, 6)).alias(
+            "qty_per_pct_discount"
+        ),
+    ).orderBy("p_brand")
+
+
+Q43_SLOPE_SQL = """
+WITH xy AS (
+  SELECT p_brand,
+    CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x,
+    CAST(ROUND(l_quantity, 0) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+m AS (
+  SELECT p_brand,
+    COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY p_brand
+)
+SELECT p_brand,
+  CAST(n AS BIGINT) AS n_rows,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+  CASE WHEN n * sxx - sx * sx > 0
+    THEN ROUND((n * sxy - sx * sy)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 100.0, 6)
+  END AS qty_per_pct_discount
+FROM m
+ORDER BY p_brand
+"""
+
+
+register_local(
+    QuerySpec(
+        "q43_elasticity_slope",
+        q43_elasticity_slope,
+        Q43_SLOPE_SQL,
+        ("REG1",),
+        doc="per-brand OLS slope of quantity on discount from exact integer moments",
+    )
+)
