@@ -341,3 +341,59 @@ def test_lm_score_prefers_corpus_like_text(spark):
         rows = {r.doc_id: r for r in text_lm_score(spark, d).collect()}
     assert rows[1].avg_nll < rows[9].avg_nll
     assert rows[1].n_bigrams == len(common.split()) - 1
+
+
+def _with_docs(spark, rows, fn):
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return fn(d)
+
+
+def test_triangles_distinguish_clique_from_chain(spark):
+    """Three mutually-near-dup docs (clique) -> 1 triangle, transitivity
+    1.0; a drifting chain A~B~C where A and C diverge -> 0 triangles.
+    Exercises the REAL LSH pair path on planted text."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_triangles,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    clique = [
+        (1, base, "en", "s", 0),
+        (2, base + " tail2", "en", "s", 0),
+        (3, base + " tail3", "en", "s", 0),
+    ]
+    out = _with_docs(spark, clique, lambda d: corpus_triangles(spark, d).collect())
+    (r,) = out
+    assert r.n_nodes == 3 and r.n_edges == 3
+    assert r.n_triangles == 1 and r.transitivity == 1.0
+
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(10, 50))   # shares 30/50 with a and c
+    c = " ".join(f"w{i}" for i in range(20, 60))
+    chain = [(1, a, "en", "s", 0), (2, b, "en", "s", 0), (3, c, "en", "s", 0)]
+    out = _with_docs(spark, chain, lambda d: corpus_triangles(spark, d).collect())
+    (r,) = out
+    assert r.n_triangles == 0
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A corpus built so term k appears round(1000/k) times is Zipf with
+    exponent -1; the fitted slope lands within rounding of -1."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        text_zipf_slope,
+    )
+
+    words = []
+    for k in range(1, 31):
+        words += [f"zipf{k:02d}"] * round(1000 / k)
+    text = " ".join(words)
+    rows = [(1, text, "en", "s", 0)]
+    (r,) = _with_docs(spark, rows, lambda d: text_zipf_slope(spark, d).collect())
+    assert r.n_terms == 30
+    assert -1.01 < r.zipf_slope < -0.99

@@ -134,6 +134,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "ABC1",  # Pareto ABC classification: window+agg families proven
         "REG1",  # per-group OLS slope: exact-moments family (TS6/TS12) proven
         "LAT1",  # LATERAL correlated subquery: SQL-surface family (SQ1/SQ2) proven
+        "IT5",  # triangle census: LSH-graph family (IT1 CC driver-green) proven
+        "TX16",  # Zipf slope: fixed-point-ln + exact-moments families proven
     }
     orphaned = {
         t

@@ -1399,3 +1399,222 @@ register_local(
         doc="DSIR-style bigram log-likelihood-ratio importance weights",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_triangles — triangle census of the verified minhash-LSH near-dup
+# graph: node/edge counts, triangle count, and global transitivity
+# (3·triangles / wedges). Duplicate clusters that form cliques (content
+# farms re-posting one template) and chains (A≈B≈C drifting rewrites)
+# look identical to CC cluster sizes but have opposite transitivity —
+# this is the diagnostic that tells them apart before choosing a
+# canonical-doc strategy.
+#
+# Plan: pairs come from the SAME banded-LSH path every other graph
+# consumer uses (bounded candidate generation, never all-pairs),
+# checkpointed once; the triangle join is the standard ordered-triple
+# enumeration (a<b<c, each triangle counted once) — two joins keyed on
+# doc ids whose input is the EDGE list (already near-dup-sparse), not
+# the corpus. Wedges are Σ d·(d−1)/2 over the symmetrized degree table
+# (exact integers); transitivity is one division of exact BIGINTs,
+# rounded at 1e-6 identically on both engines.
+# ---------------------------------------------------------------------------
+def corpus_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src")).union(
+        pairs.select(F.col("doc_b").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    shape = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("wedges"),
+    )
+    n_edges = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.doc_b") == F.col("p2.doc_a"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        shape.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "wedges",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                F.round(
+                    (3 * F.col("n_triangles")) / F.col("wedges").cast("double"),
+                    6,
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+deg AS (
+  SELECT src, COUNT(*) AS d FROM (
+    SELECT doc_a AS src FROM pairs UNION ALL SELECT doc_b AS src FROM pairs
+  ) GROUP BY src
+),
+shape AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+  FROM deg
+),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p1.doc_b = p2.doc_a
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+)
+SELECT n_nodes, n_edges, wedges, n_triangles,
+  CASE WHEN wedges > 0
+    THEN ROUND((3 * n_triangles) / CAST(wedges AS DOUBLE), 6)
+  END AS transitivity
+FROM shape, e, tri
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_triangles",
+        corpus_triangles,
+        TRIANGLES_SQL,
+        ("IT5",),
+        doc="triangle census + transitivity of the LSH near-dup graph",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope — does the corpus obey Zipf's law? OLS slope of
+# ln(frequency) on ln(rank) over the top-K corpus terms (a healthy natural
+# corpus sits near −1; template/machine-generated text flattens it). The
+# quantitative cousin of the rank plots every corpus paper prints, and a
+# cheap generated-text alarm for ingest monitoring.
+#
+# Exactness: both ln() legs are fixed-pointed at 1e-6 into BIGINTs (libm
+# ln is not correctly-rounded; identical-integer moments are), then the
+# OLS moments are exact integer sums — same discipline as
+# q43_elasticity_slope. Overflow: with K = 200 and corpus term counts up
+# to 1e12, n·Σ(qx·qy) tops out ≈ 6e18 < 2^63 — raise the fixed point
+# only together with lowering K. Ranking is freq DESC, term ASC
+# (deterministic); the rank window runs AFTER top-K (bounded K rows,
+# never a global single-partition window over the vocabulary).
+# ---------------------------------------------------------------------------
+ZIPF_TOP_K = 200
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    pts = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("qx"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("qy"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.when(den > 0, F.round(num / den.cast("double"), 6)).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+ZIPF_SQL = f"""
+WITH tk AS (
+  SELECT unnest({_TOK_SQL}) AS term FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS freq FROM tk GROUP BY term
+  ORDER BY freq DESC, term LIMIT {ZIPF_TOP_K}
+),
+pts AS (
+  SELECT
+    CAST(ROUND(ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                       AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS qx,
+    CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS qy
+  FROM freq
+),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(qx) AS BIGINT) AS sx,
+    CAST(SUM(qy) AS BIGINT) AS sy,
+    CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+    CAST(SUM(qx * qx) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  CASE WHEN n * sxx - sx * sx > 0
+    THEN ROUND((n * sxy - sx * sy)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+  END AS zipf_slope
+FROM m
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_zipf_slope",
+        text_zipf_slope,
+        ZIPF_SQL,
+        ("TX16",),
+        doc="OLS Zipf slope of top-K term frequencies (fixed-point ln moments)",
+    )
+)
