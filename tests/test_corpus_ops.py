@@ -397,3 +397,44 @@ def test_zipf_slope_recovers_planted_power_law(spark):
     (r,) = _with_docs(spark, rows, lambda d: text_zipf_slope(spark, d).collect())
     assert r.n_terms == 30
     assert -1.01 < r.zipf_slope < -0.99
+
+
+def test_bloom_prefilter_prunes_but_never_drops_a_true_hit(spark):
+    """The Bloom candidate set must contain EVERY truly-shared shingle
+    (no false negatives) while pruning most non-shared ones, and the
+    final operator output must equal the exact contamination hits."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        EVAL_MOD,
+        _bloom_candidate_shingles,
+        _doc_shingles,
+        corpus_bloom_contamination,
+    )
+    import tempfile
+
+    # doc 20 is "eval" (20 % EVAL_MOD == 0); doc 1 shares its text (true
+    # contamination), docs 2..9 are unrelated noise the bloom should prune
+    shared = " ".join(f"bench{i}" for i in range(20))
+    rows = [(20, shared, "en", "s", 0), (1, shared, "en", "s", 0)]
+    for d in range(2, 10):
+        rows.append(
+            (d, " ".join(f"noise{d}_{i}" for i in range(30)), "en", "s", 0)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as dirname:
+        df.write.mode("overwrite").parquet(f"{dirname}/documents.parquet")
+        sh = _doc_shingles(spark, dirname)
+        eval_t = {
+            r.t for r in sh.filter(F.col("doc_id") % EVAL_MOD == 0).collect()
+        }
+        train = [(r.doc_id, r.t) for r in
+                 sh.filter(F.col("doc_id") % EVAL_MOD != 0).collect()]
+        cand = {(r.doc_id, r.t) for r in
+                _bloom_candidate_shingles(spark, dirname).collect()}
+        true_hits = {(d, t) for d, t in train if t in eval_t}
+        assert true_hits <= cand, "bloom produced a false negative"
+        assert len(cand) < len(train), "bloom pruned nothing"
+
+        out = corpus_bloom_contamination(spark, dirname).collect()
+    assert [(r.doc_id, r.n_shared) for r in out] == [(1, 18)]

@@ -136,6 +136,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "LAT1",  # LATERAL correlated subquery: SQL-surface family (SQ1/SQ2) proven
         "IT5",  # triangle census: LSH-graph family (IT1 CC driver-green) proven
         "TX16",  # Zipf slope: fixed-point-ln + exact-moments families proven
+        "BLM1",  # Bloom-prefiltered contamination: exact twin (PIPE2) driver-green
     }
     orphaned = {
         t

@@ -1618,3 +1618,122 @@ register_local(
         doc="OLS Zipf slope of top-K term frequencies (fixed-point ln moments)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bloom_contamination — the Bloom-pre-filtered twin of
+# corpus_contamination, with IDENTICAL exact results: a k-hash Bloom
+# bitmap over the eval shingle set is built with bit_or() aggregation
+# (pure JVM expressions — no UDF, no driver-side sketch object), each
+# training shingle probes the broadcast bitmap, and only bloom-PASSING
+# shingles reach the exact verify join. Bloom filters have no false
+# negatives, so verify-after-probe returns exactly the true overlap; the
+# probabilistic layer only prunes.
+#
+# Why it matters at 100 TB: corpus_contamination ships EVERY training
+# shingle into the semi-join; here the probe is a map-side broadcast
+# lookup and the shuffle carries only candidates (true hits + the
+# bitmap's ~(1-e^{-kn/m})^k false-positive sliver). With m = 2^16 bits
+# per this demo, scale m with the eval set (bits ≈ 10·|eval shingles|
+# keeps FP < 1%); the bitmap stays m/64 longs — broadcastable at any
+# corpus size since it tracks the EVAL set, not the corpus.
+#
+# Double hashing (Kirsch–Mitzenmacher): pos_j = h1 + j·h2 (mod m) from
+# one xxhash64 — k probe positions, one hash evaluation.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16
+BLOOM_K = 3
+
+
+def _bloom_probes(col: Column) -> list[Column]:
+    h = F.xxhash64(col)
+    h1 = F.pmod(h, F.lit(BLOOM_BITS))
+    h2 = F.pmod(F.shiftright(h, 32), F.lit(BLOOM_BITS)) * 2 + 1
+    return [F.pmod(h1 + j * h2, F.lit(BLOOM_BITS)) for j in range(BLOOM_K)]
+
+
+def _bloom_candidate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t) training shingles that pass the eval-set Bloom probe —
+    a superset of the true overlap, exposed for the pruning test."""
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("t").distinct()
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+    set_bits = eval_sh.select(
+        F.explode(F.array(*_bloom_probes(F.col("t")))).alias("pos")
+    )
+    bitmap = (
+        set_bits.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bloom_word"))
+    )
+    probes = train.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.array(*_bloom_probes(F.col("t")))),
+    ).select(
+        "doc_id",
+        "t",
+        (F.col("col") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(col % 64 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bloom_word"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.min("hit").alias("all_hit"))
+        .filter(F.col("all_hit") == 1)
+        .select("doc_id", "t")
+    )
+
+
+def corpus_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("t").distinct()
+    cand = _bloom_candidate_shingles(spark, sf_dir)
+    return (
+        cand.join(eval_sh, "t", "left_semi")  # exact verify: kills bloom FPs
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_CONTAMINATION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql("tok", 3)}) AS t FROM tk
+),
+eval_sh AS (SELECT DISTINCT t FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+train AS (SELECT doc_id, t FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM train JOIN eval_sh USING (t)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_bloom_contamination",
+        corpus_bloom_contamination,
+        BLOOM_CONTAMINATION_SQL,
+        ("BLM1",),
+        doc="Bloom-bitmap pre-filtered contamination check (exact after verify)",
+    )
+)
