@@ -599,3 +599,27 @@ def test_elasticity_slope_recovers_planted_line(spark):
     (r,) = out
     assert r.slope_num / r.slope_den == 0.1
     assert r.qty_per_pct_discount == 10.0
+
+
+def test_ewma_constant_series_is_flat_and_spike_decays_by_halves(spark):
+    """On a constant series the EWMA equals the series; after a spike the
+    excess decays by exactly half per day (dyadic alpha=1/2 weights)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ewma,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        val = 110.0 if day == 8 else 10.0  # +100 dollar spike on day 8
+        rows.append(
+            (day, datetime.datetime(2025, 3, day, 12, 0, 0), 1, "buy", val, "{}")
+        )
+    out = _with_events(spark, rows, lambda d: events_ewma(spark, d).collect())
+    by_day = {r.day.day: r.ewma_cents for r in out}
+    assert by_day[7] == 1000.0  # constant prefix -> ewma == value
+    # day 8: num adds 10000*64 over den 127 -> 1000 + 10000*64/127 excess
+    expected8 = (64 * 11000 + 63 * 1000) / 127
+    assert abs(by_day[8] - expected8) < 1e-3
+    # spike weight halves the next day (64 -> 32)
+    expected9 = (32 * 11000 + 95 * 1000) / 127
+    assert abs(by_day[9] - expected9) < 1e-3

@@ -137,6 +137,9 @@ def test_rotation_never_orphans_a_capability_tag():
         "IT5",  # triangle census: LSH-graph family (IT1 CC driver-green) proven
         "TX16",  # Zipf slope: fixed-point-ln + exact-moments families proven
         "BLM1",  # Bloom-prefiltered contamination: exact twin (PIPE2) driver-green
+        "ST10",  # streaming dropDuplicates dedup: stream==batch family (ST1) proven
+        "TS15",  # dyadic-weight EWMA smoother: daily-rollup + DIV-round families proven
+        "W6",   # ntile/percent_rank/cume_dist: window family (W1-W5) proven
     }
     orphaned = {
         t

@@ -1800,3 +1800,55 @@ Q44_SQL = _Q44_BODY  # identical ANSI SQL runs on both engines
 register_local(
     QuerySpec("q44_lateral_topn", q44_lateral_topn, Q44_SQL, ("LAT1",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q45_rank_surface — the remaining analytic-rank window family in one
+# plan: NTILE(4) quartiles, percent_rank, and cume_dist over customers
+# ranked by account balance WITHIN market segment. q08/q41 cover
+# rank/row_number; this adds the three distribution-position functions
+# BI tools emit constantly. One shuffle on c_mktsegment; all four
+# functions share the single window sort. Deterministic: the order key
+# is (balance cents DESC, c_custkey) — a total order — and
+# percent_rank/cume_dist are ratios of exact integers, rounded at 1e-6
+# identically on both engines. NTILE's remainder rule (first buckets get
+# the extra rows) matches across engines given the total order.
+# ---------------------------------------------------------------------------
+def q45_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal_cents"), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+Q45_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, bal_cents,
+  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cume
+FROM cust
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+register_local(
+    QuerySpec("q45_rank_surface", q45_rank_surface, Q45_SQL, ("W6",))
+)

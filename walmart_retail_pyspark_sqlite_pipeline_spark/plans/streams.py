@@ -313,3 +313,43 @@ register_local(
         doc="built-in session_window sessionization (streaming-capable operator)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_counts — streaming ingest dedup: Structured Streaming
+# dropDuplicates on (user_id, event_type, minute) collapses at-least-once
+# retry storms before the per-type rollup; availableNow snapshot, memory
+# sink. The oracle is the equivalent batch COUNT(DISTINCT ...) — the
+# streaming and batch dedup semantics must agree row-for-row. State-store
+# note is in streaming/events.py::dedup_counts_stream (watermark bounds
+# state on a true unbounded stream).
+# ---------------------------------------------------------------------------
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import dedup_counts_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return dedup_counts_stream(spark, path).orderBy("event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_deduped
+FROM (
+  SELECT DISTINCT user_id, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT) % 60 AS minute_s
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "stream_dedup_counts",
+        stream_dedup_counts,
+        STREAM_DEDUP_SQL,
+        ("ST10",),
+        doc="streaming dropDuplicates ingest dedup == batch COUNT(DISTINCT) proof",
+    )
+)

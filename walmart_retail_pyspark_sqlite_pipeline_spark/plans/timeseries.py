@@ -819,3 +819,103 @@ register_local(
         doc="time-to-next-event distribution per event type (p50/p90/max)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma — exponentially weighted moving average of daily revenue per
+# event type (α = 1/2, truncated at 7 taps): the smoother ops dashboards
+# draw over the spiky daily series, and the one-line forecast the
+# seasonal-naive baseline competes with.
+#
+# EWMA is a recursion, which never replays exactly across engines — so
+# this is the TRUNCATED form re-expressed as a 7-tap weighted sum whose
+# α = 1/2 weights are POWERS OF TWO (64,32,...,1): numerator and
+# denominator are then exact BIGINTs (integer cents × integer weights),
+# the tail beyond 7 taps carries < 1/128 of the mass, and the final
+# ratio is rounded by the integer-DIV rule. Missing leading lags drop
+# out of BOTH sums (the standard adjusted/bias-corrected EWM start).
+# One daily-rollup shuffle + one event_type-partitioned window — the
+# lag taps all ride a single window sort.
+# ---------------------------------------------------------------------------
+_EWMA_TAPS = 7
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    taps = daily
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(_EWMA_TAPS):
+        weight = 1 << (_EWMA_TAPS - 1 - j)
+        lagged = F.lag("cents", j).over(w) if j else F.col("cents")
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0)
+    return (
+        taps.select(
+            "event_type",
+            "day",
+            "cents",
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.expr(
+                "((2 * num * 1000000 + den) DIV (2 * den))"
+                " / CAST(1000000.0 AS DOUBLE)"
+            ).alias("ewma_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(LAG(cents, {j}) OVER w * {1 << (_EWMA_TAPS - 1 - j)}, 0)"
+    if j
+    else f"cents * {1 << (_EWMA_TAPS - 1)}"
+    for j in range(_EWMA_TAPS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN LAG(cents, {j}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_TAPS - 1 - j)} ELSE 0 END"
+    if j
+    else f"{1 << (_EWMA_TAPS - 1)}"
+    for j in range(_EWMA_TAPS)
+)
+
+EWMA_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+taps AS (
+  SELECT event_type, day, cents,
+    {_EWMA_NUM_SQL} AS num,
+    {_EWMA_DEN_SQL} AS den
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, cents,
+  CAST((2 * num * 1000000 + den) // (2 * den) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS ewma_cents
+FROM taps
+ORDER BY event_type, day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_ewma",
+        events_ewma,
+        EWMA_SQL,
+        ("TS15",),
+        doc="truncated EWMA (α=1/2, dyadic weights) over daily revenue, exact ints",
+    )
+)

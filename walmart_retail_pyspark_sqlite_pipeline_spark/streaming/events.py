@@ -274,3 +274,52 @@ def click_purchase_stream_join(
         q.stop()
         raise TimeoutError("click_purchase_stream_join did not finish in 120 s")
     return spark.table(name)
+
+
+def dedup_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming INGEST DEDUP: drop retry-storm duplicates — events from the
+    same user, of the same type, inside the same minute — with streaming
+    ``dropDuplicates``, then count survivors per type. availableNow snapshot,
+    complete mode, memory sink; returns the final table.
+
+    In production the source is at-least-once (Kafka redeliveries), the
+    dedup key carries an event-id, and ``dropDuplicatesWithinWatermark``
+    bounds the state store to the lateness horizon (the unwatermarked form
+    here keeps all keys — correct for a bounded snapshot, unbounded state on
+    a true stream); tests/test_streaming.py exercises the watermarked twin.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_path).schema
+    base_dir = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.select(
+            "user_id",
+            "event_type",
+            (F.col("ts").cast("long") - F.col("ts").cast("long") % 60).alias(
+                "minute_s"
+            ),
+        )
+        .dropDuplicates(["user_id", "event_type", "minute_s"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_deduped"))
+    )
+    name = f"dedup_counts_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=120):
+        q.stop()
+        raise TimeoutError("dedup_counts_stream did not finish within 120 s")
+    return spark.table(name)
