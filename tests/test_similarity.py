@@ -212,3 +212,57 @@ def test_top_component_is_a_unit_direction(spark):
     nw = math.sqrt(sum(x * x for x in w))
     cos = abs(sum(a * b / nw for a, b in zip(w, v)))
     assert cos > 0.99
+
+
+def test_pq_codes_are_one_per_subspace_and_adc_decomposes(spark):
+    """PQ structural invariants on the real table: the subspace-distance
+    table enumerates every (vector, subspace, codeword) cell; ranks are
+    dense and distances non-decreasing; and a spot-checked neighbor's ADC
+    distance equals the sum of its 4 subspace LUT entries (the asymmetric
+    distance really is the 4-term lookup sum, not a recomputation)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        PQ_SUBSPACES,
+        PQ_TOP_K,
+        _pq_subspace_dists,
+        ann_pq_topk,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    sub = _pq_subspace_dists(spark, SF_SMALL).cache()
+    n_vecs = read_table(spark, SF_SMALL, "embeddings").count()
+    n_labels = (
+        read_table(spark, SF_SMALL, "embeddings").select("label").distinct().count()
+    )
+    assert sub.count() == n_vecs * PQ_SUBSPACES * n_labels
+
+    rows = ann_pq_topk(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, lst in per_q.items():
+        assert [r.rk for r in lst] == list(range(1, PQ_TOP_K + 1))
+        d = [r.approx_d2 for r in lst]
+        assert d == sorted(d)
+
+    # ADC decomposition: recompute one neighbor's distance by hand
+    q_id, vec = rows[0].q_id, rows[0].vec_id
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id", "s").orderBy("d2i", "code")
+    codes = {
+        r.s: r.code
+        for r in sub.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("vec_id") == vec))
+        .collect()
+    }
+    lut = {
+        (r.s, r.code): r.d2i
+        for r in sub.filter(F.col("vec_id") == q_id).collect()
+    }
+    expect = sum(lut[(s, c)] for s, c in codes.items()) / 1e6
+    assert abs(rows[0].approx_d2 - expect) < 1e-9
+    assert len(codes) == PQ_SUBSPACES
+    sub.unpersist()

@@ -2907,3 +2907,152 @@ register_local(
         doc="minhash Jaccard estimator error vs true Jaccard on LSH candidates",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_topk — product-quantization ANN (the third ANN family beside
+# LSH-bucket and IVF): the 64-dim space splits into 4 subspaces of 16
+# dims, each vector is encoded as 4 small codes (nearest per-subspace
+# codeword), and query top-k runs by ASYMMETRIC DISTANCE COMPUTATION —
+# the query precomputes a (subspace, codeword) → distance lookup table
+# and every database vector's approximate distance is just 4 LUT adds.
+# Codewords here are the per-label subspace means (the same deterministic
+# seeding the IVF/kmeans family uses; production would Lloyd-iterate
+# them — embeddings_kmeans IS that step).
+#
+# Why PQ at 100 TB: the scan replaces 64 doubles/vector with 4 codes
+# (4 bytes at K≤256); the LUT is Q·S·K rows and BROADCASTS; the ADC join
+# is map-side (code ⨝ LUT); nothing all-pairs.
+#
+# Cross-engine exactness: every subspace distance is fixed-pointed at
+# 1e-6 into a BIGINT as it is built (Σ round((x−c)²·1e6)) — so codeword
+# argmin, the LUT, and the 4-term ADC sum are all exact integer
+# arithmetic, immune to float summation order; ties break by (code) and
+# (vec_id).
+# ---------------------------------------------------------------------------
+PQ_SUBSPACES = 4  # 64 dims / 16 per subspace
+PQ_TOP_K = 3
+PQ_N_QUERIES = 5  # vec_id <= 5 are the query vectors
+
+
+def _pq_subspace_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, code, d2i): exact scaled-int distance of every vector's
+    subspace-s slice to every codeword of subspace s."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("v").alias("d", "x")
+    )
+    cb = (
+        ex.groupBy(F.col("label").alias("code"), "d")
+        .agg(
+            (
+                (F.sum(F.round(F.col("x") * 1000000).cast("long")) / 1000000.0)
+                / F.count("*")
+            ).alias("c")
+        )
+        .withColumn("s", F.expr(f"d DIV {64 // PQ_SUBSPACES}"))
+    )
+    return (
+        ex.join(cb, "d")
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1000000)
+                .cast("long")
+            ).alias("d2i")
+        )
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_subspace_dists(spark, sf_dir).localCheckpoint()
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2i", "code")
+    codes = (
+        sub.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = sub.filter(F.col("vec_id") <= PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "s", "code", "d2i"
+    )
+    ad = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2i").cast("bigint").alias("ad2i"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy("ad2i", "vec_id")
+    return (
+        ad.withColumn("rk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "q_id",
+            "rk",
+            "vec_id",
+            (F.col("ad2i") / 1000000.0).alias("approx_d2"),
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
+  FROM e, range(0, 64) t(d)
+),
+cb AS (
+  SELECT label AS code, d, d // {64 // PQ_SUBSPACES} AS s,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex GROUP BY label, d
+),
+sub AS (
+  SELECT ex.vec_id, cb.s, cb.code,
+    CAST(SUM(CAST(ROUND((ex.x - cb.c) * (ex.x - cb.c) * 1000000, 0)
+                  AS BIGINT)) AS BIGINT) AS d2i
+  FROM ex JOIN cb ON ex.d = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, s, code, d2i FROM sub WHERE vec_id <= {PQ_N_QUERIES}
+),
+ad AS (
+  SELECT lut.q_id, codes.vec_id, CAST(SUM(lut.d2i) AS BIGINT) AS ad2i
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, ad2i / 1000000.0 AS approx_d2
+FROM (
+  SELECT q_id, vec_id, ad2i,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2i, vec_id) AS rk
+  FROM ad
+)
+WHERE rk <= {PQ_TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_pq_topk",
+        ann_pq_topk,
+        ANN_PQ_SQL,
+        ("SIM11",),
+        doc="product-quantization ANN: 4-subspace codes + broadcast-LUT ADC top-k",
+    )
+)
