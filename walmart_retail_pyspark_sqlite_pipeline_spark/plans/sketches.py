@@ -237,3 +237,144 @@ register_local(
         doc="z-order bit-interleaved sort key for two-dimension file pruning",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_manual — HyperLogLog built FROM SCRATCH out of portable
+# integer expressions, so BOTH engines compute the IDENTICAL estimate
+# (unlike approx_count_distinct, whose sketch is implementation-defined
+# and only contract-checkable — see module docstring). This is the
+# mergeability story made concrete: the per-bucket state is max(rho),
+# which combines map-side like any max, so per-type registers merge
+# across 1000 executors with no value-set shuffle.
+#
+# Construction (per event_type, m = 256 buckets): h = (a·user_id+b) mod
+# (2^31−1) — the repo's portable affine family; bucket = h mod m; the
+# remaining ~23-bit word w = h div m has rho = 24 − bitlength(w) (24 for
+# w = 0); the harmonic sum Σ 2^(−M_j) is held EXACTLY as integers
+# Σ 2^(24−M_j) (≤ m·2^24 < 2^63), empty buckets contributing 2^24 each;
+# the only float step is the final alpha·m²·2^24 / Σ division — identical
+# operands both engines. The small-range regime (raw ≤ 2.5·m with empty
+# buckets) switches to linear counting m·ln(m/V) per the original
+# algorithm — that ln is fixed-pointed at 1e-6 (libm ln is not
+# correctly-rounded) so the branch stays engine-identical too.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_A, _HLL_B = 735632797, 1234567  # MINHASH_PERMS[0]
+_HLL_P = 2147483647
+
+
+def sketch_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = (F.col("user_id") * _HLL_A + _HLL_B) % _HLL_P
+    hashed = ev.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        F.expr(f"(user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P} DIV {_HLL_M}").alias("w"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("w") == 0, 24)
+        .otherwise(24 - F.length(F.expr("bin(w)")))
+        .alias("rho"),
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    # CASTs keep Spark's literal arithmetic in DOUBLE (its SQL parser
+    # types bare decimal literals as DECIMAL; DuckDB's types them DOUBLE)
+    alpha_num = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({_HLL_M} AS DOUBLE)))"
+        f" * CAST({_HLL_M} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)"
+        f" * CAST(16777216 AS DOUBLE)"
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr("CAST(POW(2, 24 - m_j) AS BIGINT)")).alias("s_used"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    raw = F.expr(f"{alpha_num} / (s_used + ({_HLL_M} - n_used) * 16777216)")
+    n_empty = F.lit(_HLL_M) - F.col("n_used")
+    lc = (
+        F.lit(_HLL_M)
+        * F.round(
+            F.log(F.lit(float(_HLL_M)) / n_empty.cast("double")) * 1000000.0, 0
+        ).cast("long")
+        / 1000000.0
+    )
+    est = F.when((raw <= 2.5 * _HLL_M) & (n_empty > 0), lc).otherwise(raw)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.lit(_HLL_M) - F.col("n_used")).cast("bigint").alias("n_empty_buckets"),
+            F.round(est, 6).alias("hll_estimate"),
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_HLL_MANUAL_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+    ((user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P}) % {_HLL_M} AS bucket,
+    ((user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P}) // {_HLL_M} AS w
+  FROM events
+),
+rho AS (
+  SELECT event_type, bucket,
+    CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m_j
+  FROM rho GROUP BY event_type, bucket
+),
+per_type AS (
+  SELECT event_type,
+    COUNT(*) AS n_used,
+    CAST(SUM(CAST(POW(2, 24 - m_j) AS BIGINT)) AS BIGINT) AS s_used
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_used,
+    (0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+      * 16777216.0 / (s_used + ({_HLL_M} - n_used) * 16777216) AS raw,
+    {_HLL_M} - n_used AS n_empty
+  FROM per_type
+),
+fin AS (
+  SELECT event_type, n_empty,
+    CASE WHEN raw <= 2.5 * {_HLL_M} AND n_empty > 0
+      THEN {_HLL_M} * CAST(ROUND(ln(CAST({_HLL_M} AS DOUBLE) / n_empty)
+                                   * 1000000.0, 0) AS BIGINT) / 1000000.0
+      ELSE raw END AS hll_estimate
+  FROM est
+)
+SELECT fin.event_type, exact_distinct,
+  CAST(n_empty AS BIGINT) AS n_empty_buckets,
+  ROUND(hll_estimate, 6) AS hll_estimate,
+  ROUND((hll_estimate - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM fin JOIN exact ON fin.event_type = exact.event_type
+ORDER BY fin.event_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "sketch_hll_manual",
+        sketch_hll_manual,
+        SKETCH_HLL_MANUAL_SQL,
+        ("SK3",),
+        doc="from-scratch HyperLogLog with engine-identical integer registers",
+    )
+)
