@@ -142,6 +142,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "W6",   # ntile/percent_rank/cume_dist: window family (W1-W5) proven
         "SIM11",  # product-quantization ADC: ANN family (SIM2/SIM4 driver-green) proven
         "SK3",  # from-scratch HLL registers: sketch family (SK1 driver-green) proven
+        "TX17",  # langid confusion matrix: langid (TX1 driver-green) + agg proven
+        "RC1",  # WITH RECURSIVE spine: SQL-surface family + gapfill (TS1) proven
     }
     orphaned = {
         t

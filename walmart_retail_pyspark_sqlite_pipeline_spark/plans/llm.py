@@ -3056,3 +3056,64 @@ register_local(
         doc="product-quantization ANN: 4-subspace codes + broadcast-LUT ADC top-k",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_lang_confusion — the language-ID EVALUATION the corpus team reads
+# before trusting text_langid's routing: a (stated, predicted) confusion
+# matrix with per-cell counts and the cell's share of its stated-language
+# row. Rollup of the langid projection — one shuffle on ≤ |langs|² keys,
+# map-side combinable; the share is integer-DIV-rounded. The diagonal is
+# langid accuracy; off-diagonal hot cells say which stopword lists need
+# work.
+# ---------------------------------------------------------------------------
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir)
+    cell = pred.groupBy(
+        F.col("lang").alias("stated"), F.col("predicted_lang").alias("predicted")
+    ).agg(F.count("*").alias("n"))
+    tot = cell.groupBy("stated").agg(F.sum("n").alias("n_stated"))
+    return (
+        cell.join(tot, "stated")
+        .select(
+            "stated",
+            "predicted",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_stated").cast("bigint").alias("n_stated"),
+            F.expr(
+                "((2 * n * 1000000 + n_stated) DIV (2 * n_stated))"
+                " / CAST(1000000.0 AS DOUBLE)"
+            ).alias("share"),
+            (F.col("stated") == F.col("predicted")).alias("is_correct"),
+        )
+        .orderBy("stated", "predicted")
+    )
+
+
+TEXT_LANG_CONFUSION_SQL = f"""
+WITH pred AS ({TEXT_LANGID_SQL.replace("ORDER BY doc_id", "")}),
+cell AS (
+  SELECT lang AS stated, predicted_lang AS predicted, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT stated, SUM(n) AS n_stated FROM cell GROUP BY 1)
+SELECT cell.stated, predicted,
+  CAST(n AS BIGINT) AS n,
+  CAST(n_stated AS BIGINT) AS n_stated,
+  CAST((2 * n * 1000000 + n_stated) // (2 * n_stated) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS share,
+  cell.stated = predicted AS is_correct
+FROM cell JOIN tot ON cell.stated = tot.stated
+ORDER BY cell.stated, predicted
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_lang_confusion",
+        text_lang_confusion,
+        TEXT_LANG_CONFUSION_SQL,
+        ("TX17",),
+        doc="language-ID confusion matrix over stated vs predicted language",
+    )
+)

@@ -1852,3 +1852,48 @@ ORDER BY c_custkey
 register_local(
     QuerySpec("q45_rank_surface", q45_rank_surface, Q45_SQL, ("W6",))
 )
+
+
+# ---------------------------------------------------------------------------
+# q46_recursive_spine — WITH RECURSIVE (Spark 4's recursive CTE surface):
+# build a gap-free month spine from the table's own bounds by recursion,
+# then left-join the monthly order counts so empty months surface as
+# explicit zeros. ONE SQL text runs on both engines. The recursion depth
+# is months-of-history (bounded, driver-free); the monthly rollup is one
+# map-side-combinable shuffle; the spine join is a broadcast (≤ a few
+# hundred rows against a grouped aggregate). events_gapfill_locf is the
+# sequence()/explode twin of this spine — this one exercises the
+# recursive-CTE evaluator itself.
+# ---------------------------------------------------------------------------
+_Q46_BODY = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mmin,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mmax
+  FROM orders
+),
+spine(m) AS (
+  SELECT mmin FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds WHERE m < mmax
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT spine.m AS month_start, CAST(COALESCE(monthly.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+ORDER BY month_start
+"""
+
+
+def q46_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q46_BODY)
+
+
+Q46_SQL = _Q46_BODY  # identical ANSI SQL runs on both engines
+
+
+register_local(
+    QuerySpec("q46_recursive_spine", q46_recursive_spine, Q46_SQL, ("RC1",))
+)
