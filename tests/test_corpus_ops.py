@@ -438,3 +438,71 @@ def test_bloom_prefilter_prunes_but_never_drops_a_true_hit(spark):
 
         out = corpus_bloom_contamination(spark, dirname).collect()
     assert [(r.doc_id, r.n_shared) for r in out] == [(1, 18)]
+
+
+def test_split_leakage_flags_near_dups_straddling_splits(spark):
+    """Two near-dup docs whose content hashes land in different splits
+    must surface as an is_leak pair; a near-dup pair inside one split
+    must not."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import hashing
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_split_leakage,
+    )
+
+    def bucket(text):
+        h = 0
+        for c in text:
+            h = (h * 31 + ord(c)) % 2147483647
+        return h % 100
+
+    base = " ".join(f"leak{i}" for i in range(40))
+    # find two suffixes so doc texts are near-dups but land in different
+    # split buckets (one < 80 = train, one >= 90 = test)
+    a = b = None
+    for s in range(200):
+        t = base + f" tail{s}"
+        if a is None and bucket(t) < 80:
+            a = t
+        if b is None and bucket(t) >= 90:
+            b = t
+        if a and b:
+            break
+    assert a and b, "could not plant cross-split texts"
+    rows = [(1, a, "en", "s", 0), (2, b, "en", "s", 0)]
+    out = _with_docs(
+        spark, rows, lambda d: corpus_split_leakage(spark, d).collect()
+    )
+    leaks = [(r.split_lo, r.split_hi, r.n_pairs) for r in out if r.is_leak]
+    assert leaks == [("test", "train", 1)]
+
+
+def test_key_skew_reports_planted_hot_key(spark):
+    """90 rows on one part + 10 singleton parts: top1_share ~ 0.9, max 90,
+    p50 of key counts 1."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_key_skew,
+    )
+    import datetime as dt
+
+    rows = []
+    for i in range(90):
+        rows.append((i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     dt.datetime(1995, 6, 1)))
+    for k in range(2, 12):
+        rows.append((100 + k, k, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     dt.datetime(1995, 6, 1)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        (r,) = qc_key_skew(spark, d).collect()
+    assert r.n_rows == 100 and r.n_keys == 11
+    assert r.max_key_rows == 90 and r.top1_share == 0.9
+    assert r.p50_key_rows == 1.0

@@ -144,6 +144,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "SK3",  # from-scratch HLL registers: sketch family (SK1 driver-green) proven
         "TX17",  # langid confusion matrix: langid (TX1 driver-green) + agg proven
         "RC1",  # WITH RECURSIVE spine: SQL-surface family + gapfill (TS1) proven
+        "CP4",  # split-leakage audit: LSH pairs (DD3) + split (CP1) driver-green
+        "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
     }
     orphaned = {
         t

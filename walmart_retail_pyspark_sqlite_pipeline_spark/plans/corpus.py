@@ -1737,3 +1737,95 @@ register_local(
         doc="Bloom-bitmap pre-filtered contamination check (exact after verify)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_leakage — near-duplicate LEAKAGE ACROSS SPLITS: a random
+# (here content-hash) train/val/test split assigns near-duplicate docs to
+# DIFFERENT splits, silently turning held-out eval into memorization
+# credit. This audit joins the verified LSH near-dup pairs against the
+# split assignment and counts pairs that straddle a split boundary, per
+# boundary. The fix loop is: leakage > 0 → split by dedup_cc_clusters
+# cluster id instead of raw doc hash.
+#
+# Plan: the pair list is the shared banded-LSH path (sparse, bounded);
+# the split table is a per-row projection joined twice on doc id; the
+# rollup is ≤ 6 keys. Nothing new shuffles at scale beyond the pair
+# build every dedup consumer already pays.
+# ---------------------------------------------------------------------------
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = hashing.poly_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    s = docs.select("doc_id", split.alias("split"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN ({hashing.poly_hash_sql('text')}) % 100 < 80 THEN 'train'
+         WHEN ({hashing.poly_hash_sql('text')}) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT
+  LEAST(sa.split, sb.split) AS split_lo,
+  GREATEST(sa.split, sb.split) AS split_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split) AS is_leak
+FROM pairs
+JOIN s sa ON pairs.doc_a = sa.doc_id
+JOIN s sb ON pairs.doc_b = sb.doc_id
+GROUP BY 1, 2
+ORDER BY split_lo, split_hi
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_split_leakage",
+        corpus_split_leakage,
+        SPLIT_LEAKAGE_SQL,
+        ("CP4",),
+        doc="near-dup pairs straddling train/val/test boundaries (split leakage audit)",
+    )
+)

@@ -397,3 +397,73 @@ register_local(
         doc="per-bucket PSI drift terms (Laplace-smoothed, fixed-point ln)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# qc_key_skew — join-key skew diagnostics for l_partkey, the numbers a
+# planner (or the engineer choosing between plain shuffle, salting, and
+# AQE skew-join) needs BEFORE running the big join: total rows, distinct
+# keys, the heaviest key's share, and the p50/p99 of per-key row counts.
+# q19 demonstrates the salting CURE; this measures the disease.
+#
+# Two aggregations: per-key counts (map-side combinable), then a 1-row
+# stats rollup over the key-count table. Exact percentile over the
+# per-key counts is fine while |keys| fits an executor's percentile
+# state; at 100 TB swap to approx_percentile (the diagnostic tolerates
+# sketch error by nature). top1_share is integer-DIV-rounded; the
+# percentiles interpolate identical integers on both engines.
+# --------------------------------------------------------------------------
+def qc_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_key_rows"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr(
+            "((2 * max_key_rows * 1000000 + n_rows) DIV (2 * n_rows))"
+            " / CAST(1000000.0 AS DOUBLE)"
+        ).alias("top1_share"),
+        "p50_key_rows",
+        "p99_key_rows",
+    )
+
+
+QC_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+),
+stats AS (
+  SELECT
+    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+    ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt), 6)
+      AS p50_key_rows,
+    ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt), 6)
+      AS p99_key_rows
+  FROM counts
+)
+SELECT n_rows, n_keys, max_key_rows,
+  CAST((2 * max_key_rows * 1000000 + n_rows) // (2 * n_rows) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS top1_share,
+  p50_key_rows, p99_key_rows
+FROM stats
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_key_skew",
+        qc_key_skew,
+        QC_KEY_SKEW_SQL,
+        ("Q7",),
+        doc="join-key skew diagnostics: top-key share + per-key count percentiles",
+    )
+)
