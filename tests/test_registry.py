@@ -146,6 +146,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "RC1",  # WITH RECURSIVE spine: SQL-surface family + gapfill (TS1) proven
         "CP4",  # split-leakage audit: LSH pairs (DD3) + split (CP1) driver-green
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
+        "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
+        "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)
     }
     orphaned = {
         t

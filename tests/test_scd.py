@@ -82,3 +82,28 @@ def test_scd2_null_safe_change_detection(spark):
         KEYS, TRACK, "2024-01-03 00:00:00",
     )
     assert h2.filter("store_id = 1").count() == 2  # unchanged: no new version
+
+
+def test_cdc_apply_partitions_every_key_into_exactly_one_action(spark):
+    """Action counts must partition the key space: unchanged + updated +
+    deleted = original rows; inserts add 10; delete wins over update on
+    keys divisible by both 7 and 13; updated balances carry +$100 each."""
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.scd_history import (
+        CDC_INSERTS,
+        cdc_apply_changes,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    rows = {r.action: r for r in cdc_apply_changes(spark, SF_SMALL).collect()}
+    cust = read_table(spark, SF_SMALL, "customer")
+    n = cust.count()
+    keys = [r.c_custkey for r in cust.select("c_custkey").collect()]
+    n_del = sum(1 for k in keys if k % 13 == 0)
+    n_upd = sum(1 for k in keys if k % 13 != 0 and k % 7 == 0)
+    assert rows["delete"].n_rows == n_del
+    assert rows["update"].n_rows == n_upd
+    assert rows["unchanged"].n_rows == n - n_del - n_upd
+    assert rows["insert"].n_rows == CDC_INSERTS
+    assert rows["insert"].bal_cents_total == 0
+    assert rows["delete"].bal_cents_total == 0

@@ -392,3 +392,151 @@ register_local(
         doc="per-brand OLS slope of quantity on discount from exact integer moments",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# q47_ols_normal_eq — MULTIVARIATE regression by normal equations: price
+# explained by discount and quantity per return flag, solved with
+# Cramer's rule on the 3×3 moment matrix (intercept, discount bps,
+# quantity units → target price cents). The distributed-ML pattern in
+# miniature: ONE map-side-combinable pass accumulates the moment matrix
+# (9 integer sums), the solve is per-group constant work — no gradient
+# loop, no driver iteration, the exact shape MLlib's normal-equation
+# LinearRegression solver lowers to.
+#
+# Exactness: all moments are exact BIGINTs; determinants would overflow
+# int64 (products of three ~1e17 moments), so each moment is cast ONCE
+# to double and the determinant expression is written with identical
+# association on both engines — identical operands, identical operation
+# order, identical IEEE results. Coefficients round at 1e-6.
+# Moment overflow bound: the binding sum Σ x1·y (≤ 1e10/row at TPC-H
+# price ranges) wraps int64 past ~9e8 rows per group — beyond that,
+# move the nine sums to DECIMAL(38,0) on BOTH sides (same plan shape).
+# ---------------------------------------------------------------------------
+def q47_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x1"),
+        F.round(F.col("l_quantity")).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = xy.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    # det[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and Cramer numerators, each
+    # spelled with a fixed association both engines share
+    det_sql = (
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+    )
+    d0_sql = (
+        "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)"
+    )
+    d1_sql = (
+        "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+    )
+    d2_sql = (
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+    )
+    return (
+        m.withColumn("det", F.expr(det_sql))
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.when(
+                F.col("det") != 0.0,
+                F.round(F.expr(d0_sql) / F.col("det"), 6),
+            ).alias("intercept_cents"),
+            F.when(
+                F.col("det") != 0.0,
+                F.round(F.expr(d1_sql) / F.col("det"), 6),
+            ).alias("coef_discount_bp"),
+            F.when(
+                F.col("det") != 0.0,
+                F.round(F.expr(d2_sql) / F.col("det"), 6),
+            ).alias("coef_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_OLS_DET = (
+    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+)
+_OLS_D0 = (
+    "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)"
+)
+_OLS_D1 = (
+    "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+    " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+)
+_OLS_D2 = (
+    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+    " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+)
+
+Q47_OLS_SQL = f"""
+WITH xy AS (
+  SELECT l_returnflag,
+    CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x1,
+    CAST(ROUND(l_quantity, 0) AS BIGINT) AS x2,
+    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1,
+    CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM xy GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n_rows,
+  CASE WHEN ({_OLS_DET}) <> 0.0
+    THEN ROUND(({_OLS_D0}) / ({_OLS_DET}), 6) END AS intercept_cents,
+  CASE WHEN ({_OLS_DET}) <> 0.0
+    THEN ROUND(({_OLS_D1}) / ({_OLS_DET}), 6) END AS coef_discount_bp,
+  CASE WHEN ({_OLS_DET}) <> 0.0
+    THEN ROUND(({_OLS_D2}) / ({_OLS_DET}), 6) END AS coef_qty
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+register_local(
+    QuerySpec(
+        "q47_ols_normal_eq",
+        q47_ols_normal_eq,
+        Q47_OLS_SQL,
+        ("REG2",),
+        doc="2-feature OLS by normal equations + Cramer solve on exact moments",
+    )
+)
