@@ -506,3 +506,26 @@ def test_key_skew_reports_planted_hot_key(spark):
     assert r.n_rows == 100 and r.n_keys == 11
     assert r.max_key_rows == 90 and r.top1_share == 0.9
     assert r.p50_key_rows == 1.0
+
+
+def test_winnowing_guarantees_match_of_window_length(spark):
+    """Winnowing's selection guarantee: two docs sharing a contiguous run
+    of >= W+2 tokens MUST share at least one fingerprint. Planted: docs
+    share a 12-token run embedded in different surroundings; an unrelated
+    doc pairs with neither."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_winnowing_pairs,
+    )
+
+    shared_run = " ".join(f"run{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared_run + " gamma delta", "en", "s", 0),
+        (2, "zig zag " + shared_run + " zog zug", "en", "s", 0),
+        (3, " ".join(f"other{i}" for i in range(20)), "en", "s", 0),
+    ]
+    out = _with_docs(
+        spark, rows, lambda d: dedup_winnowing_pairs(spark, d).collect()
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

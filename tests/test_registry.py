@@ -148,6 +148,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
         "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)
+        "DD19",  # winnowing fingerprints: dedup family (DD2/DD3 driver-green) proven
     }
     orphaned = {
         t
