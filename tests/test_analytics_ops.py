@@ -623,3 +623,25 @@ def test_ewma_constant_series_is_flat_and_spike_decays_by_halves(spark):
     # spike weight halves the next day (64 -> 32)
     expected9 = (32 * 11000 + 95 * 1000) / 127
     assert abs(by_day[9] - expected9) < 1e-3
+
+
+def test_retention_bitmap_matches_planted_activity(spark):
+    """Three users: A active days 0,1,3; B active days 0,3; C active day 1
+    only (not in day-0 cohort). Retained-at-k counts users with BOTH bit 0
+    and bit k set: k0=2 (A,B), k1=1 (A), k2=0, k3=2 (A,B)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_retention_bitmap,
+    )
+
+    def ev(eid, day, user):
+        return (eid, datetime.datetime(2025, 4, 1 + day, 12, 0, 0), user,
+                "click", 1.0, "{}")
+
+    rows = [ev(1, 0, 1), ev(2, 1, 1), ev(3, 3, 1),
+            ev(4, 0, 2), ev(5, 3, 2),
+            ev(6, 1, 3)]
+    out = _with_events(
+        spark, rows, lambda d: events_retention_bitmap(spark, d).collect()
+    )
+    curve = {r.k: r.n_retained for r in out}
+    assert curve == {0: 2, 1: 1, 2: 0, 3: 2}

@@ -919,3 +919,95 @@ register_local(
         doc="truncated EWMA (α=1/2, dyadic weights) over daily revenue, exact ints",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_retention_bitmap — the BITMAP-INDEX retention technique: each
+# user's activity over the table's day span packs into ONE BIGINT
+# (bit d = active on day d, bit_or aggregation — same primitive as the
+# Bloom bitmap), and the day-0 retention curve is then pure bit tests
+# over the user-mask table: no day-to-day self-join, no per-(day,day)
+# shuffle. events_cohort_retention is the join-shaped cousin; this is
+# how the curve is computed when users are billions and days are few
+# (the roaring-bitmap/audience-overlap pattern, one machine word per
+# user-month).
+#
+# Guard: the packing is only valid while the span fits 63 bits — the
+# day index is asserted < 63 in-plan (ANSI-safe CASE, both engines
+# error-free); month-scoped testdata spans ≤ 31 days. At production
+# scale you shard masks by (user, month) and AND across shards.
+# ---------------------------------------------------------------------------
+def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    idx = (
+        ev.crossJoin(F.broadcast(d0))
+        .select("user_id", F.datediff("d", "d0").alias("di"))
+        .filter(F.col("di") < 63)
+    )
+    masks = idx.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di AS INT))")).alias(
+            "mask"
+        )
+    )
+    span = idx.agg(F.max("di").alias("dmax"))
+    ks = span.select(F.explode(F.sequence(F.lit(0), F.col("dmax"))).alias("k"))
+    return (
+        masks.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (
+                    (F.col("mask").bitwiseAND(F.lit(1)) == 1)
+                    & (
+                        F.expr("shiftright(mask, CAST(k AS INT))").bitwiseAND(
+                            F.lit(1)
+                        )
+                        == 1
+                    )
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_retained")
+        )
+        .orderBy("k")
+    )
+
+
+RETENTION_BITMAP_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+),
+d0 AS (SELECT MIN(d) AS d0 FROM ev),
+idx AS (
+  SELECT user_id, date_diff('day', d0, d) AS di
+  FROM ev, d0 WHERE date_diff('day', d0, d) < 63
+),
+masks AS (
+  SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(di AS INT)) AS mask
+  FROM idx GROUP BY user_id
+),
+ks AS (
+  SELECT unnest(range(0, (SELECT MAX(di) FROM idx) + 1)) AS k
+)
+SELECT k,
+  CAST(SUM(CASE WHEN (mask & 1) = 1
+                 AND ((mask >> CAST(k AS INT)) & 1) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+FROM masks, ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_retention_bitmap",
+        events_retention_bitmap,
+        RETENTION_BITMAP_SQL,
+        ("BMP1",),
+        doc="retention curve from bit_or-packed per-user day bitmasks (no self-join)",
+    )
+)
