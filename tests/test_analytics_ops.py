@@ -645,3 +645,27 @@ def test_retention_bitmap_matches_planted_activity(spark):
     )
     curve = {r.k: r.n_retained for r in out}
     assert curve == {0: 2, 1: 1, 2: 0, 3: 2}
+
+
+def test_ohlc_open_close_follow_event_order_not_value(spark):
+    """Open is the FIRST event's value in the hour and close the LAST
+    (by ts then event_id), independent of magnitude; high/low are the
+    extremes. Two events share a timestamp to exercise the event_id
+    tiebreak."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ohlc,
+    )
+
+    t0 = datetime.datetime(2025, 5, 1, 10, 0, 0)
+    rows = [
+        (2, t0, 1, "trade", 50.0, "{}"),               # same ts, higher id
+        (1, t0, 1, "trade", 30.0, "{}"),               # open (same ts, lower id)
+        (3, t0 + datetime.timedelta(minutes=10), 1, "trade", 99.0, "{}"),  # high
+        (4, t0 + datetime.timedelta(minutes=20), 1, "trade", 5.0, "{}"),   # low
+        (5, t0 + datetime.timedelta(minutes=30), 1, "trade", 42.0, "{}"),  # close
+    ]
+    out = _with_events(spark, rows, lambda d: events_ohlc(spark, d).collect())
+    (r,) = out
+    assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents) == (
+        3000, 9900, 500, 4200)
+    assert r.n_events == 5

@@ -150,6 +150,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)
         "DD19",  # winnowing fingerprints: dedup family (DD2/DD3 driver-green) proven
         "BMP1",  # bitmap-packed retention: bit_or bitmap (BLM1) + cohort (TS4) proven
+        "TS16",  # hourly OHLC candles: window-rank + agg families proven
     }
     orphaned = {
         t

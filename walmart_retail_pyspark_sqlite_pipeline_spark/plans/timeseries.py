@@ -1011,3 +1011,92 @@ register_local(
         doc="retention curve from bit_or-packed per-user day bitmasks (no self-join)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc — hourly OHLC (open/high/low/close) candles per event type:
+# the time-series-database summary every monitoring/market UI draws.
+# Open/close need POSITIONAL selection (first/last value in the hour) —
+# done with two row_number ranks over ONE (type, hour)-partitioned sort
+# (asc rank + desc rank from the same exchange), never a self-join back
+# to the raw table; high/low/count ride the same grouped aggregate.
+# Determinism: in-hour order is (ts, event_id) — a total order — and all
+# values are integer cents.
+# ---------------------------------------------------------------------------
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("hour_s", F.col("ts_s") - F.col("ts_s") % 3600)
+    w_asc = Window.partitionBy("event_type", "hour_s").orderBy("ts_s", "event_id")
+    w_desc = Window.partitionBy("event_type", "hour_s").orderBy(
+        F.desc("ts_s"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        "hour_s",
+        "cents",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "hour_s")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("hour_s").cast("bigint").alias("hour_s"),
+            F.col("open_cents").cast("bigint").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("close_cents").cast("bigint").alias("close_cents"),
+            "n_events",
+        )
+        .orderBy("event_type", "hour_s")
+    )
+
+
+OHLC_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, ts_s - ts_s % 3600 AS hour_s, cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type, ts_s - ts_s % 3600
+                       ORDER BY ts_s, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY event_type, ts_s - ts_s % 3600
+                       ORDER BY ts_s DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT event_type,
+  CAST(hour_s AS BIGINT) AS hour_s,
+  CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+  CAST(MAX(cents) AS BIGINT) AS high_cents,
+  CAST(MIN(cents) AS BIGINT) AS low_cents,
+  CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, hour_s
+ORDER BY event_type, hour_s
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_ohlc",
+        events_ohlc,
+        OHLC_SQL,
+        ("TS16",),
+        doc="hourly OHLC candles: positional open/close via twin ranks on one sort",
+    )
+)
