@@ -669,3 +669,19 @@ def test_ohlc_open_close_follow_event_order_not_value(spark):
     assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents) == (
         3000, 9900, 500, 4200)
     assert r.n_events == 5
+
+
+def test_ks_empty_table_returns_single_null_row(spark):
+    """Global-aggregate shape: an empty orders table yields ONE all-null
+    row (not zero rows) — the oracle SQL was shaped to match (no GROUP
+    BY), so both engines agree on the degenerate case."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_drift_ks,
+    )
+
+    empty = spark.createDataFrame([], ORDERS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        empty.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = qc_drift_ks(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].ks_num is None and out[0].ks_stat is None

@@ -18,10 +18,9 @@ from pyspark.sql.window import Window
 from ..functions import hashing, text
 from ..sources import read_table
 from .llm import (
-    _BAND_SELECTS,
     _TOK_SQL,
     MINHASH_SIG_CTE,
-    MINHASH_VERIFY_THRESHOLD,
+    VERIFIED_PAIRS_CTES,
     _doc_shingles,
     dedup_minhash_lsh_pairs,
 )
@@ -266,28 +265,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_CLUSTERS_SQL = f"""
 WITH RECURSIVE {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+{VERIFIED_PAIRS_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -608,28 +586,7 @@ def _pr_iter_sql(prev: str, name: str) -> str:
 
 PAGERANK_SQL = f"""
 WITH {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+{VERIFIED_PAIRS_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -698,28 +655,7 @@ def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CANONICAL_DOCS_SQL = f"""
 WITH RECURSIVE {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+{VERIFIED_PAIRS_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -1134,28 +1070,7 @@ LP_ITERS = 3
 #: PageRank / canonical-doc oracles inline) symmetrized into directed
 #: edges, plus one self-loop per document so isolated docs vote for
 #: themselves and the majority is over "self + neighbors".
-_LP_EDGES_CTE = f"""
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+_LP_EDGES_CTE = f"""{VERIFIED_PAIRS_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -1223,7 +1138,6 @@ def corpus_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_PROP_SQL = f"""
 WITH {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
 {_LP_EDGES_CTE.strip().rstrip()},
 l0 AS (SELECT doc_id AS node, lang AS label FROM documents),
 {_lp_iter_sql("l0", "l1")},
@@ -1465,28 +1379,7 @@ def corpus_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRIANGLES_SQL = f"""
 WITH RECURSIVE {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+{VERIFIED_PAIRS_CTES},
 deg AS (
   SELECT src, COUNT(*) AS d FROM (
     SELECT doc_a AS src FROM pairs UNION ALL SELECT doc_b AS src FROM pairs
@@ -1778,28 +1671,7 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_LEAKAGE_SQL = f"""
 WITH RECURSIVE {MINHASH_SIG_CTE},
-bands AS ({_BAND_SELECTS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-  FROM cand
-  JOIN uni ua ON ua.doc_id = cand.doc_a
-  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON common.doc_a = na.doc_id
-  JOIN sizes nb ON common.doc_b = nb.doc_id
-  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
-        >= {MINHASH_VERIFY_THRESHOLD}
-),
+{VERIFIED_PAIRS_CTES},
 s AS (
   SELECT doc_id,
     CASE WHEN ({hashing.poly_hash_sql('text')}) % 100 < 80 THEN 'train'

@@ -306,6 +306,34 @@ WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= {MINHASH_VERI
 ORDER BY doc_a, doc_b
 """
 
+#: The verified-LSH-pairs CTE chain (bands → cand → sizes → common → pairs),
+#: shared by EVERY oracle that consumes the near-dup pair graph (CC clusters,
+#: canonical docs, triangle census, split leakage). One copy, because the
+#: Jaccard-verify predicate must stay byte-identical with the Spark
+#: implementation above — prepend ``WITH RECURSIVE {MINHASH_SIG_CTE},``.
+VERIFIED_PAIRS_CTES = f"""bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}
+)"""
+
 
 # ---------------------------------------------------------------------------
 # dedup_simhash — 16-bit simhash per doc from token poly-hashes (with
@@ -2932,7 +2960,7 @@ register_local(
 # ---------------------------------------------------------------------------
 PQ_SUBSPACES = 4  # 64 dims / 16 per subspace
 PQ_TOP_K = 3
-PQ_N_QUERIES = 5  # vec_id <= 5 are the query vectors
+PQ_N_QUERIES = 5  # vec_id 1..5 are the query vectors (ids start at 0)
 
 
 def _pq_subspace_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2975,7 +3003,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "code")
     )
-    lut = sub.filter(F.col("vec_id") <= PQ_N_QUERIES).select(
+    lut = sub.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
+    ).select(
         F.col("vec_id").alias("q_id"), "s", "code", "d2i"
     )
     ad = (
@@ -3028,7 +3058,8 @@ codes AS (
   ) WHERE rn = 1
 ),
 lut AS (
-  SELECT vec_id AS q_id, s, code, d2i FROM sub WHERE vec_id <= {PQ_N_QUERIES}
+  SELECT vec_id AS q_id, s, code, d2i FROM sub
+  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
 ),
 ad AS (
   SELECT lut.q_id, codes.vec_id, CAST(SUM(lut.d2i) AS BIGINT) AS ad2i

@@ -112,18 +112,41 @@ _DRIFT_SPLIT_YEAR = 1995  # <= split -> reference window, > split -> current
 _DRIFT_BUCKET = 50_000  # whole-dollar bucket width
 
 
-def qc_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _drift_counts(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    """THE drift grid all three monitors (chi², KS, PSI) read: per price
+    bucket of ``width`` whole dollars, row counts in the reference
+    (year <= split) and current (year > split) windows. One copy so the
+    grid definition can never desynchronize across the trio."""
     orders = read_table(spark, sf_dir, "orders")
     bucketed = orders.select(
-        F.expr(
-            f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_DRIFT_BUCKET}"
-        ).alias("bucket"),
+        F.expr(f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {width}").alias(
+            "bucket"
+        ),
         (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
     )
-    counts = bucketed.groupBy("bucket").agg(
+    return bucketed.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
     )
+
+
+def _drift_counts_sql(width: int) -> str:
+    """DuckDB twin of :func:`_drift_counts`: ``bucketed``/``counts`` CTEs."""
+    return f"""bucketed AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {width} AS bucket,
+         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+)"""
+
+
+def qc_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _drift_counts(spark, sf_dir, _DRIFT_BUCKET)
     totals = counts.agg(
         F.sum("n_ref").cast("bigint").alias("t_ref"),
         F.sum("n_cur").cast("bigint").alias("t_cur"),
@@ -156,17 +179,7 @@ def qc_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QC_DRIFT_CHI2_SQL = f"""
-WITH bucketed AS (
-  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_DRIFT_BUCKET} AS bucket,
-         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
-  FROM orders
-),
-counts AS (
-  SELECT bucket,
-    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-  FROM bucketed GROUP BY bucket
-),
+WITH {_drift_counts_sql(_DRIFT_BUCKET)},
 totals AS (
   SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
          CAST(SUM(n_cur) AS BIGINT) AS t_cur
@@ -218,17 +231,7 @@ _KS_BUCKET = 5_000  # whole-dollar ECDF grid step
 
 
 def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    bucketed = orders.select(
-        F.expr(f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_KS_BUCKET}").alias(
-            "bucket"
-        ),
-        (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
-    )
-    counts = bucketed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
-    )
+    counts = _drift_counts(spark, sf_dir, _KS_BUCKET)
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -266,17 +269,7 @@ def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QC_DRIFT_KS_SQL = f"""
-WITH bucketed AS (
-  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_KS_BUCKET} AS bucket,
-         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
-  FROM orders
-),
-counts AS (
-  SELECT bucket,
-    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-  FROM bucketed GROUP BY bucket
-),
+WITH {_drift_counts_sql(_KS_BUCKET)},
 cum AS (
   SELECT
     CAST(SUM(n_ref) OVER (ORDER BY bucket
@@ -290,12 +283,15 @@ totals AS (
          CAST(SUM(n_cur) AS BIGINT) AS t_cur
   FROM counts
 )
-SELECT t_ref, t_cur,
+-- no GROUP BY: a global aggregate returns its one (all-NULL on empty
+-- input) row exactly like Spark's .agg() global — t_ref/t_cur are
+-- constant over the cross join so first() is deterministic
+SELECT first(t_ref) AS t_ref, first(t_cur) AS t_cur,
   CAST(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref)) AS BIGINT) AS ks_num,
   ROUND(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref))
-        / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)), 6) AS ks_stat
+        / (CAST(first(t_ref) AS DOUBLE) * CAST(first(t_cur) AS DOUBLE)), 6)
+    AS ks_stat
 FROM cum, totals
-GROUP BY t_ref, t_cur
 """
 
 
@@ -327,17 +323,7 @@ register_local(
 # terms are what the ops dashboard plots anyway.
 # --------------------------------------------------------------------------
 def qc_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    bucketed = orders.select(
-        F.expr(
-            f"CAST(FLOOR(o_totalprice) AS BIGINT) DIV {_DRIFT_BUCKET}"
-        ).alias("bucket"),
-        (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("is_ref"),
-    )
-    counts = bucketed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
-    )
+    counts = _drift_counts(spark, sf_dir, _DRIFT_BUCKET)
     totals = counts.agg(
         F.sum("n_ref").cast("bigint").alias("t_ref"),
         F.sum("n_cur").cast("bigint").alias("t_cur"),
@@ -356,17 +342,7 @@ def qc_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QC_DRIFT_PSI_SQL = f"""
-WITH bucketed AS (
-  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {_DRIFT_BUCKET} AS bucket,
-         YEAR(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS is_ref
-  FROM orders
-),
-counts AS (
-  SELECT bucket,
-    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-  FROM bucketed GROUP BY bucket
-),
+WITH {_drift_counts_sql(_DRIFT_BUCKET)},
 totals AS (
   SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
          CAST(SUM(n_cur) AS BIGINT) AS t_cur,

@@ -413,6 +413,29 @@ register_local(
 # price ranges) wraps int64 past ~9e8 rows per group — beyond that,
 # move the nine sums to DECIMAL(38,0) on BOTH sides (same plan shape).
 # ---------------------------------------------------------------------------
+_OLS_DET = (
+    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+)
+_OLS_D0 = (
+    "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)"
+)
+_OLS_D1 = (
+    "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
+    " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+)
+_OLS_D2 = (
+    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
+    " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
+)
+
+
+
 def q47_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     xy = li.select(
@@ -432,28 +455,11 @@ def q47_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("y")).alias("s1y"),
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
     )
-    # det[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and Cramer numerators, each
-    # spelled with a fixed association both engines share
-    det_sql = (
-        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
-        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
-        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
-    )
-    d0_sql = (
-        "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
-        " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
-        " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)"
-    )
-    d1_sql = (
-        "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
-        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
-        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
-    )
-    d2_sql = (
-        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)"
-        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
-        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
-    )
+    # det[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and Cramer numerators: the
+    # ONE copy of each expression (module _OLS_* constants below), shared
+    # verbatim by this plan and the oracle SQL — the association order is
+    # the exactness contract, so it must never fork
+    det_sql, d0_sql, d1_sql, d2_sql = _OLS_DET, _OLS_D0, _OLS_D1, _OLS_D2
     return (
         m.withColumn("det", F.expr(det_sql))
         .select(
@@ -475,27 +481,6 @@ def q47_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
 
-
-_OLS_DET = (
-    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
-    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
-    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
-)
-_OLS_D0 = (
-    "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)"
-    " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
-    " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)"
-)
-_OLS_D1 = (
-    "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)"
-    " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)"
-    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
-)
-_OLS_D2 = (
-    "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)"
-    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)"
-    " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)"
-)
 
 Q47_OLS_SQL = f"""
 WITH xy AS (

@@ -248,8 +248,11 @@ register_local(
 # which combines map-side like any max, so per-type registers merge
 # across 1000 executors with no value-set shuffle.
 #
-# Construction (per event_type, m = 256 buckets): h = (a·user_id+b) mod
-# (2^31−1) — the repo's portable affine family; bucket = h mod m; the
+# Construction (per event_type, m = 256 buckets): the id is first
+# reduced into the affine family's documented < 2^31 input domain
+# (x = ((user_id mod P) + P) mod P — nonnegative for any BIGINT id, so
+# a·x never overflows int64 where DuckDB would raise and Spark would
+# silently wrap), then h = (a·x+b) mod (2^31−1); bucket = h mod m; the
 # remaining ~23-bit word w = h div m has rho = 24 − bitlength(w) (24 for
 # w = 0); the harmonic sum Σ 2^(−M_j) is held EXACTLY as integers
 # Σ 2^(24−M_j) (≤ m·2^24 < 2^63), empty buckets contributing 2^24 each;
@@ -266,11 +269,15 @@ _HLL_P = 2147483647
 
 def sketch_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = (F.col("user_id") * _HLL_A + _HLL_B) % _HLL_P
+    x = (F.col("user_id") % _HLL_P + _HLL_P) % _HLL_P
+    h = (x * _HLL_A + _HLL_B) % _HLL_P
     hashed = ev.select(
         "event_type",
         (h % _HLL_M).alias("bucket"),
-        F.expr(f"(user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P} DIV {_HLL_M}").alias("w"),
+        F.expr(
+            f"(((user_id % {_HLL_P} + {_HLL_P}) % {_HLL_P})"
+            f" * {_HLL_A} + {_HLL_B}) % {_HLL_P} DIV {_HLL_M}"
+        ).alias("w"),
     ).select(
         "event_type",
         "bucket",
@@ -322,8 +329,10 @@ def sketch_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_HLL_MANUAL_SQL = f"""
 WITH hashed AS (
   SELECT event_type,
-    ((user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P}) % {_HLL_M} AS bucket,
-    ((user_id * {_HLL_A} + {_HLL_B}) % {_HLL_P}) // {_HLL_M} AS w
+    ((((user_id % {_HLL_P} + {_HLL_P}) % {_HLL_P})
+      * {_HLL_A} + {_HLL_B}) % {_HLL_P}) % {_HLL_M} AS bucket,
+    ((((user_id % {_HLL_P} + {_HLL_P}) % {_HLL_P})
+      * {_HLL_A} + {_HLL_B}) % {_HLL_P}) // {_HLL_M} AS w
   FROM events
 ),
 rho AS (

@@ -558,9 +558,12 @@ register_local(
 
 # ---------------------------------------------------------------------------
 # events_autocorr — lag-1 and lag-7 autocorrelation of each event type's
-# daily revenue series: is today's total predictive of tomorrow's (and of
-# the same weekday next week)? The stationarity probe run before fitting
-# any forecast model on the series.
+# daily revenue series: is today's total predictive of the next
+# observations? Standard SAMPLE ACF: lags count OBSERVED rows, so over a
+# gap-free daily series lag-7 is weekly seasonality, but a missing day
+# shifts what lag-7 compares (calendar-aligned weekday comparison is
+# events_seasonal_naive's day-7 self-join, not this). The stationarity
+# probe run before fitting any forecast model on the series.
 #
 # Exact across engines by the repo's integer-moments discipline: daily
 # totals are WHOLE DOLLARS (ACF is scale-invariant, and dollars keep the
@@ -932,9 +935,10 @@ register_local(
 # (the roaring-bitmap/audience-overlap pattern, one machine word per
 # user-month).
 #
-# Guard: the packing is only valid while the span fits 63 bits — the
-# day index is asserted < 63 in-plan (ANSI-safe CASE, both engines
-# error-free); month-scoped testdata spans ≤ 31 days. At production
+# Guard: the packing is only valid while the span fits 63 bits — days
+# beyond offset 62 are EXCLUDED by the in-plan filter (di < 63), i.e.
+# the curve is explicitly truncated to a 63-day horizon, not silently
+# wrong past it; month-scoped testdata spans ≤ 31 days. At production
 # scale you shard masks by (user, month) and AND across shards.
 # ---------------------------------------------------------------------------
 def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
