@@ -685,3 +685,43 @@ def test_ks_empty_table_returns_single_null_row(spark):
         out = qc_drift_ks(spark, d).collect()
     assert len(out) == 1
     assert out[0].ks_num is None and out[0].ks_stat is None
+
+
+def test_streaks_and_bounce_on_planted_sessions(spark):
+    """Streaks: user 1 active days 1-3 then day 5 (longest 3), user 2
+    active day 1 only (longest 1). Bounce: a lone event is a bounce for
+    its own type; a 2-event session entered via A is not."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_activity_streaks,
+        events_bounce_rate,
+    )
+
+    def ev(eid, day, hour, user, typ):
+        return (eid, datetime.datetime(2025, 6, day, hour, 0, 0), user,
+                typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 9, 1, "A"), ev(2, 2, 9, 1, "A"), ev(3, 3, 9, 1, "A"),
+        ev(4, 5, 9, 1, "A"),
+        ev(5, 1, 9, 2, "B"),
+    ]
+    streaks = _with_events(
+        spark, rows, lambda d: events_activity_streaks(spark, d).collect()
+    )
+    hist = {r.longest_streak: r.n_users for r in streaks}
+    assert hist == {1: 1, 3: 1}
+
+    # sessions: user 1 day-1 9:00 A alone (bounce); user 1 day-2: A at 9:00
+    # + Z at 9:10 (same session, entry A, not a bounce)
+    rows2 = [
+        ev(1, 1, 9, 1, "A"),
+        ev(2, 2, 9, 1, "A"),
+        (3, datetime.datetime(2025, 6, 2, 9, 10, 0), 1, "Z", 1.0, "{}"),
+    ]
+    bounce = _with_events(
+        spark, rows2, lambda d: events_bounce_rate(spark, d).collect()
+    )
+    by_type = {r.entry_type: r for r in bounce}
+    assert by_type["A"].n_sessions == 2 and by_type["A"].n_bounces == 1
+    assert by_type["A"].bounce_rate == 0.5
+    assert "Z" not in by_type

@@ -151,6 +151,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD19",  # winnowing fingerprints: dedup family (DD2/DD3 driver-green) proven
         "BMP1",  # bitmap-packed retention: bit_or bitmap (BLM1) + cohort (TS4) proven
         "TS16",  # hourly OHLC candles: window-rank + agg families proven
+        "TS17",  # gaps-and-islands streak histogram: window families proven
+        "TS18",  # bounce rate per entry type: sessionization (RJ2 driver-green) proven
     }
     orphaned = {
         t

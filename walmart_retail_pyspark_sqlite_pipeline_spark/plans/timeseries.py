@@ -1104,3 +1104,195 @@ register_local(
         doc="hourly OHLC candles: positional open/close via twin ranks on one sort",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_activity_streaks — longest consecutive-day activity streak per
+# user, rolled up into a streak-length histogram: the gaps-and-islands
+# idiom (island id = day − dense_rank(day), constant exactly while days
+# are consecutive). Powers "7-day streak" engagement features and
+# habit-cohort analyses. Two window functions over ONE user_id shuffle,
+# then two map-side-combinable rollups; the histogram is ≤ span-days
+# rows. All integer arithmetic.
+# ---------------------------------------------------------------------------
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        F.date_sub("d", F.dense_rank().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak")
+    )
+    return (
+        longest.groupBy("longest_streak")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.col("longest_streak").cast("bigint").alias("longest_streak"),
+            "n_users",
+        )
+        .orderBy("longest_streak")
+    )
+
+
+ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id,
+    d - CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+      AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM islands GROUP BY user_id, island
+),
+longest AS (
+  SELECT user_id, MAX(streak_len) AS longest_streak
+  FROM streaks GROUP BY user_id
+)
+SELECT CAST(longest_streak AS BIGINT) AS longest_streak,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM longest
+GROUP BY longest_streak
+ORDER BY longest_streak
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_activity_streaks",
+        events_activity_streaks,
+        ACTIVITY_STREAKS_SQL,
+        ("TS17",),
+        doc="gaps-and-islands longest consecutive-day streak histogram",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_bounce_rate — per entry event type, the share of sessions that
+# end after a single event ("bounces"): sessionize (the shared 30-min-gap
+# operator), tag each session with its FIRST event's type, and rate =
+# single-event sessions / sessions, integer-DIV-rounded. The landing-page
+# quality metric, as one extra rollup over the sessionizer every other
+# session query already shares.
+# ---------------------------------------------------------------------------
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    tagged = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.coalesce(
+                    F.col("ts_s") - F.lag("ts_s").over(w), F.lit(1801)
+                )
+                > 1800,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    # the session's entry row IS the new_sess=1 row (exactly one per
+    # session) — no arg_min/struct-ordering needed on either engine
+    sizes = tagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events")
+    )
+    entries = tagged.filter(F.col("new_sess") == 1).select(
+        "user_id", "session_idx", F.col("event_type").alias("entry_type")
+    )
+    sess = sizes.join(entries, ["user_id", "session_idx"])
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.expr(
+                "((2 * n_bounces * 1000000 + n_sessions)"
+                " DIV (2 * n_sessions)) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+BOUNCE_RATE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+    CASE WHEN COALESCE(ts_s - LAG(ts_s) OVER w, 1801) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess_tag AS (
+  SELECT user_id, event_type, ts_s, event_id, new_sess,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+sizes AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events
+  FROM sess_tag GROUP BY user_id, session_idx
+),
+entries AS (
+  SELECT user_id, session_idx, event_type AS entry_type
+  FROM sess_tag WHERE new_sess = 1
+),
+sess AS (
+  SELECT sizes.user_id, sizes.session_idx, entry_type, n_events
+  FROM sizes JOIN entries USING (user_id, session_idx)
+)
+SELECT entry_type,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  CAST((2 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+        + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS bounce_rate
+FROM sess
+GROUP BY entry_type
+ORDER BY entry_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_bounce_rate",
+        events_bounce_rate,
+        BOUNCE_RATE_SQL,
+        ("TS18",),
+        doc="single-event-session share per entry type over 30-min-gap sessions",
+    )
+)
