@@ -45,3 +45,24 @@ def cosine_sql(a: str, b: str) -> str:
         f"(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an ORDERED left fold of per-dim squared
+    diffs — the summation order is part of the cross-engine contract
+    (same discipline as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2sq_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`l2sq`: the identical ordered fold."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(acc, x) -> acc + x)"
+    )

@@ -3263,3 +3263,92 @@ register_local(
         doc="MOSS winnowing fingerprints: window-min hash selection + capped pair join",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_recall — retrieval-quality eval for the PQ path: per query,
+# recall@k of the ADC top-k against the EXACT L2 top-k (brute force with
+# the 5-query side broadcast). The (subspaces, codebook-size) tuning
+# loop's metric, itself oracle-graded — the PQ twin of ann_ivf_recall.
+# Exact distances use the ordered-fold l2sq (identical doubles both
+# engines), ranked by (rounded d2, vec_id) for a total order.
+# ---------------------------------------------------------------------------
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(vectors.l2sq(F.col("v"), F.col("qv")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    approx = ann_pq_topk(spark, sf_dir).select("q_id", "vec_id")
+    return (
+        exact.join(approx, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            "q_id",
+            F.lit(PQ_TOP_K).cast("bigint").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / PQ_TOP_K, 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+ANN_PQ_RECALL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM e
+  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
+),
+d AS (
+  SELECT q.q_id, e.vec_id,
+    ROUND({vectors.l2sq_sql('e.v', 'q.qv')}, 6) AS d2
+  FROM e, q WHERE e.vec_id <> q.q_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_TOP_K}
+)
+SELECT exact.q_id,
+  CAST({PQ_TOP_K} AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / {PQ_TOP_K}, 6) AS recall
+FROM exact
+JOIN ({ANN_PQ_SQL.replace("ORDER BY q_id, rk", "")}) approx
+  USING (q_id, vec_id)
+GROUP BY exact.q_id
+ORDER BY exact.q_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_pq_recall",
+        ann_pq_recall,
+        ANN_PQ_RECALL_SQL,
+        ("SIM11",),
+        doc="per-query recall@k of PQ/ADC vs exact L2 top-k (codebook tuning loop)",
+    )
+)
