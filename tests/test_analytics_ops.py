@@ -725,3 +725,34 @@ def test_streaks_and_bounce_on_planted_sessions(spark):
     assert by_type["A"].n_sessions == 2 and by_type["A"].n_bounces == 1
     assert by_type["A"].bounce_rate == 0.5
     assert "Z" not in by_type
+
+
+def test_mutual_info_independent_and_dependent_cells(spark):
+    """Perfectly dependent planted data (type A only at hour 9, B only at
+    hour 17, equal counts): each observed cell's term is p*ln(1/p) =
+    0.5*ln(2) > 0. Independent data (both types uniform over both hours):
+    every term is exactly 0 after fixed-pointing ln(1)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_mutual_info,
+    )
+
+    dep = []
+    for i in range(10):
+        dep.append((i, datetime.datetime(2025, 7, 1, 9, 0, i), 1, "A", 1.0, "{}"))
+        dep.append((100 + i, datetime.datetime(2025, 7, 1, 17, 0, i), 1, "B",
+                    1.0, "{}"))
+    out = _with_events(spark, dep, lambda d: events_mutual_info(spark, d).collect())
+    import math
+    for r in out:
+        assert abs(r.mi_term - 0.5 * math.log(2)) < 1e-5, r
+
+    ind = []
+    eid = 0
+    for typ in ("A", "B"):
+        for hod in (9, 17):
+            for i in range(5):
+                ind.append((eid, datetime.datetime(2025, 7, 1, hod, 0, i), 1,
+                            typ, 1.0, "{}"))
+                eid += 1
+    out = _with_events(spark, ind, lambda d: events_mutual_info(spark, d).collect())
+    assert all(r.mi_term == 0.0 for r in out)

@@ -153,6 +153,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS16",  # hourly OHLC candles: window-rank + agg families proven
         "TS17",  # gaps-and-islands streak histogram: window families proven
         "TS18",  # bounce rate per entry type: sessionization (RJ2 driver-green) proven
+        "TS19",  # mutual-information cells: fixed-point-ln + tiny-rollup families
+        "DD20",  # dup rate by source: exact-hash dedup (DD1 driver-green) + agg
     }
     orphaned = {
         t

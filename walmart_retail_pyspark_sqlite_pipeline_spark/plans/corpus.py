@@ -1701,3 +1701,50 @@ register_local(
         doc="near-dup pairs straddling train/val/test boundaries (split leakage audit)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dup_rate_by_source — exact-duplicate rate segmented by ingest
+# source: per source, documents vs distinct texts and the integer-rounded
+# dup share. The triage view that tells a crawl team WHICH feed is
+# recycling content before anyone burns a full near-dup pass on it; the
+# md5-groupBy is dedup_exact_hist's shape with a source dimension.
+# ---------------------------------------------------------------------------
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        F.expr(
+            "((2 * (n_docs - n_unique) * 1000000 + n_docs)"
+            " DIV (2 * n_docs)) / CAST(1000000.0 AS DOUBLE)"
+        ).alias("dup_rate"),
+    ).orderBy("source")
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  CAST((2 * (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 + COUNT(*))
+       // (2 * COUNT(*)) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_dup_rate_by_source",
+        corpus_dup_rate_by_source,
+        DUP_RATE_BY_SOURCE_SQL,
+        ("DD20",),
+        doc="exact-duplicate rate per ingest source (md5 distinct vs doc counts)",
+    )
+)

@@ -1296,3 +1296,83 @@ register_local(
         doc="single-event-session share per entry type over 30-min-gap sessions",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_mutual_info — per-cell mutual-information contributions between
+# event type and hour-of-day: MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+# The feature-association screen ("is WHEN independent of WHAT?") run
+# before adding a feature to a model; near-zero terms everywhere = drop
+# the feature. Cells are emitted (not summed): each term is exact — the
+# probabilities are rationals of integer counts and the ln is
+# fixed-pointed at 1e-6 — while a global sum of rounded doubles would
+# reintroduce order-dependence. The exported term is ONE division of
+# exact integers (n_xy·qln over n·1e6) — no final ROUND, whose
+# engine-specific decimal algorithms diverge at representation edges.
+# Three map-side-combinable rollups on tiny keyspaces (≤ |types|·24
+# cells).
+# ---------------------------------------------------------------------------
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    joint = ev.groupBy("event_type", "hod").agg(F.count("*").alias("n_xy"))
+    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("hod").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    j = (
+        joint.join(mx, "event_type")
+        .join(F.broadcast(my), "hod")
+        .crossJoin(F.broadcast(tot))
+    )
+    # p(x,y)/(p(x)p(y)) = n_xy·n / (n_x·n_y) — exact integer products
+    ratio = (F.col("n_xy") * F.col("n")).cast("double") / (
+        F.col("n_x") * F.col("n_y")
+    )
+    qln = F.round(F.log(ratio) * 1000000.0, 0).cast("long")
+    return (
+        j.select(
+            "event_type",
+            "hod",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            (
+                (F.col("n_xy") * qln).cast("double")
+                / (F.col("n") * 1000000.0)
+            ).alias("mi_term"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+MUTUAL_INFO_SQL = """
+WITH ev AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod FROM events
+),
+joint AS (
+  SELECT event_type, hod, COUNT(*) AS n_xy FROM ev GROUP BY 1, 2
+),
+mx AS (SELECT event_type, SUM(n_xy) AS n_x FROM joint GROUP BY 1),
+my AS (SELECT hod, SUM(n_xy) AS n_y FROM joint GROUP BY 1),
+tot AS (SELECT SUM(n_xy) AS n FROM joint)
+SELECT joint.event_type, joint.hod,
+  CAST(n_xy AS BIGINT) AS n_xy,
+  CAST(n_xy * CAST(ROUND(ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y))
+                         * 1000000.0, 0) AS BIGINT) AS DOUBLE)
+    / (n * 1000000.0) AS mi_term
+FROM joint
+JOIN mx ON joint.event_type = mx.event_type
+JOIN my ON joint.hod = my.hod
+CROSS JOIN tot
+ORDER BY joint.event_type, joint.hod
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_mutual_info",
+        events_mutual_info,
+        MUTUAL_INFO_SQL,
+        ("TS19",),
+        doc="per-cell mutual information of event type vs hour (fixed-point ln)",
+    )
+)
