@@ -3161,11 +3161,17 @@ register_local(
 # cheaper cousin of full minhash when near-CONTIGUOUS overlap (not bag
 # similarity) is the target.
 #
-# Plan: posexplode keeps shingle ORDER (winnowing needs the stream, not
-# the set); the window min is one doc_id-partitioned sort; fingerprints
-# dedup per doc; a document-frequency cap (same guard as
+# Plan: selection is ARRAY-NATIVE — hashes, window minima
+# (array_min over slices), and per-doc dedup all happen inside one
+# per-row projection, so the shingle stream NEVER hits a shuffle or a
+# window sort (an earlier explode+window form paid a full sort of every
+# shingle position; this one shuffles only the ~2/W selected
+# fingerprints). A document-frequency cap (same guard as
 # dedup_ngram_jaccard) stops boilerplate fingerprints exploding the
 # bucket join. Selection, hashing, and counts are all exact integers.
+# The defaultParallelism respread only fires when the local input is a
+# single split — at 100 TB the source is already thousands of splits
+# and the respread is a no-op branch.
 # ---------------------------------------------------------------------------
 WINNOW_W = 4
 WINNOW_DF_CAP = 64
@@ -3174,29 +3180,22 @@ WINNOW_MIN_SHARED = 2
 
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sh = docs.select(
-        "doc_id",
-        F.posexplode(text.word_shingles(text.tokens(F.col("text")))).alias(
-            "pos", "t"
+        "doc_id", text.word_shingles(text.tokens(F.col("text"))).alias("sh")
+    ).withColumn("h", F.transform(F.col("sh"), lambda t: hashing.poly_hash(t)))
+    fps_arr = F.when(
+        F.size(F.col("h")) >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("h")) - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(F.col("h"), i, WINNOW_W)),
+            )
         ),
-    ).select("doc_id", "pos", hashing.poly_hash(F.col("t")).alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    n = Window.partitionBy("doc_id")
-    fps = (
-        sh.select(
-            "doc_id",
-            "pos",
-            F.min("h").over(w).alias("fp"),
-            F.count("*").over(n).alias("n_sh"),
-        )
-        .filter(F.col("pos") <= F.col("n_sh") - WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = sh.select("doc_id", F.explode(fps_arr).alias("fp")).distinct()
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -63,6 +63,19 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 # - 29 first-time rotations: never-graded capabilities (iterative ML ops,
 #   exact-k samplers, SQL-surface demos q30/q32–q40, sessionization
 #   variants, layout clustering).
+#
+# Round-6 rotation candidates (never driver-graded, all locally green at
+# sf0.01 in both session modes): the round-5 second wave — events_autocorr,
+# events_seasonal_naive, events_dwell_time, events_ewma, events_ohlc,
+# events_activity_streaks, events_bounce_rate, events_mutual_info,
+# events_retention_bitmap, qc_drift_ks, qc_drift_psi, qc_key_skew,
+# q42_abc_analysis, q43_elasticity_slope, q44_lateral_topn,
+# q45_rank_surface, q46_recursive_spine, q47_ols_normal_eq,
+# corpus_triangles, corpus_bloom_contamination, corpus_split_leakage,
+# corpus_dup_rate_by_source, text_zipf_slope, text_lang_confusion,
+# dedup_winnowing_pairs, ann_pq_topk, ann_pq_recall, sketch_hll_manual,
+# stream_dedup_counts, cdc_apply_changes. Swap out the r5 keepers that go
+# twice-green and as many q30/q32–q40 one-timers as the 50 budget allows.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- keepers: once-green in r4, need a second green ---
