@@ -3028,7 +3028,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_PQ_SQL = f"""
+#: the unordered SELECT both ANN_PQ_SQL and the recall oracle compose —
+#: shared so neither can silently drift from the other
+ANN_PQ_BODY = f"""
 WITH e AS (
   SELECT vec_id, label,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3074,8 +3076,9 @@ FROM (
   FROM ad
 )
 WHERE rk <= {PQ_TOP_K}
-ORDER BY q_id, rk
 """
+
+ANN_PQ_SQL = f"{ANN_PQ_BODY}\nORDER BY q_id, rk"
 
 
 register_local(
@@ -3195,7 +3198,10 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    fps = sh.select("doc_id", F.explode(fps_arr).alias("fp")).distinct()
+    # no .distinct(): fps_arr is array_distinct per doc and doc_id is
+    # unique, so (doc_id, fp) is already duplicate-free — the extra
+    # exchange would double-shuffle the selected fingerprints
+    fps = sh.select("doc_id", F.explode(fps_arr).alias("fp"))
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -3294,10 +3300,15 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     approx = ann_pq_topk(spark, sf_dir).select("q_id", "vec_id")
+    # LEFT join from the query list: a query whose PQ top-k fully misses
+    # must surface as recall 0, not vanish from the output
+    hits = exact.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("hits")
+    )
     return (
-        exact.join(approx, ["q_id", "vec_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select("q_id", F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"))
         .select(
             "q_id",
             F.lit(PQ_TOP_K).cast("bigint").alias("k"),
@@ -3329,16 +3340,19 @@ exact AS (
       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
     FROM d
   ) WHERE rn <= {PQ_TOP_K}
+),
+hits AS (
+  SELECT exact.q_id, COUNT(*) AS hits
+  FROM exact
+  JOIN ({ANN_PQ_BODY}) approx USING (q_id, vec_id)
+  GROUP BY exact.q_id
 )
-SELECT exact.q_id,
+SELECT q.q_id,
   CAST({PQ_TOP_K} AS BIGINT) AS k,
-  CAST(COUNT(*) AS BIGINT) AS n_hits,
-  ROUND(CAST(COUNT(*) AS DOUBLE) / {PQ_TOP_K}, 6) AS recall
-FROM exact
-JOIN ({ANN_PQ_SQL.replace("ORDER BY q_id, rk", "")}) approx
-  USING (q_id, vec_id)
-GROUP BY exact.q_id
-ORDER BY exact.q_id
+  CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+  ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / {PQ_TOP_K}, 6) AS recall
+FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+ORDER BY q.q_id
 """
 
 

@@ -1179,14 +1179,15 @@ register_local(
 
 # ---------------------------------------------------------------------------
 # events_bounce_rate — per entry event type, the share of sessions that
-# end after a single event ("bounces"): sessionize (the shared 30-min-gap
-# operator), tag each session with its FIRST event's type, and rate =
-# single-event sessions / sessions, integer-DIV-rounded. The landing-page
-# quality metric, as one extra rollup over the sessionizer every other
-# session query already shares.
+# end after a single event ("bounces"): re-derive the shared gap-based
+# session tagging at ROW level (the sessionize() operator returns only
+# per-session aggregates, and the entry type needs the first row), using
+# the SAME streaming.SESSION_GAP_S constant so the session definition
+# can never fork, then rate = single-event sessions / sessions,
+# integer-DIV-rounded.
 # ---------------------------------------------------------------------------
 def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import sessionize
+    from ..streaming.events import SESSION_GAP_S
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
@@ -1201,9 +1202,10 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_sess",
             F.when(
                 F.coalesce(
-                    F.col("ts_s") - F.lag("ts_s").over(w), F.lit(1801)
+                    F.col("ts_s") - F.lag("ts_s").over(w),
+                    F.lit(SESSION_GAP_S + 1),
                 )
-                > 1800,
+                > SESSION_GAP_S,
                 1,
             ).otherwise(0),
         )
@@ -1244,7 +1246,9 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOUNCE_RATE_SQL = """
+from ..streaming.events import SESSION_GAP_S as _GAP
+
+BOUNCE_RATE_SQL = f"""
 WITH e AS (
   SELECT user_id, event_id, event_type,
     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
@@ -1252,7 +1256,7 @@ WITH e AS (
 ),
 flagged AS (
   SELECT user_id, event_id, event_type, ts_s,
-    CASE WHEN COALESCE(ts_s - LAG(ts_s) OVER w, 1801) > 1800
+    CASE WHEN COALESCE(ts_s - LAG(ts_s) OVER w, {_GAP + 1}) > {_GAP}
          THEN 1 ELSE 0 END AS new_sess
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
@@ -1314,7 +1318,7 @@ register_local(
 # ---------------------------------------------------------------------------
 def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").alias("hod")
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
     )
     joint = ev.groupBy("event_type", "hod").agg(F.count("*").alias("n_xy"))
     mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
@@ -1325,9 +1329,12 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(my), "hod")
         .crossJoin(F.broadcast(tot))
     )
-    # p(x,y)/(p(x)p(y)) = n_xy·n / (n_x·n_y) — exact integer products
-    ratio = (F.col("n_xy") * F.col("n")).cast("double") / (
-        F.col("n_x") * F.col("n_y")
+    # p(x,y)/(p(x)p(y)) = n_xy·n / (n_x·n_y): the products are formed in
+    # DOUBLE (counts cast first) — at 1e11-event scale the int64 product
+    # would overflow where DuckDB's HUGEINT sums would not, splitting the
+    # engines; double products are identical on both
+    ratio = (F.col("n_xy").cast("double") * F.col("n")) / (
+        F.col("n_x").cast("double") * F.col("n_y")
     )
     qln = F.round(F.log(ratio) * 1000000.0, 0).cast("long")
     return (
@@ -1346,7 +1353,7 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MUTUAL_INFO_SQL = """
 WITH ev AS (
-  SELECT event_type, EXTRACT(hour FROM ts) AS hod FROM events
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod FROM events
 ),
 joint AS (
   SELECT event_type, hod, COUNT(*) AS n_xy FROM ev GROUP BY 1, 2
@@ -1356,7 +1363,8 @@ my AS (SELECT hod, SUM(n_xy) AS n_y FROM joint GROUP BY 1),
 tot AS (SELECT SUM(n_xy) AS n FROM joint)
 SELECT joint.event_type, joint.hod,
   CAST(n_xy AS BIGINT) AS n_xy,
-  CAST(n_xy * CAST(ROUND(ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y))
+  CAST(n_xy * CAST(ROUND(ln((CAST(n_xy AS DOUBLE) * n)
+                            / (CAST(n_x AS DOUBLE) * n_y))
                          * 1000000.0, 0) AS BIGINT) AS DOUBLE)
     / (n * 1000000.0) AS mi_term
 FROM joint
