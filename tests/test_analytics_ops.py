@@ -756,3 +756,19 @@ def test_mutual_info_independent_and_dependent_cells(spark):
                 eid += 1
     out = _with_events(spark, ind, lambda d: events_mutual_info(spark, d).collect())
     assert all(r.mi_term == 0.0 for r in out)
+
+
+def test_wow_change_signs_and_first_week_null(spark):
+    """Weeks with 100, 150, 75 dollars: +50% then -50%; the first week has
+    no previous and reports NULL."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_wow_change,
+    )
+
+    rows = [
+        (1, datetime.datetime(2025, 6, 2, 12, 0, 0), 1, "buy", 100.0, "{}"),
+        (2, datetime.datetime(2025, 6, 9, 12, 0, 0), 1, "buy", 150.0, "{}"),
+        (3, datetime.datetime(2025, 6, 16, 12, 0, 0), 1, "buy", 75.0, "{}"),
+    ]
+    out = _with_events(spark, rows, lambda d: events_wow_change(spark, d).collect())
+    assert [r.pct_change for r in out] == [None, 50.0, -50.0]

@@ -155,6 +155,8 @@ def test_rotation_never_orphans_a_capability_tag():
         "TS18",  # bounce rate per entry type: sessionization (RJ2 driver-green) proven
         "TS19",  # mutual-information cells: fixed-point-ln + tiny-rollup families
         "DD20",  # dup rate by source: exact-hash dedup (DD1 driver-green) + agg
+        "TX18",  # PMI collocations: fixed-point-ln + lead-window families proven
+        "TS20",  # WoW percent change: weekly rollup + lag + DIV-round families
     }
     orphaned = {
         t

@@ -3365,3 +3365,101 @@ register_local(
         doc="per-query recall@k of PQ/ADC vs exact L2 top-k (codebook tuning loop)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_collocations — top token-pair collocations by pointwise mutual
+# information: PMI(x,y) = ln(p(xy)/(p(x)p(y))) over ADJACENT token pairs,
+# with a minimum pair count so rare accidents don't top the list. The
+# phrase-mining primitive ("new york"-style units) run before building a
+# tokenizer vocabulary. Same fixed-point-ln discipline as the LM/MI ops;
+# probabilities are rationals of integer counts with products formed in
+# DOUBLE (int64-overflow-proof at any corpus size). Pair stream = one
+# lead() window per doc (reuses the posexplode order), rollups are
+# map-side-combinable, top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 20
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("tok").alias("x"),
+        F.lead("tok", 1).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    n_xy = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    n_x = pairs.groupBy("x").agg(F.count("*").alias("c_x"))
+    n_y = pairs.groupBy("y").agg(F.count("*").alias("c_y"))
+    tot = pairs.agg(F.count("*").alias("n"))
+    j = (
+        n_xy.filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+        .join(n_x, "x")
+        .join(n_y, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (F.col("c_xy").cast("double") * F.col("n")) / (
+        F.col("c_x").cast("double") * F.col("c_y")
+    )
+    return (
+        j.select(
+            "x",
+            "y",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            (F.round(F.log(ratio) * 1000000.0, 0).cast("long") / 1000000.0).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+toks AS (
+  SELECT doc_id,
+    unnest(range(1, len(tok) + 1)) AS pos,
+    unnest(tok) AS tok
+  FROM tk
+),
+pairs AS (
+  SELECT tok AS x,
+    LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM toks
+),
+n_xy AS (
+  SELECT x, y, COUNT(*) AS c_xy FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+),
+n_x AS (SELECT x, SUM(c_xy) AS c_x FROM n_xy GROUP BY 1),
+n_y AS (SELECT y, SUM(c_xy) AS c_y FROM n_xy GROUP BY 1),
+tot AS (SELECT SUM(c_xy) AS n FROM n_xy)
+SELECT n_xy.x, n_xy.y,
+  CAST(c_xy AS BIGINT) AS c_xy,
+  CAST(ROUND(ln((CAST(c_xy AS DOUBLE) * n) / (CAST(c_x AS DOUBLE) * c_y))
+             * 1000000.0, 0) AS BIGINT) / 1000000.0 AS pmi
+FROM n_xy
+JOIN n_x ON n_xy.x = n_x.x
+JOIN n_y ON n_xy.y = n_y.y
+CROSS JOIN tot
+WHERE c_xy >= {COLLOC_MIN_COUNT}
+ORDER BY pmi DESC, n_xy.x, n_xy.y
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_collocations",
+        text_collocations,
+        COLLOCATIONS_SQL,
+        ("TX18",),
+        doc="top adjacent-token collocations by fixed-point PMI (phrase mining)",
+    )
+)

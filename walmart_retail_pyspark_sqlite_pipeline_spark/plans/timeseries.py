@@ -1384,3 +1384,76 @@ register_local(
         doc="per-cell mutual information of event type vs hour (fixed-point ln)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_wow_change — week-over-week revenue change per event type: weekly
+# integer-cents rollup, previous week via ONE lag() over the weekly
+# series, and the percent change integer-DIV-rounded. Sign-safe: both
+# engines' integer division TRUNCATES TOWARD ZERO (verified: -5 DIV 2 =
+# -2 on Spark and DuckDB alike), and the half-offset's sign follows the
+# numerator's, so the result is round-half-away-from-zero at 4 dp on
+# positive and negative changes identically. The BI staple on every
+# revenue dashboard.
+# ---------------------------------------------------------------------------
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    lagged = weekly.withColumn("prev_cents", F.lag("cents", 1).over(w))
+    return lagged.select(
+        "event_type",
+        "week_start",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("prev_cents").cast("bigint").alias("prev_cents"),
+        F.when(
+            F.col("prev_cents") > 0,
+            F.expr(
+                "((2 * (cents - prev_cents) * 1000000"
+                " + (CASE WHEN cents >= prev_cents THEN prev_cents"
+                "         ELSE -prev_cents END))"
+                " DIV (2 * prev_cents)) / CAST(10000.0 AS DOUBLE)"
+            ),
+        ).alias("pct_change"),
+    ).orderBy("event_type", "week_start")
+
+
+WOW_CHANGE_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+    CAST(date_trunc('week', ts) AS DATE) AS week_start,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, week_start, cents,
+    LAG(cents, 1) OVER (PARTITION BY event_type ORDER BY week_start)
+      AS prev_cents
+  FROM weekly
+)
+SELECT event_type, week_start,
+  CAST(cents AS BIGINT) AS cents,
+  CAST(prev_cents AS BIGINT) AS prev_cents,
+  CASE WHEN prev_cents > 0 THEN
+    CAST((2 * (cents - prev_cents) * 1000000
+          + (CASE WHEN cents >= prev_cents THEN prev_cents
+                  ELSE -prev_cents END))
+         // (2 * prev_cents) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+  END AS pct_change
+FROM lagged
+ORDER BY event_type, week_start
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_wow_change",
+        events_wow_change,
+        WOW_CHANGE_SQL,
+        ("TS20",),
+        doc="week-over-week revenue change per type (sign-safe integer rounding)",
+    )
+)
