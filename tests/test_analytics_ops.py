@@ -772,3 +772,45 @@ def test_wow_change_signs_and_first_week_null(spark):
     ]
     out = _with_events(spark, rows, lambda d: events_wow_change(spark, d).collect())
     assert [r.pct_change for r in out] == [None, 50.0, -50.0]
+
+
+def test_new_vs_returning_classifies_first_day_only(spark):
+    """User 1 active on days 1 and 2, user 2 on day 2 only: day 1 = 1 new,
+    day 2 = 1 new (user 2) + 1 returning (user 1)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_new_vs_returning,
+    )
+
+    rows = [
+        (1, datetime.datetime(2025, 8, 1, 9, 0, 0), 1, "A", 1.0, "{}"),
+        (2, datetime.datetime(2025, 8, 2, 9, 0, 0), 1, "A", 1.0, "{}"),
+        (3, datetime.datetime(2025, 8, 2, 10, 0, 0), 2, "A", 1.0, "{}"),
+    ]
+    out = _with_events(
+        spark, rows, lambda d: events_new_vs_returning(spark, d).collect()
+    )
+    by_day = {r.day.day: (r.n_new, r.n_returning) for r in out}
+    assert by_day == {1: (1, 0), 2: (1, 1)}
+
+
+def test_revenue_concentration_whale_carries_the_share(spark):
+    """Nine $1 users and one $91 whale: p99 threshold isolates the whale
+    (share 0.91); p50 includes at least half the users and a share >= the
+    whale's."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_revenue_concentration,
+    )
+
+    rows = [
+        (u, datetime.datetime(2025, 8, 1, 9, 0, u), u, "buy", 1.0, "{}")
+        for u in range(1, 10)
+    ]
+    rows.append((99, datetime.datetime(2025, 8, 1, 10, 0, 0), 10, "buy",
+                 91.0, "{}"))
+    out = _with_events(
+        spark, rows, lambda d: events_revenue_concentration(spark, d).collect()
+    )
+    by_pct = {r.pct: r for r in out}
+    assert by_pct[0.99].n_users == 1 and by_pct[0.99].revenue_share == 0.91
+    assert by_pct[0.5].n_users >= 5
+    assert by_pct[0.5].revenue_share >= 0.91

@@ -157,6 +157,9 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD20",  # dup rate by source: exact-hash dedup (DD1 driver-green) + agg
         "TX18",  # PMI collocations: fixed-point-ln + lead-window families proven
         "TS20",  # WoW percent change: weekly rollup + lag + DIV-round families
+        "DD21",  # threshold sensitivity curve: shares the LSH candidate path (DD3)
+        "TS21",  # new-vs-returning growth split: keyed-agg families proven
+        "TS22",  # revenue concentration: percentile (TS8) + conditional-agg
     }
     orphaned = {
         t

@@ -218,7 +218,10 @@ DEDUP_MINHASH_SIG_SQL = f"WITH {MINHASH_SIG_CTE} SELECT * FROM sig ORDER BY doc_
 # This is the 100 TB-scale dedup path: the only all-pairs-ish operation is a
 # groupBy on band keys, and verification touches candidate pairs only.
 # ---------------------------------------------------------------------------
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_jaccards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for EVERY banded-LSH candidate pair, before
+    any threshold — shared by the pair exporter and the threshold-curve
+    tuning view so the candidate definition can never fork."""
     sig = _minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -270,8 +273,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _lsh_candidate_jaccards(spark, sf_dir)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -3461,5 +3470,87 @@ register_local(
         COLLOCATIONS_SQL,
         ("TX18",),
         doc="top adjacent-token collocations by fixed-point PMI (phrase mining)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_curve — threshold sensitivity of the near-dup verifier:
+# Jaccard is computed ONCE on the LSH candidate set, then counted at
+# each cutoff 0.5…0.9. The tuning view read before picking
+# MINHASH_VERIFY_THRESHOLD — a cliff between two cutoffs means the
+# corpus has a near-dup band there; a flat curve means the choice is
+# insensitive. Costs one extra ≤|thresholds|-row rollup over the
+# candidate Jaccards every dedup consumer already computes; candidates
+# below every cutoff are filtered before the tiny threshold cross join.
+# ---------------------------------------------------------------------------
+DEDUP_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = _lsh_candidate_jaccards(spark, sf_dir).filter(
+        F.col("jaccard") >= min(DEDUP_CURVE_THRESHOLDS)
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
+    )
+    return (
+        jac.crossJoin(F.broadcast(th))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .join(th, "threshold", "right")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_CURVE_TH_VALUES = ", ".join(f"({t})" for t in DEDUP_CURVE_THRESHOLDS)
+
+DEDUP_CURVE_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {min(DEDUP_CURVE_THRESHOLDS)}
+),
+th AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+      FROM (VALUES {_CURVE_TH_VALUES}) t(threshold))
+SELECT threshold,
+  CAST(COUNT(jaccard) FILTER (WHERE jaccard >= threshold) AS BIGINT)
+    AS n_pairs
+FROM th LEFT JOIN jac ON TRUE
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_threshold_curve",
+        dedup_threshold_curve,
+        DEDUP_CURVE_SQL,
+        ("DD21",),
+        doc="near-dup pair counts at each verify threshold (the cutoff tuning view)",
     )
 )

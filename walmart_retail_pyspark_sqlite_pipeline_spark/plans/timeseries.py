@@ -1457,3 +1457,153 @@ register_local(
         doc="week-over-week revenue change per type (sign-safe integer rounding)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_new_vs_returning — daily active users split into first-ever-day
+# ("new") vs returning: the growth-accounting view every DAU chart
+# expands into. A user's first day comes from one groupBy (min day per
+# user, map-side combinable) — NOT a window over the full event stream —
+# then daily distinct actives classify by comparing their day against
+# it. Shuffles: per-user min, per-(user, day) distinct, daily rollup —
+# all keyed, no global ordering anywhere.
+# ---------------------------------------------------------------------------
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum((F.col("d") == F.col("first_d")).cast("long"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("d") != F.col("first_d")).cast("long"))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+  SELECT user_id, MIN(d) AS first_d FROM active GROUP BY user_id
+)
+SELECT d AS day,
+  CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning
+FROM active JOIN first USING (user_id)
+GROUP BY d
+ORDER BY day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_new_vs_returning",
+        events_new_vs_returning,
+        NEW_VS_RETURNING_SQL,
+        ("TS21",),
+        doc="daily actives split into first-ever-day vs returning users",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_revenue_concentration — whale analysis: for each percentile
+# cutoff (p99/p90/p50 of per-user revenue), how many users sit at or
+# above it and what share of total revenue they carry. The "top 1% of
+# users = X% of revenue" line. Threshold-based (quantile of the per-user
+# rollup, then one conditional aggregate) rather than a global revenue
+# sort — no single-partition window anywhere, so the plan shape is two
+# keyed aggregates at any scale. Thresholds are interpolated from exact
+# integer cents identically on both engines; shares are integer-DIV-
+# rounded. Note the cutoffs bind users AT OR ABOVE the interpolated
+# quantile value — at heavy ties the user count can exceed the nominal
+# percentile's headcount (documented threshold semantics, same both
+# engines).
+# ---------------------------------------------------------------------------
+_CONC_PCTS = (0.99, 0.9, 0.5)
+
+
+def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    th = per_user.agg(
+        *[
+            F.percentile("cents", F.lit(p)).alias(f"t{int(p * 100)}")
+            for p in _CONC_PCTS
+        ],
+        F.sum("cents").alias("total"),
+    )
+    rows = []
+    for p in _CONC_PCTS:
+        t = F.col(f"t{int(p * 100)}")
+        rows.append(
+            per_user.crossJoin(F.broadcast(th)).agg(
+                F.lit(p).alias("pct"),
+                F.round(F.first(t), 6).alias("threshold_cents"),
+                F.sum((F.col("cents") >= t).cast("long"))
+                .cast("bigint")
+                .alias("n_users"),
+                F.expr(
+                    f"((2 * SUM(CASE WHEN cents >= t{int(p * 100)} THEN cents"
+                    " ELSE 0 END) * 1000000 + FIRST(total))"
+                    " DIV (2 * FIRST(total))) / CAST(1000000.0 AS DOUBLE)"
+                ).alias("revenue_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy(F.desc("pct"))
+
+
+_CONC_SELECTS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({p} AS DOUBLE) AS pct,
+  ROUND(FIRST(t{int(p * 100)}), 6) AS threshold_cents,
+  CAST(SUM(CASE WHEN cents >= t{int(p * 100)} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_users,
+  CAST((2 * SUM(CASE WHEN cents >= t{int(p * 100)} THEN cents ELSE 0 END)
+        * 1000000 + FIRST(total)) // (2 * FIRST(total)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS revenue_share
+FROM per_user, th"""
+    for p in _CONC_PCTS
+)
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT
+    {", ".join(f"percentile_cont({p}) WITHIN GROUP (ORDER BY cents) AS t{int(p * 100)}" for p in _CONC_PCTS)},
+    CAST(SUM(cents) AS BIGINT) AS total
+  FROM per_user
+)
+{_CONC_SELECTS}
+ORDER BY pct DESC
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_revenue_concentration",
+        events_revenue_concentration,
+        REVENUE_CONCENTRATION_SQL,
+        ("TS22",),
+        doc="revenue share of users at/above p99/p90/p50 per-user revenue cutoffs",
+    )
+)
