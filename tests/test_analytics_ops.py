@@ -814,3 +814,30 @@ def test_revenue_concentration_whale_carries_the_share(spark):
     assert by_pct[0.99].n_users == 1 and by_pct[0.99].revenue_share == 0.91
     assert by_pct[0.5].n_users >= 5
     assert by_pct[0.5].revenue_share >= 0.91
+
+
+def test_audience_overlap_jaccard_on_planted_audiences(spark):
+    """Types A={1,2,3}, B={2,3,4}: |A∩B|=2, |A∪B|=4 -> jaccard 0.5; a
+    type C with a disjoint audience never pairs above zero (and pairs
+    with no shared user produce no row at all)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_audience_overlap,
+    )
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows.append((eid, datetime.datetime(2025, 8, 1, 9, 0, eid), u, "A",
+                     1.0, "{}")); eid += 1
+    for u in (2, 3, 4):
+        rows.append((eid, datetime.datetime(2025, 8, 1, 10, 0, eid), u, "B",
+                     1.0, "{}")); eid += 1
+    rows.append((eid, datetime.datetime(2025, 8, 1, 11, 0, 0), 99, "C",
+                 1.0, "{}"))
+    out = _with_events(
+        spark, rows, lambda d: events_audience_overlap(spark, d).collect()
+    )
+    pairs = {(r.type_a, r.type_b): r for r in out}
+    assert set(pairs) == {("A", "B")}
+    r = pairs[("A", "B")]
+    assert (r.n_a, r.n_b, r.n_both, r.jaccard) == (3, 3, 2, 0.5)

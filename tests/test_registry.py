@@ -160,6 +160,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "DD21",  # threshold sensitivity curve: shares the LSH candidate path (DD3)
         "TS21",  # new-vs-returning growth split: keyed-agg families proven
         "TS22",  # revenue concentration: percentile (TS8) + conditional-agg
+        "TS23",  # audience-overlap Jaccard: keyed self-join + DIV-round families
     }
     orphaned = {
         t

@@ -1607,3 +1607,84 @@ register_local(
         doc="revenue share of users at/above p99/p90/p50 per-user revenue cutoffs",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_audience_overlap — pairwise audience Jaccard between event
+# types: of the users who do X, how many also do Y? The segmentation/
+# cross-sell overlap matrix. Distinct (type, user) pairs first (one
+# shuffle), then a self-join keyed on user_id — fanout per user is
+# ≤ |types|² (a constant), so the join is linear in users; the rollup
+# has ≤ |types|² keys and Jaccard is one division of exact integers,
+# DIV-rounded. At billions of users this is exactly the bitmap-AND
+# workload events_retention_bitmap demonstrates — per-type user bitmaps
+# and popcounts replace the self-join when |types| is small.
+# ---------------------------------------------------------------------------
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                "((2 * n_both * 1000000 + (n_a + n_b - n_both))"
+                " DIV (2 * (n_a + n_b - n_both))) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type
+),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+  CAST(na.n AS BIGINT) AS n_a,
+  CAST(nb.n AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST((2 * n_both * 1000000 + (na.n + nb.n - n_both))
+       // (2 * (na.n + nb.n - n_both)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS jaccard
+FROM both_t
+JOIN sizes na ON both_t.type_a = na.event_type
+JOIN sizes nb ON both_t.type_b = nb.event_type
+ORDER BY type_a, type_b
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_audience_overlap",
+        events_audience_overlap,
+        AUDIENCE_OVERLAP_SQL,
+        ("TS23",),
+        doc="pairwise audience Jaccard between event types (cross-sell matrix)",
+    )
+)
