@@ -1,0 +1,99 @@
+"""Rotation-convergence invariants (VERDICT r5 "Next round" #3).
+
+Every registry query must sit in exactly one tier:
+
+1. **exported** — in ``EXPORTED_NAMES``, graded by the driver this round;
+2. **parked-green** — at least one green driver round recorded in an
+   accumulated ``CORRECTNESS_r*.json``, currently local;
+3. **covered-by** — permanently local strict sub-plan / alternate surface,
+   annotated in ``COVERED_BY`` with the driver-evidenced query covering it;
+4. **queued** — never driver-graded, listed in ``GRADE_QUEUE`` with a
+   target round.
+
+If a new query is registered without a tier (no export slot, no queue
+entry, no covered-by annotation) this suite fails — that is the mechanism
+that keeps the grading backlog shrinking instead of silently growing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+    COVERED_BY,
+    EXPORTED_NAMES,
+    GRADE_QUEUE,
+    all_specs,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _driver_green_names() -> set[str]:
+    """Names with >=1 fully-green driver row across all recorded rounds."""
+    green: set[str] = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+def test_every_registry_query_has_exactly_one_tier():
+    specs = set(all_specs(include_local=True))
+    green = _driver_green_names()
+    untiered = sorted(
+        n
+        for n in specs
+        if n not in EXPORTED_NAMES
+        and n not in green
+        and n not in COVERED_BY
+        and n not in GRADE_QUEUE
+    )
+    assert untiered == [], (
+        "registry queries in NO tier (not exported, never driver-green, "
+        f"not covered-by, not queued): {untiered} — add a GRADE_QUEUE entry "
+        "with a target round or a COVERED_BY annotation"
+    )
+
+
+def test_tiers_are_disjoint_from_the_export_window():
+    overlap_q = sorted(set(GRADE_QUEUE) & EXPORTED_NAMES)
+    assert overlap_q == [], f"queued AND exported: {overlap_q}"
+    overlap_c = sorted(set(COVERED_BY) & EXPORTED_NAMES)
+    assert overlap_c == [], f"covered-by AND exported: {overlap_c}"
+    both = sorted(set(COVERED_BY) & set(GRADE_QUEUE))
+    assert both == [], f"covered-by AND queued: {both}"
+
+
+def test_covered_by_targets_have_driver_evidence():
+    specs = set(all_specs(include_local=True))
+    green = _driver_green_names()
+    for local, target in COVERED_BY.items():
+        assert local in specs, f"COVERED_BY key {local!r} not registered"
+        assert target in specs, f"COVERED_BY target {target!r} not registered"
+        assert target in green or target in EXPORTED_NAMES, (
+            f"{local!r} claims coverage by {target!r}, which has no green "
+            "driver round and is not in the current window"
+        )
+
+
+def test_queue_names_are_registered_and_targets_sane():
+    specs = set(all_specs(include_local=True))
+    for name, rnd in GRADE_QUEUE.items():
+        assert name in specs, f"GRADE_QUEUE key {name!r} not registered"
+        assert isinstance(rnd, int) and rnd >= 6, (name, rnd)
+
+
+def test_queue_only_holds_never_graded_queries():
+    # once a query earns a green driver row it moves to parked-green; a
+    # stale queue entry would double-count the backlog
+    green = _driver_green_names()
+    stale = sorted(set(GRADE_QUEUE) & green)
+    assert stale == [], f"queued queries already driver-green: {stale}"

@@ -58,11 +58,16 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def l2sq_sql(a: str, b: str, dim: int = 64) -> str:
-    """DuckDB twin of :func:`l2sq`: the identical ordered fold."""
+def l2sq_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq`: the identical ordered fold.
+
+    Dimension-agnostic by construction (indices derived from ``len(a)``,
+    not a baked-in constant): a hardcoded dim would silently truncate the
+    oracle's distance for wider embeddings or NULL it for narrower ones,
+    splitting the engines (ADVICE r5)."""
     return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {dim + 1}), "
+        f"list_transform(range(1, len({a}) + 1), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
         "(acc, x) -> acc + x)"
     )

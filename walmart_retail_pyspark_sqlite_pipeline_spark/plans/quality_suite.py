@@ -215,9 +215,15 @@ register(
 #
 # Exactness: the ECDF difference at each grid point is the exact integer
 # |cum_ref·t_cur − cum_cur·t_ref| (a common-denominator rational), maxed
-# as a BIGINT; only the final ratio is a double. Overflow bound:
-# cum·t ≤ t_ref·t_cur must stay < 2^63 → fine until BOTH windows exceed
-# ~3e9 rows; past that compute the max over per-bucket doubles instead.
+# exactly; only the final ratio is a double. The products are DECIMAL,
+# not BIGINT (ADVICE r5): BIGINT products wrapped silently in Spark past
+# t_ref·t_cur ≈ 2^63 (~3e9 rows per window) while DuckDB raised — an
+# asymmetric failure. Widths (DuckDB strict: mul w1+w2 ≤ 38, sub
+# max(w)+1 ≤ 38): cum → DECIMAL(19,0), totals → DECIMAL(18,0), products
+# → DECIMAL(37,0), so the max-selection is exact until a window exceeds
+# ~1e18 rows. Only the exported ks_num BIGINT cell itself can still
+# overflow (needs D·t_ref·t_cur > 2^63) — there Spark nulls the cell and
+# DuckDB raises, both loud; ks_stat stays exact-selection-correct.
 #
 # Scale note: the running ECDF needs an ORDERED cumulative sum. Running
 # it over raw distinct prices would put an unbounded single-partition
@@ -236,8 +242,8 @@ def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     cum = counts.select(
-        F.sum("n_ref").over(w).alias("cum_ref"),
-        F.sum("n_cur").over(w).alias("cum_cur"),
+        F.sum("n_ref").over(w).cast("decimal(19,0)").alias("cum_ref"),
+        F.sum("n_cur").over(w).cast("decimal(19,0)").alias("cum_cur"),
     )
     totals = counts.agg(
         F.sum("n_ref").cast("bigint").alias("t_ref"),
@@ -248,8 +254,12 @@ def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_ref") * F.col("t_cur")
-                    - F.col("cum_cur") * F.col("t_ref")
+                    (
+                        F.col("cum_ref") * F.col("t_cur").cast("decimal(18,0)")
+                    ).cast("decimal(37,0)")
+                    - (
+                        F.col("cum_cur") * F.col("t_ref").cast("decimal(18,0)")
+                    ).cast("decimal(37,0)")
                 )
             ).alias("ks_num"),
             F.first("t_ref").alias("t_ref"),
@@ -260,7 +270,7 @@ def qc_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_cur",
             F.col("ks_num").cast("bigint").alias("ks_num"),
             F.round(
-                F.col("ks_num")
+                F.col("ks_num").cast("double")
                 / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
                 6,
             ).alias("ks_stat"),
@@ -273,9 +283,11 @@ WITH {_drift_counts_sql(_KS_BUCKET)},
 cum AS (
   SELECT
     CAST(SUM(n_ref) OVER (ORDER BY bucket
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(19,0))
+      AS cum_ref,
     CAST(SUM(n_cur) OVER (ORDER BY bucket
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(19,0))
+      AS cum_cur
   FROM counts
 ),
 totals AS (
@@ -287,8 +299,14 @@ totals AS (
 -- input) row exactly like Spark's .agg() global — t_ref/t_cur are
 -- constant over the cross join so first() is deterministic
 SELECT first(t_ref) AS t_ref, first(t_cur) AS t_cur,
-  CAST(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref)) AS BIGINT) AS ks_num,
-  ROUND(MAX(ABS(cum_ref * t_cur - cum_cur * t_ref))
+  CAST(MAX(ABS(
+    CAST(cum_ref * CAST(t_cur AS DECIMAL(18,0)) AS DECIMAL(37,0))
+    - CAST(cum_cur * CAST(t_ref AS DECIMAL(18,0)) AS DECIMAL(37,0))))
+    AS BIGINT) AS ks_num,
+  ROUND(CAST(MAX(ABS(
+    CAST(cum_ref * CAST(t_cur AS DECIMAL(18,0)) AS DECIMAL(37,0))
+    - CAST(cum_cur * CAST(t_ref AS DECIMAL(18,0)) AS DECIMAL(37,0))))
+      AS DOUBLE)
         / (CAST(first(t_ref) AS DOUBLE) * CAST(first(t_cur) AS DOUBLE)), 6)
     AS ks_stat
 FROM cum, totals

@@ -48,47 +48,46 @@ REGISTRY: dict[str, QuerySpec] = {}
 LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 
 # ---------------------------------------------------------------------------
-# Export rotation. The driver grades at most 50 queries per round, so the
-# split between REGISTRY (driver-graded) and LOCAL_REGISTRY (locally
-# oracle-checked) rotates each round: once a query has two green driver
-# rounds it parks and a never-graded query takes the slot. This single set
-# IS the rotation — ``register``/``register_local`` below route on
+# Export rotation + convergence tiers. The driver grades at most 50 queries
+# per round, so the split between REGISTRY (driver-graded) and
+# LOCAL_REGISTRY (locally oracle-checked) rotates each round. This single
+# set IS the rotation — ``register``/``register_local`` below route on
 # membership, so the per-module call sites record only the *default* tier
 # and never need editing.
 #
-# Round-5 window (see VERDICT.md r4 "Next round" #1):
-# - 9 keepers: first graded green in r4, held for a second green round;
-# - 12 bench headliners: every bench.py-timed query stays driver-graded
-#   (r4 verdict "What's wrong" #3);
-# - 29 first-time rotations: never-graded capabilities (iterative ML ops,
-#   exact-k samplers, SQL-surface demos q30/q32–q40, sessionization
-#   variants, layout clustering).
+# Convergence policy (round 6, VERDICT r5 "Next round" #3): rotation alone
+# stopped converging once the registry outgrew 3x the window, so every
+# registry query now sits in exactly ONE of four tiers, and
+# tests/test_rotation.py enforces the partition against the accumulated
+# CORRECTNESS_r*.json evidence:
+#   1. exported        — in EXPORTED_NAMES, graded by the driver this round;
+#   2. parked-green    — >=1 green driver round in some CORRECTNESS_r*.json,
+#                        currently local (driver evidence already exists);
+#   3. covered-by      — permanently local: a strict sub-plan or alternate
+#                        API surface of a query with driver evidence, listed
+#                        in COVERED_BY below and never counted against the
+#                        grading backlog;
+#   4. queued          — never driver-graded, genuinely distinct capability,
+#                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-6 rotation candidates (never driver-graded, all locally green at
-# sf0.01 in both session modes): the round-5 second wave — events_autocorr,
-# events_seasonal_naive, events_dwell_time, events_ewma, events_ohlc,
-# events_activity_streaks, events_bounce_rate, events_mutual_info,
-# events_retention_bitmap, qc_drift_ks, qc_drift_psi, qc_key_skew,
-# q42_abc_analysis, q43_elasticity_slope, q44_lateral_topn,
-# q45_rank_surface, q46_recursive_spine, q47_ols_normal_eq,
-# corpus_triangles, corpus_bloom_contamination, corpus_split_leakage,
-# corpus_dup_rate_by_source, text_zipf_slope, text_lang_confusion,
-# dedup_winnowing_pairs, ann_pq_topk, ann_pq_recall, sketch_hll_manual,
-# stream_dedup_counts, cdc_apply_changes. Swap out the r5 keepers that go
-# twice-green and as many q30/q32–q40 one-timers as the 50 budget allows.
+# Round-6 window (VERDICT r5 "Next round" #1-#3):
+# - 12 bench headliners: every bench.py-timed query stays driver-graded;
+# - 1 re-grade: q39_decimal_money, r5's only red cell — the decimal
+#   aggregate now crosses the comparator as a canonical string (plans/
+#   parity.py), needs a green row;
+# - 37 first-time rotations: the whole round-5 second wave (winnowing, PQ
+#   ANN + recall, manual HLL, KS/PSI drift, key skew, CDC apply, OLS,
+#   triangles, bloom contamination, split leakage, EWMA/OHLC/streaks/
+#   bounce/retention-bitmap/autocorr/dwell/seasonal-naive/mutual-info,
+#   q42-q47, Zipf, lang-confusion, dup-rate-by-source, stream dedup) plus
+#   seven more never-graded distinct capabilities (PMI collocations,
+#   audience overlap, token rebalance, windowed funnel, Markov transitions,
+#   Benford QC, containment dedup).
+# The r4/r5 keepers (twice green) and the r5 first-timers (once green) all
+# park: driver evidence exists, slots go to the never-graded.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
-        # --- keepers: once-green in r4, need a second green ---
-        "events_asof_two_stream",
-        "events_range_join",
-        "dedup_incremental_near_docs",
-        "corpus_quality_weighted_sample",
-        "ann_knn_join",
-        "dedup_cc_clusters",
-        "events_gapfill_locf",
-        "qc_drift_chi2",
-        "events_active_users_7d",
-        # --- bench headliners (thrice-green but timed by bench.py) ---
+        # --- bench headliners (timed by bench.py every round) ---
         "q01_pricing_summary",
         "q02_top_customers",
         "q11_event_hourly",
@@ -101,38 +100,96 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "dedup_minhash_lsh_pairs",
         "ann_topk_cosine",
         "corpus_shingle_index",
-        # --- first-time rotations (never driver-graded before r5) ---
-        "embeddings_kmeans",
-        "corpus_pagerank",
-        "corpus_canonical_docs",
-        "events_anomaly_zscore",
-        "corpus_weighted_sample_topk",
-        "corpus_balanced_sample_topk",
-        "q41_rfm_segments",
-        "events_session_native",
-        "events_session_concurrency",
-        "embeddings_top_component",
-        "q30_unpivot_metrics",
-        "q32_window_depth",
-        "q33_variant_props",
-        "q34_correlated_scalar",
-        "q35_market_share",
-        "q36_pipe_syntax",
-        "q37_histogram",
-        "q38_nullsafe_join",
+        # --- re-grade: r5 red cell, export form fixed this round ---
         "q39_decimal_money",
-        "q40_map_type",
-        "ann_int8_topk",
-        "events_range_rolling",
-        "corpus_chunk_dedup",
-        "entity_match_customers",
-        "text_tfidf_topterms",
-        "text_repetition",
-        "corpus_source_mix",
-        "text_sentiment",
-        "layout_zorder_clustering",
+        # --- first-time rotations (never driver-graded before r6) ---
+        "events_autocorr",
+        "events_seasonal_naive",
+        "events_dwell_time",
+        "events_ewma",
+        "events_ohlc",
+        "events_activity_streaks",
+        "events_bounce_rate",
+        "events_mutual_info",
+        "events_retention_bitmap",
+        "qc_drift_ks",
+        "qc_drift_psi",
+        "qc_key_skew",
+        "q42_abc_analysis",
+        "q43_elasticity_slope",
+        "q44_lateral_topn",
+        "q45_rank_surface",
+        "q46_recursive_spine",
+        "q47_ols_normal_eq",
+        "corpus_triangles",
+        "corpus_bloom_contamination",
+        "corpus_split_leakage",
+        "corpus_dup_rate_by_source",
+        "text_zipf_slope",
+        "text_lang_confusion",
+        "dedup_winnowing_pairs",
+        "ann_pq_topk",
+        "ann_pq_recall",
+        "sketch_hll_manual",
+        "stream_dedup_counts",
+        "cdc_apply_changes",
+        "text_collocations",
+        "events_audience_overlap",
+        "corpus_token_rebalance",
+        "events_funnel_windowed",
+        "events_markov_transitions",
+        "qc_benford_totalprice",
+        "dedup_containment",
     }
 )
+
+# Tier 3 — permanently local: strict sub-plans or alternate API surfaces of
+# a query that already has driver evidence. Key = the local query, value =
+# the driver-graded query whose green row covers the capability. These are
+# still oracle-checked locally every round (tools/oracle_check.py) but are
+# no longer part of the grading backlog.
+COVERED_BY: dict[str, str] = {
+    # threshold sweep over the same shingle-Jaccard pair scores the graded
+    # query verifies at one cutoff
+    "dedup_threshold_curve": "dedup_ngram_jaccard",
+    # same exact hash-groupBy dedup, after text canonicalization
+    "dedup_normalized_exact": "dedup_exact_hist",
+    # estimator-error diagnostic over the SAME signature matrix and LSH
+    # candidate set the graded query produces
+    "dedup_minhash_est_error": "dedup_minhash_lsh_pairs",
+    # Python-UDTF surface of the same fixed-width chunker whose Arrow
+    # mapInPandas surface is graded
+    "text_chunks_udtf": "text_chunks",
+    # strict sub-plans noted since round 4 (both sides of each pair now
+    # have driver evidence, kept for documentation)
+    "ann_ivf_cells": "ann_ivf_topk",
+    "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
+}
+
+# Tier 4 — the must-grade queue: never driver-graded, genuinely distinct
+# capabilities, with the round each rotates into EXPORTED_NAMES. The queue
+# must shrink every round; tests/test_rotation.py fails if a registry query
+# is in no tier. Everything here fits the round-7 window (12 bench + 17
+# queued + re-grades leaves slack for round-6 additions).
+GRADE_QUEUE: dict[str, int] = {
+    "ann_rrf_fusion": 7,
+    "basket_part_pairs": 7,
+    "corpus_importance_weights": 7,
+    "corpus_label_propagation": 7,
+    "dedup_substring_ngrams": 7,
+    "events_mad_anomaly": 7,
+    "events_new_vs_returning": 7,
+    "events_revenue_concentration": 7,
+    "events_top_paths": 7,
+    "events_wow_change": 7,
+    "multimodal_audio_meta": 7,
+    "multimodal_image_features": 7,
+    "multimodal_image_resize": 7,
+    "text_bpe_merge_candidates": 7,
+    "text_char_entropy": 7,
+    "text_lm_score": 7,
+    "text_readability": 7,
+}
 
 
 def _route(spec: QuerySpec) -> QuerySpec:
