@@ -529,3 +529,32 @@ def test_winnowing_guarantees_match_of_window_length(spark):
     pairs = {(r.doc_a, r.doc_b) for r in out}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_encoding_audit_flags_planted_damage(spark):
+    """One clean doc plus one of each damage class per source: the per-class
+    counters and the combined damage rate must see exactly the planted
+    docs (a doc with several signatures counts once in n_damaged)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_encoding_audit,
+    )
+
+    rows = [
+        (1, "perfectly clean english text", "en", "a", 0),
+        (2, "broken � decode here", "en", "a", 0),
+        (3, "smart quote gone wrong â€™ and Ã© together", "en", "a", 0),
+        (4, "binary\x07junk\x01inside", "en", "a", 0),
+        (5, "tab\tand\nnewline are fine", "en", "b", 0),
+    ]
+    out = {
+        r.source: r
+        for r in _with_docs(
+            spark, rows, lambda d: corpus_encoding_audit(spark, d).collect()
+        )
+    }
+    a = out["a"]
+    assert (a.n_docs, a.n_replacement, a.n_mojibake, a.n_control) == (4, 1, 1, 1)
+    assert a.damage_rate == 0.75
+    b = out["b"]
+    assert (b.n_docs, b.n_replacement, b.n_mojibake, b.n_control) == (1, 0, 0, 0)
+    assert b.damage_rate == 0.0

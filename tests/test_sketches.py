@@ -106,3 +106,46 @@ def test_manual_hll_estimate_lands_near_exact(spark):
             r.event_type, r.hll_estimate, r.exact_distinct)
         assert r.hll_estimate > 0
         assert 0 <= r.n_empty_buckets <= 256
+
+
+def test_cms_never_underestimates_and_finds_heavy_hitter(spark):
+    """CMS one-sided error: every estimate >= true count. A planted token
+    occurring far more than anything else must surface as the top probe
+    with estimate >= its true frequency."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_cms_manual,
+    )
+
+    rows = [(i, "heavy " * 10 + f"rare{i} tail{i % 7}", "en", "s", 0)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = sketch_cms_manual(spark, d).collect()
+    assert out, "no probe rows"
+    assert all(r.overest >= 0 for r in out), out
+    assert all(r.cms_est >= r.true_cnt for r in out), out
+    top = out[0]
+    assert top.token == "heavy" and top.true_cnt == 400, top
+
+
+def test_quantile_histogram_error_bounded_by_half_bucket(spark):
+    """The histogram-quantile estimate must sit within B/2 of the exact
+    discrete quantile for every group and percentile — the construction's
+    stated contract, checked on the real orders table."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        _QSK_B,
+        sketch_quantile_manual,
+    )
+
+    rows = sketch_quantile_manual(spark, SF_SMALL).collect()
+    assert rows, "no groups"
+    for r in rows:
+        for p in (50, 90, 99):
+            assert r[f"abs_err_q{p}"] <= _QSK_B // 2, (r, p)
+            assert r[f"exact_q{p}"] > 0
+        assert r.exact_q50 <= r.exact_q90 <= r.exact_q99

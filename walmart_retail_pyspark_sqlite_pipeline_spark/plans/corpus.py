@@ -1748,3 +1748,94 @@ register_local(
         doc="exact-duplicate rate per ingest source (md5 distinct vs doc counts)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_encoding_audit — per-source encoding-damage triage: counts of
+# documents carrying the three classic corruption signatures a crawl
+# pipeline screens for before training —
+#   * U+FFFD replacement characters (decoder already gave up),
+#   * UTF-8-read-as-Latin-1 mojibake ("Ã"/"â€" lead bytes of re-encoded
+#     accented letters and smart punctuation),
+#   * stray C0 control characters (binary junk inside "text"; tab/LF/CR
+#     excluded) —
+# plus the integer-DIV-rounded damaged-doc rate. Pure per-row predicates
+# (contains + one RE2/Java-compatible character class) into a per-source
+# aggregate: one shuffle on source, no Python, scale shape identical at
+# 100 TB. All exported counts are exact integers; the rate uses the repo's
+# sign-safe DIV-round idiom, so the driver hash is deterministic.
+# Planted-damage behavioral test: tests/test_corpus_ops.py.
+# ---------------------------------------------------------------------------
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def corpus_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    damaged = (
+        F.col("text").contains("�")
+        | F.col("text").contains("Ã")
+        | F.col("text").contains("â€")
+        | (F.length(F.regexp_replace("text", _CTRL_RE, "")) < F.length("text"))
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").contains("�").cast("long")).alias("n_replacement"),
+        F.sum(
+            (
+                F.col("text").contains("Ã") | F.col("text").contains("â€")
+            ).cast("long")
+        ).alias("n_mojibake"),
+        F.sum(
+            (
+                F.length(F.regexp_replace("text", _CTRL_RE, ""))
+                < F.length("text")
+            ).cast("long")
+        ).alias("n_control"),
+        F.sum(damaged.cast("long")).alias("n_damaged"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_replacement").cast("bigint").alias("n_replacement"),
+        F.col("n_mojibake").cast("bigint").alias("n_mojibake"),
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.expr(
+            "((2 * n_damaged * 1000000 + n_docs)"
+            " DIV (2 * n_docs)) / CAST(1000000.0 AS DOUBLE)"
+        ).alias("damage_rate"),
+    ).orderBy("source")
+
+
+ENCODING_AUDIT_SQL = f"""
+WITH flags AS (
+  SELECT source,
+    CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS f_repl,
+    CASE WHEN contains(text, 'Ã') OR contains(text, 'â€')
+      THEN 1 ELSE 0 END AS f_moji,
+    CASE WHEN length(regexp_replace(text, '{_CTRL_RE}', '', 'g'))
+           < length(text) THEN 1 ELSE 0 END AS f_ctrl
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(f_repl) AS BIGINT) AS n_replacement,
+  CAST(SUM(f_moji) AS BIGINT) AS n_mojibake,
+  CAST(SUM(f_ctrl) AS BIGINT) AS n_control,
+  CAST((2 * SUM(CASE WHEN f_repl + f_moji + f_ctrl > 0 THEN 1 ELSE 0 END)
+        * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS damage_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_encoding_audit",
+        corpus_encoding_audit,
+        ENCODING_AUDIT_SQL,
+        ("QE1",),
+        doc="per-source encoding-damage counts (U+FFFD, mojibake, control chars)",
+    )
+)

@@ -172,6 +172,10 @@ COVERED_BY: dict[str, str] = {
 # is in no tier. Everything here fits the round-7 window (12 bench + 17
 # queued + re-grades leaves slack for round-6 additions).
 GRADE_QUEUE: dict[str, int] = {
+    # round-6 additions (registered this round, graded next)
+    "sketch_cms_manual": 7,
+    "sketch_quantile_manual": 7,
+    "corpus_encoding_audit": 7,
     "ann_rrf_fusion": 7,
     "basket_part_pairs": 7,
     "corpus_importance_weights": 7,

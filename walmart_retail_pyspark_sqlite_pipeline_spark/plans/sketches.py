@@ -387,3 +387,326 @@ register_local(
         doc="from-scratch HyperLogLog with engine-identical integer registers",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_manual — Count-Min sketch built FROM SCRATCH out of portable
+# integer expressions (the frequency-estimation companion to
+# sketch_hll_manual's cardinality): d=4 hash rows x w=512 counter columns
+# over the corpus token stream, then point-queried for the top-20
+# true-frequency tokens. Every counter and estimate is an exact integer on
+# both engines, so the driver hash compares bit-identical values — and the
+# CMS one-sided-error invariant (estimate >= true count, overest >= 0) is
+# part of the exported row.
+#
+# Scale shape: the update side is an explode + groupBy into AT MOST d·w =
+# 2048 cells — partial aggregation combines map-side, so 1000 executors
+# each ship <= 2048 partial counters regardless of token cardinality (the
+# whole point of CMS vs an exact groupBy(token) at 100 TB). The exact
+# top-20 side is the EVALUATION harness (same role as exact_distinct in
+# sketch_hll_manual), and the probe join is 20x4 rows against the 2048-cell
+# counter table — broadcast territory.
+#
+# Hashing: token -> x = poly_hash (31-poly mod 2^31-1, functions/hashing),
+# row r's column = ((a_r*x + b_r) mod P) mod w with the documented minhash
+# affine family — a_r < 2^30 and x < 2^31 keep a_r*x < 2^61, inside int64
+# on both engines.
+# ---------------------------------------------------------------------------
+_CMS_W = 512
+_CMS_D = 4
+_CMS_TOPK = 20
+
+
+def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashing, text
+
+    docs = read_table(spark, sf_dir, "documents")
+    hx = docs.select(
+        F.explode(text.tokens(F.col("text"))).alias("token")
+    ).select("token", hashing.poly_hash(F.col("token")).alias("x"))
+
+    def col_r(r: int) -> F.Column:
+        a, b = hashing.MINHASH_PERMS[r]
+        return ((F.col("x") * a + b) % hashing.MERSENNE_P) % _CMS_W
+
+    cells = hx.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), col_r(r).alias("col")
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.col")
+    counters = cells.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+
+    true_t = hx.groupBy("token").agg(
+        F.min("x").alias("x"), F.count("*").alias("true_cnt")
+    )
+    top = true_t.orderBy(F.desc("true_cnt"), "token").limit(_CMS_TOPK)
+    probes = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), col_r(r).alias("col"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "true_cnt", "cell.r", "cell.col")
+    return (
+        probes.join(F.broadcast(counters), ["r", "col"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overest"),
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+    )
+
+
+def _cms_sql() -> str:
+    from ..functions import hashing, text
+
+    P = hashing.MERSENNE_P
+    row_cols = [
+        f"(((x * {a} + {b}) % {P}) % {_CMS_W})"
+        for a, b in hashing.MINHASH_PERMS[:_CMS_D]
+    ]
+    cell_union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {c} AS col FROM hx" for r, c in enumerate(row_cols)
+    )
+    probe_union = "\n  UNION ALL ".join(
+        f"SELECT token, true_cnt, {r} AS r, {c} AS col FROM top"
+        for r, c in enumerate(row_cols)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({text.tokens_sql('text')}) AS token FROM documents
+),
+hx AS (
+  SELECT token, {hashing.poly_hash_sql('token')} AS x FROM toks
+),
+cells AS (
+  {cell_union}
+),
+counters AS (
+  SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
+),
+true_t AS (
+  SELECT token, MIN(x) AS x, COUNT(*) AS true_cnt FROM hx GROUP BY token
+),
+top AS (
+  SELECT token, x, true_cnt FROM true_t
+  ORDER BY true_cnt DESC, token LIMIT {_CMS_TOPK}
+),
+probes AS (
+  {probe_union}
+),
+est AS (
+  SELECT token, true_cnt, MIN(cnt) AS cms_est
+  FROM probes JOIN counters USING (r, col)
+  GROUP BY token, true_cnt
+)
+SELECT token,
+  CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - true_cnt AS BIGINT) AS overest
+FROM est ORDER BY true_cnt DESC, token
+"""
+
+
+SKETCH_CMS_MANUAL_SQL = _cms_sql()
+
+
+register_local(
+    QuerySpec(
+        "sketch_cms_manual",
+        sketch_cms_manual,
+        SKETCH_CMS_MANUAL_SQL,
+        ("SK4",),
+        doc="from-scratch Count-Min sketch, engine-identical counters + top-k probes",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sketch_quantile_manual — fixed-grid histogram quantiles built from
+# portable integer expressions, completing the from-scratch sketch trio
+# (HLL cardinality, CMS frequency, histogram order-statistics). Unlike
+# sketch_approx_quantile (whose built-in sketches are implementation-
+# defined and only contract-checkable), every number here is an exact
+# integer both engines reproduce bit-identically.
+#
+# Construction (per o_orderpriority): order totals -> integer cents ->
+# fixed buckets of width B = 100000 cents ($1000). The bucket counts are
+# the sketch: fixed-size mergeable state (<= price_range/B cells/group),
+# partial-aggregated map-side — the 100 TB path, no row-count-bounded
+# sort anywhere. For each p in {50, 90, 99}: target rank = ceil(p*n/100)
+# computed as (p*n + 99) DIV 100 (integer, both engines), the estimate is
+# the MIDPOINT of the first bucket whose cumulative count reaches the
+# target (error <= B/2 by construction).
+#
+# Evaluation side (same role as exact_distinct in sketch_hll_manual): the
+# EXACT discrete quantile (min value whose rank >= target) derived from a
+# distinct-VALUE cumulative — bounded by the value domain like
+# qc_drift_ks's binned ECDF, not by row count — so the exported row also
+# proves the error contract |est - exact| <= B/2 as hard integers.
+# ---------------------------------------------------------------------------
+_QSK_B = 100_000  # bucket width in cents ($1000)
+_QSK_PS = (50, 90, 99)
+
+
+def sketch_quantile_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    from pyspark.sql.window import Window
+
+    hist = o.groupBy(
+        "o_orderpriority", (F.col("cents") - F.col("cents") % _QSK_B).alias("b0")
+    ).agg(F.count("*").alias("cnt"))
+    wh = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b0")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.select(
+        "o_orderpriority",
+        "b0",
+        F.sum("cnt").over(wh).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("o_orderpriority").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    vals = o.groupBy("o_orderpriority", "cents").agg(F.count("*").alias("cnt"))
+    wv = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = vals.select(
+        "o_orderpriority", "cents", F.sum("cnt").over(wv).alias("cum")
+    )
+
+    est_cols, exact_cols = [], []
+    for p in _QSK_PS:
+        tgt = F.expr(f"({p} * n + 99) DIV 100")
+        est_cols.append(
+            F.min(F.when(F.col("cum") >= tgt, F.col("b0"))).alias(f"b_{p}")
+        )
+    ests = hist.groupBy("o_orderpriority", "n").agg(*est_cols)
+    joined = vals.join(ests.select("o_orderpriority", "n"), "o_orderpriority")
+    for p in _QSK_PS:
+        tgt = F.expr(f"({p} * n + 99) DIV 100")
+        exact_cols.append(
+            F.min(F.when(F.col("cum") >= tgt, F.col("cents"))).alias(
+                f"exact_q{p}"
+            )
+        )
+    exacts = joined.groupBy("o_orderpriority").agg(*exact_cols)
+    out_cols = ["o_orderpriority", F.col("n").cast("bigint").alias("n")]
+    for p in _QSK_PS:
+        out_cols.append(
+            (F.col(f"b_{p}") + _QSK_B // 2).cast("bigint").alias(f"est_q{p}")
+        )
+        out_cols.append(F.col(f"exact_q{p}").cast("bigint").alias(f"exact_q{p}"))
+        out_cols.append(
+            F.abs(F.col(f"b_{p}") + _QSK_B // 2 - F.col(f"exact_q{p}"))
+            .cast("bigint")
+            .alias(f"abs_err_q{p}")
+        )
+    return (
+        ests.join(exacts, "o_orderpriority")
+        .select(*out_cols)
+        .orderBy("o_orderpriority")
+    )
+
+
+def _qsk_sql() -> str:
+    est_sel = ",\n    ".join(
+        f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN b0 END) AS b_{p}"
+        for p in _QSK_PS
+    )
+    exact_sel = ",\n    ".join(
+        f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN cents END)"
+        f" AS exact_q{p}"
+        for p in _QSK_PS
+    )
+    out_sel = ",\n  ".join(
+        f"CAST(b_{p} + {_QSK_B // 2} AS BIGINT) AS est_q{p},\n  "
+        f"CAST(exact_q{p} AS BIGINT) AS exact_q{p},\n  "
+        f"CAST(ABS(b_{p} + {_QSK_B // 2} - exact_q{p}) AS BIGINT)"
+        f" AS abs_err_q{p}"
+        for p in _QSK_PS
+    )
+    return f"""
+WITH c AS (
+  SELECT o_orderpriority,
+    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority, cents - cents % {_QSK_B} AS b0, COUNT(*) AS cnt
+  FROM c GROUP BY 1, 2
+),
+hcum AS (
+  SELECT o_orderpriority, b0,
+    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY b0
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist
+),
+ests AS (
+  SELECT o_orderpriority, n,
+    {est_sel}
+  FROM hcum GROUP BY o_orderpriority, n
+),
+vals AS (
+  SELECT o_orderpriority, cents, COUNT(*) AS cnt
+  FROM c GROUP BY 1, 2
+),
+vcum AS (
+  SELECT o_orderpriority, cents,
+    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals
+),
+exacts AS (
+  SELECT v.o_orderpriority,
+    {exact_sel}
+  FROM vcum v JOIN ests e ON v.o_orderpriority = e.o_orderpriority
+  GROUP BY v.o_orderpriority
+)
+SELECT e.o_orderpriority, CAST(n AS BIGINT) AS n,
+  {out_sel}
+FROM ests e JOIN exacts x ON e.o_orderpriority = x.o_orderpriority
+ORDER BY e.o_orderpriority
+"""
+
+
+SKETCH_QUANTILE_MANUAL_SQL = _qsk_sql()
+
+
+register_local(
+    QuerySpec(
+        "sketch_quantile_manual",
+        sketch_quantile_manual,
+        SKETCH_QUANTILE_MANUAL_SQL,
+        ("SK5",),
+        doc="fixed-grid histogram quantiles, engine-identical, exact-eval twin",
+    )
+)
