@@ -558,3 +558,19 @@ def test_encoding_audit_flags_planted_damage(spark):
     b = out["b"]
     assert (b.n_docs, b.n_replacement, b.n_mojibake, b.n_control) == (1, 0, 0, 0)
     assert b.damage_rate == 0.0
+
+
+def test_bpe_train_merge_sequence_on_planted_words(spark):
+    """Corpus of three 'aaab' words: step 1 merges (a,a) with Sennrich
+    count 6 (overlapping pairs in 'aaa' count twice, but apply is greedy
+    left-to-right so only ONE merge lands per word), step 2 tie-breaks
+    (a,b) vs (aa,a) at count 3 lexicographically, step 3 merges the two
+    remaining symbols (aa,ab)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import text_bpe_train
+
+    rows = [(1, "aaab aaab aaab", "en", "s", 0)]
+    out = _with_docs(
+        spark, rows, lambda d: text_bpe_train(spark, d).collect()
+    )
+    got = [(r.step, r.merge_left, r.merge_right, r.pair_count) for r in out]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)], got

@@ -168,6 +168,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "SK4",  # from-scratch Count-Min sketch: sketch family (SK1/SK3) proven
         "SK5",  # fixed-grid histogram quantiles: sketch family (SK2) proven
         "QE1",  # encoding-damage audit: per-row-predicate QC family proven
+        "TX19",  # iterative BPE training loop: TX10 kernel + IT-family loop proven
     }
     orphaned = {
         t

@@ -3554,3 +3554,146 @@ register_local(
         doc="near-dup pair counts at each verify threshold (the cutoff tuning view)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train — the FULL iterative BPE tokenizer-training loop (3 greedy
+# merges), extending text_bpe_merge_candidates' single distributed kernel
+# the way embeddings_kmeans extends one Lloyd step: a driver loop whose
+# per-step state is ONE collected row (the argmax pair — bounded, like the
+# k centroid rows), with all heavy work distributed.
+#
+# Symbol-sequence encoding that keeps the merge EXACT and portable: each
+# word is rendered with every symbol individually wrapped, "abc" ->
+# "|a||b||c|". Merging pair (l, r) is then the LITERAL string replace
+# "|l||r|" -> "|lr|" — no regex, no lookarounds (RE2 has none):
+#   * greedy left-to-right non-overlap IS BPE's apply rule
+#     ("|a||a||a|" -> "|aa||a|", the leftover "a" does not re-pair);
+#   * the closing "|" of the left symbol and opening "|" of the right
+#     make prefix collisions impossible ("|a||ab|" never matches "|a||a|");
+#   * Spark replace() and DuckDB replace() share these literal semantics.
+# Pair counts per step follow Sennrich-style counting (overlapping pairs
+# in "aaa" count twice); argmax tie-breaks (cnt DESC, l, r) — all exact
+# integers, so both engines pick the identical merge every step and the
+# exported 3-row merge table hash-matches.
+#
+# Scale shape: the corpus is touched ONCE (token explode -> word-frequency
+# groupBy, heavy map-side combine); every training step then runs on the
+# cached DISTINCT-word table (vocabulary-sized, ~1e5-1e7 rows at 100 TB —
+# the standard BPE-on-word-counts formulation), so 3 steps cost 3 tiny
+# shuffles + 3 one-row collects, not 3 corpus scans.
+# ---------------------------------------------------------------------------
+BPE_TRAIN_STEPS = 3
+
+
+def _bpe_pairs(enc_col):
+    syms = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+    # sequence(1, 0) DESCENDS in Spark — short encodings must be guarded
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<l:string,r:string>>")
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    words = (
+        tok.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.regexp_replace("w", "(.)", r"|$1|").alias("enc"), "wc"
+        )
+        .cache()
+    )
+    cur = words
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        best = (
+            cur.select("wc", F.explode(_bpe_pairs(F.col("enc"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, l, r, cnt))
+        cur = cur.select(
+            F.replace(
+                "enc", F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            ).alias("enc"),
+            "wc",
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, pair_count long",
+    ).orderBy("step")
+
+
+def _bpe_train_sql() -> str:
+    stages = [
+        """enc_0 AS (
+  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS enc, wc
+  FROM (
+    SELECT w, COUNT(*) AS wc
+    FROM (SELECT unnest(tok) AS w FROM tk) GROUP BY w
+  )
+)"""
+    ]
+    for k in range(1, BPE_TRAIN_STEPS + 1):
+        stages.append(f"""pairs_{k} AS (
+  SELECT wc, syms[i] AS l, syms[i + 1] AS r
+  FROM (
+    SELECT wc, syms, unnest(range(1, len(syms))) AS i
+    FROM (SELECT wc, string_split(trim(enc, '|'), '||') AS syms
+          FROM enc_{k - 1})
+  )
+)""")
+        stages.append(f"""best_{k} AS (
+  SELECT l, r, SUM(wc) AS cnt FROM pairs_{k}
+  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        stages.append(f"""enc_{k} AS (
+  SELECT replace(e.enc, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS enc, e.wc
+  FROM enc_{k - 1} e, best_{k} b
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {k} AS step, l AS merge_left, r AS merge_right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best_{k}"
+        for k in range(1, BPE_TRAIN_STEPS + 1)
+    )
+    body = ",\n".join(stages)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+{body}
+{selects}
+ORDER BY step
+"""
+
+
+TEXT_BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+register_local(
+    QuerySpec(
+        "text_bpe_train",
+        text_bpe_train,
+        TEXT_BPE_TRAIN_SQL,
+        ("TX19",),
+        doc="3-step greedy BPE training loop, engine-identical merge table",
+    )
+)
