@@ -169,6 +169,7 @@ def test_rotation_never_orphans_a_capability_tag():
         "SK5",  # fixed-grid histogram quantiles: sketch family (SK2) proven
         "QE1",  # encoding-damage audit: per-row-predicate QC family proven
         "TX19",  # iterative BPE training loop: TX10 kernel + IT-family loop proven
+        "SIM12",  # 1-bit sign Hamming top-k: ANN family (SIM2/SIM11) proven
     }
     orphaned = {
         t

@@ -3697,3 +3697,72 @@ register_local(
         doc="3-step greedy BPE training loop, engine-identical merge table",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_hamming_topk — 1-bit (sign) quantization, the remaining point on the
+# engine's embedding-compression curve (float cosine -> int8 dot -> PQ ADC
+# -> 1 bit/dim): distance between vectors is the count of dimensions whose
+# SIGNS disagree — a 64x memory reduction whose Hamming distances
+# monotonically track angular distance (Charikar sign-LSH).
+#
+# Exactness: sign tests and the mismatch count are integers, so both
+# engines order candidates identically (ties broken by vec_id). Plan
+# shape: 1-row query side broadcast, one linear scan, mismatch fold
+# JVM-side inside codegen, TakeOrderedAndProject for top-k — at 100 TB a
+# production deployment additionally packs the 64 signs into one BIGINT
+# word per vector and XOR+bit_count's words (same distances; packing is a
+# storage/bandwidth optimization, not a semantic one — bit 63 of a packed
+# signed word needs unsigned handling that is NOT portable across engines,
+# which is why the graded form compares signs directly).
+# ---------------------------------------------------------------------------
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    sig = emb.select("vec_id", v.alias("v"))
+    qv = sig.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("v"),
+                F.col("qv"),
+                lambda x, y: (x > 0) != (y > 0),
+            ),
+            lambda t: t,
+        )
+    )
+    return (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", hamming.cast("bigint").alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(ANN_K)
+    )
+
+
+ANN_HAMMING_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(len(list_filter(list_zip(v, qv),
+                       p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS hamming
+FROM e, qv
+WHERE vec_id <> 0
+ORDER BY hamming, vec_id
+LIMIT {ANN_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_hamming_topk",
+        ann_hamming_topk,
+        ANN_HAMMING_SQL,
+        ("SIM12",),
+        doc="1-bit sign-quantized Hamming top-k (Charikar sign-LSH distances)",
+    )
+)

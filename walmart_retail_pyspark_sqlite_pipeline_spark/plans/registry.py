@@ -177,6 +177,7 @@ GRADE_QUEUE: dict[str, int] = {
     "sketch_quantile_manual": 7,
     "corpus_encoding_audit": 7,
     "text_bpe_train": 7,
+    "ann_hamming_topk": 7,
     "ann_rrf_fusion": 7,
     "basket_part_pairs": 7,
     "corpus_importance_weights": 7,
