@@ -545,6 +545,9 @@ def test_encoding_audit_flags_planted_damage(spark):
         (3, "smart quote gone wrong â€™ and Ã© together", "en", "a", 0),
         (4, "binary\x07junk\x01inside", "en", "a", 0),
         (5, "tab\tand\nnewline are fine", "en", "b", 0),
+        # legitimate uppercase accents: 'Ã' followed by ASCII letters must
+        # NOT be flagged (ADVICE r6: the bare contains('Ã') false positive)
+        (6, "NÃO aqui mas SÃO PAULO limpo", "pt", "b", 0),
     ]
     out = {
         r.source: r
@@ -556,7 +559,7 @@ def test_encoding_audit_flags_planted_damage(spark):
     assert (a.n_docs, a.n_replacement, a.n_mojibake, a.n_control) == (4, 1, 1, 1)
     assert a.damage_rate == 0.75
     b = out["b"]
-    assert (b.n_docs, b.n_replacement, b.n_mojibake, b.n_control) == (1, 0, 0, 0)
+    assert (b.n_docs, b.n_replacement, b.n_mojibake, b.n_control) == (2, 0, 0, 0)
     assert b.damage_rate == 0.0
 
 

@@ -148,6 +148,11 @@ def test_rotation_never_orphans_a_capability_tag():
         "TX17",  # langid confusion matrix: langid (TX1 driver-green) + agg proven
         "RC1",  # WITH RECURSIVE spine: SQL-surface family + gapfill (TS1) proven
         "CP4",  # split-leakage audit: LSH pairs (DD3) + split (CP1) driver-green
+        # round-7 additions, awaiting their first rotation window
+        "SIM13",  # packed-BIGINT Hamming: covered-by ann_hamming_topk (exported
+        # r7), packed==unpacked agreement exported in every row
+        "SK6",  # KMV set-op sketches: sketch family (SK1/SK3 driver-green)
+        # proven; queued for round 8
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
         "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)

@@ -26,6 +26,7 @@ from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
     EXPORTED_NAMES,
     GRADE_QUEUE,
     all_specs,
+    spec_hash,
 )
 
 REPO = Path(__file__).resolve().parents[1]
@@ -97,3 +98,37 @@ def test_queue_only_holds_never_graded_queries():
     green = _driver_green_names()
     stale = sorted(set(GRADE_QUEUE) & green)
     assert stale == [], f"queued queries already driver-green: {stale}"
+
+
+def test_parked_queries_unchanged_since_their_driver_grade():
+    """Re-grade-on-rewrite (ADVICE r6, medium): driver evidence is evidence
+    about a SPECIFIC implementation. A parked-green query may stay parked
+    only while its current spec_hash (fn source + oracle SQL) matches the
+    hash recorded in GRADED_HASHES.json at grading time. Rewriting a parked
+    query without re-exporting it (the r6 events_anomaly_zscore case) fails
+    here — the fix is an export slot or a GRADE_QUEUE entry, never editing
+    the ledger by hand (tools/update_graded_hashes.py restamps it only when
+    a new green driver row lands)."""
+    ledger_path = REPO / "GRADED_HASHES.json"
+    assert ledger_path.exists(), (
+        "GRADED_HASHES.json missing — run tools/update_graded_hashes.py "
+        "after the latest CORRECTNESS_r*.json lands"
+    )
+    ledger = json.load(open(ledger_path))["entries"]
+    specs = all_specs(include_local=True)
+    green = _driver_green_names()
+    problems = []
+    for name, spec in specs.items():
+        if name in EXPORTED_NAMES or name in COVERED_BY or name in GRADE_QUEUE:
+            continue  # being (re)graded, or permanently-local by policy
+        if name not in green:
+            continue  # untiered — the partition test reports it
+        if name not in ledger:
+            problems.append(f"{name}: parked-green but not in GRADED_HASHES.json")
+        elif spec_hash(spec) != ledger[name]["hash"]:
+            problems.append(
+                f"{name}: source/oracle rewritten since its round-"
+                f"{ledger[name]['round']} driver grade — add it to "
+                "EXPORTED_NAMES or GRADE_QUEUE for a re-grade"
+            )
+    assert problems == [], "\n".join(problems)

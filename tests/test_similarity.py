@@ -266,3 +266,34 @@ def test_pq_codes_are_one_per_subspace_and_adc_decomposes(spark):
     assert abs(rows[0].approx_d2 - expect) < 1e-9
     assert len(codes) == PQ_SUBSPACES
     sub.unpersist()
+
+
+def test_packed_hamming_agrees_with_unpacked_on_planted_bit63_vectors(spark):
+    """The BIGINT-packed XOR+bit_count distance must equal the unpacked
+    sign-mismatch count for every row — including vectors whose dim-63
+    sign sets the word's SIGN bit (the min-long weight path that made the
+    naive 1<<63 packer non-portable)."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_hamming_packed,
+    )
+
+    dim = 64
+    q = [1.0] * dim  # query: all signs positive -> packed word = -1 (all bits)
+    a = [1.0] * dim
+    a[0], a[63] = -1.0, -1.0  # flips bit 0 AND the sign bit -> hamming 2
+    b = [(-1.0) ** i for i in range(dim)]  # alternating -> hamming 32
+    c = [-1.0] * dim  # all flipped -> hamming 64
+    rows = [(0, q, 0), (1, a, 0), (2, b, 0), (3, c, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = ann_hamming_packed(spark, d).collect()
+    got = {r.vec_id: r for r in out}
+    assert [r.vec_id for r in out] == [1, 2, 3]  # ordered by packed distance
+    assert (got[1].hamming, got[2].hamming, got[3].hamming) == (2, 32, 64)
+    for r in out:
+        assert r.hamming == r.hamming_unpacked and r.agree == 1, r

@@ -1,0 +1,113 @@
+"""Maintain GRADED_HASHES.json: the re-grade-on-rewrite ledger (ADVICE r6).
+
+For every query with at least one fully-green driver row in an accumulated
+``CORRECTNESS_r*.json``, the ledger records the :func:`spec_hash` of the
+implementation THAT EVIDENCE GRADED (fn source + oracle SQL) and the latest
+green round. ``tests/test_rotation.py`` then refuses to let a query park on
+stale evidence: if its current hash differs from the ledger's, it must
+re-enter the export window (or the GRADE_QUEUE) to be re-graded.
+
+Run this immediately after a new CORRECTNESS_r{N}.json lands (i.e. at the
+START of round N+1, before touching any query source), so "current source"
+still equals "source the driver graded":
+
+    python tools/update_graded_hashes.py
+
+Rules applied per query name:
+- green in the LATEST correctness file  -> hash := current, round := latest
+  (the driver just graded exactly this source);
+- green only in EARLIER rounds          -> entry left untouched (its source
+  may have changed since; the rotation test decides whether that demands a
+  re-grade);
+- no longer registered                  -> entry dropped.
+
+First generated at the start of round 7 from CORRECTNESS_r06.json.
+Initialization note: queries whose only green rounds predate r6 were seeded
+with their round-7-start hashes, justified by the r6 judge's source audit
+("source files for the §2 rows are unchanged this round"), EXCEPT
+events_anomaly_zscore — rewritten in r6 while parked on an r5 green — which
+is deliberately absent until its round-7 re-grade lands.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (  # noqa: E402
+    EXPORTED_NAMES,
+    all_specs,
+    spec_hash,
+)
+
+LEDGER = REPO / "GRADED_HASHES.json"
+
+
+def _green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+    )
+
+
+def main() -> None:
+    files = sorted(
+        glob.glob(str(REPO / "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
+    )
+    if not files:
+        raise SystemExit("no CORRECTNESS_r*.json found")
+    latest_round = int(re.search(r"_r(\d+)\.json$", files[-1]).group(1))
+
+    greens: dict[str, int] = {}  # name -> latest green round
+    for f in files:
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for name, row in json.load(open(f)).items():
+            if _green(row):
+                greens[name] = max(rnd, greens.get(name, 0))
+
+    specs = all_specs(include_local=True)
+    old = (
+        json.load(open(LEDGER))["entries"] if LEDGER.exists() else {}
+    )
+
+    entries: dict[str, dict] = {}
+    for name, last_green in sorted(greens.items()):
+        if name not in specs:
+            continue  # de-registered query: drop
+        if last_green == latest_round:
+            # the driver just graded exactly this source — (re)stamp
+            entries[name] = {"hash": spec_hash(specs[name]), "round": last_green}
+        elif name in old:
+            entries[name] = old[name]  # evidence older than this run: keep as-is
+        elif name not in EXPORTED_NAMES:
+            # seeding a never-stamped PARKED query green only in earlier
+            # rounds: record the current hash and flag the seed round so the
+            # initialization assumption stays visible. Names currently in the
+            # export window are NOT seeded — they are about to be (re)graded,
+            # and seeding one whose source changed since its old green round
+            # (the events_anomaly_zscore case) would falsify the ledger.
+            entries[name] = {
+                "hash": spec_hash(specs[name]),
+                "round": last_green,
+                "seeded_at_round": latest_round + 1,
+            }
+
+    LEDGER.write_text(
+        json.dumps(
+            {"latest_correctness_round": latest_round, "entries": entries},
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+    print(f"wrote {LEDGER}: {len(entries)} entries (latest round {latest_round})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1755,8 +1755,12 @@ register_local(
 # documents carrying the three classic corruption signatures a crawl
 # pipeline screens for before training —
 #   * U+FFFD replacement characters (decoder already gave up),
-#   * UTF-8-read-as-Latin-1 mojibake ("Ã"/"â€" lead bytes of re-encoded
-#     accented letters and smart punctuation),
+#   * UTF-8-read-as-Latin-1 mojibake — a true two-char signature, not a
+#     bare lead byte: 'Ã' counts only when immediately followed by a
+#     Latin-1 continuation-range char (U+0080–U+00BF — what the 0x80–0xBF
+#     second byte of a UTF-8 accented letter decodes to), so legitimate
+#     uppercase accents ("SÃO PAULO", "NÃO") are NOT flagged; 'â€' (the
+#     smart-punctuation E2 80 xx triple re-decoded) is already a pair,
 #   * stray C0 control characters (binary junk inside "text"; tab/LF/CR
 #     excluded) —
 # plus the integer-DIV-rounded damaged-doc rate. Pure per-row predicates
@@ -1767,24 +1771,23 @@ register_local(
 # Planted-damage behavioral test: tests/test_corpus_ops.py.
 # ---------------------------------------------------------------------------
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+# built with chr() so no raw C1 control characters sit in this source file;
+# the IDENTICAL pattern string is interpolated into the DuckDB twin below
+_MOJI_RE = "Ã[" + chr(0x80) + "-" + chr(0xBF) + "]"
 
 
 def corpus_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    mojibake = F.col("text").rlike(_MOJI_RE) | F.col("text").contains("â€")
     damaged = (
         F.col("text").contains("�")
-        | F.col("text").contains("Ã")
-        | F.col("text").contains("â€")
+        | mojibake
         | (F.length(F.regexp_replace("text", _CTRL_RE, "")) < F.length("text"))
     )
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("text").contains("�").cast("long")).alias("n_replacement"),
-        F.sum(
-            (
-                F.col("text").contains("Ã") | F.col("text").contains("â€")
-            ).cast("long")
-        ).alias("n_mojibake"),
+        F.sum(mojibake.cast("long")).alias("n_mojibake"),
         F.sum(
             (
                 F.length(F.regexp_replace("text", _CTRL_RE, ""))
@@ -1810,7 +1813,7 @@ ENCODING_AUDIT_SQL = f"""
 WITH flags AS (
   SELECT source,
     CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS f_repl,
-    CASE WHEN contains(text, 'Ã') OR contains(text, 'â€')
+    CASE WHEN regexp_matches(text, '{_MOJI_RE}') OR contains(text, 'â€')
       THEN 1 ELSE 0 END AS f_moji,
     CASE WHEN length(regexp_replace(text, '{_CTRL_RE}', '', 'g'))
            < length(text) THEN 1 ELSE 0 END AS f_ctrl

@@ -3711,10 +3711,9 @@ register_local(
 # shape: 1-row query side broadcast, one linear scan, mismatch fold
 # JVM-side inside codegen, TakeOrderedAndProject for top-k — at 100 TB a
 # production deployment additionally packs the 64 signs into one BIGINT
-# word per vector and XOR+bit_count's words (same distances; packing is a
-# storage/bandwidth optimization, not a semantic one — bit 63 of a packed
-# signed word needs unsigned handling that is NOT portable across engines,
-# which is why the graded form compares signs directly).
+# word per vector and XOR+bit_count's words: that packed form is
+# ann_hamming_packed below (local-only, covered-by this query), which
+# cross-checks its word distances against these unpacked ones row-by-row.
 # ---------------------------------------------------------------------------
 def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -3764,5 +3763,111 @@ register_local(
         ANN_HAMMING_SQL,
         ("SIM12",),
         doc="1-bit sign-quantized Hamming top-k (Charikar sign-LSH distances)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_hamming_packed — the production storage form of ann_hamming_topk
+# (VERDICT r6 #6): the 64 sign bits are packed into ONE BIGINT word per
+# vector and the distance is bit_count(word XOR query_word) — a 64x
+# narrower scan than the double array (8 bytes/vector vs 512) with
+# identical distances, which the query PROVES by exporting the unpacked
+# zip_with distance alongside and an agree flag per row.
+#
+# Bit-63 portability: both engines compute XOR and bit_count identically
+# on negative two's-complement BIGINTs (probed: bit_count(-1)=64,
+# bit_count(min_long)=1, xor(min_long,1)=min_long+1 on Spark AND DuckDB).
+# What is NOT portable is CONSTRUCTING bit 63 via a shift — DuckDB raises
+# OutOfRange on 1<<63 while Spark wraps silently — so the packer never
+# shifts: bit i < 63 enters as the literal weight 2^i and bit 63 enters
+# as the min-long literal -2^63 (the two's-complement value of a word
+# with only bit 63 set), summed branch-free. The lower-bit partial sum is
+# <= 2^63-1 and adding min-long stays in range, so neither engine can
+# overflow. Dims beyond 64 would chunk into ceil(dim/64) words with the
+# same weight trick per word; the embeddings table is dim-64, one word.
+#
+# Local-only, tiered covered-by ann_hamming_topk: same capability, the
+# packed encoding is a storage/bandwidth optimization, not new semantics.
+# ---------------------------------------------------------------------------
+_HAM_MINLONG = -(2**63)
+_HAM_WEIGHTS = [2**i for i in range(63)] + [_HAM_MINLONG]
+
+
+def ann_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    w = F.array(*[F.lit(x).cast("long") for x in _HAM_WEIGHTS])
+    pack = F.aggregate(
+        F.zip_with(v, w, lambda x, wt: F.when(x > 0, wt).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    base = emb.select("vec_id", v.alias("v"), pack.alias("p"))
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("p").alias("qp")
+    )
+    unpacked = F.size(
+        F.filter(
+            F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x > 0) != (y > 0)),
+            lambda t: t,
+        )
+    )
+    return (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr("bit_count(p ^ qp)").cast("bigint").alias("hamming"),
+            unpacked.cast("bigint").alias("hamming_unpacked"),
+        )
+        .withColumn(
+            "agree",
+            (F.col("hamming") == F.col("hamming_unpacked")).cast("bigint"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(ANN_K)
+    )
+
+
+_HAM_WEIGHTS_SQL = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in _HAM_WEIGHTS) + "]"
+
+ANN_HAMMING_PACKED_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, v,
+    CAST(list_sum(list_transform(list_zip(v, {_HAM_WEIGHTS_SQL}),
+         pr -> CASE WHEN pr[1] > 0 THEN pr[2] ELSE CAST(0 AS BIGINT) END))
+      AS BIGINT) AS p
+  FROM e
+),
+q AS (SELECT v AS qv, p AS qp FROM p WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(bit_count(xor(p, qp)) AS BIGINT) AS hamming,
+  CAST(len(list_filter(list_zip(v, qv),
+                       z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT)
+    AS hamming_unpacked,
+  CAST(CASE WHEN bit_count(xor(p, qp)) =
+                 len(list_filter(list_zip(v, qv),
+                                 z -> (z[1] > 0) <> (z[2] > 0)))
+       THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM p, q
+WHERE vec_id <> 0
+ORDER BY hamming, vec_id
+LIMIT {ANN_K}
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_hamming_packed",
+        ann_hamming_packed,
+        ANN_HAMMING_PACKED_SQL,
+        ("SIM13",),
+        doc="BIGINT-packed XOR+bit_count Hamming top-k, cross-checked vs unpacked",
     )
 )

@@ -221,9 +221,15 @@ register(
 # asymmetric failure. Widths (DuckDB strict: mul w1+w2 ≤ 38, sub
 # max(w)+1 ≤ 38): cum → DECIMAL(19,0), totals → DECIMAL(18,0), products
 # → DECIMAL(37,0), so the max-selection is exact until a window exceeds
-# ~1e18 rows. Only the exported ks_num BIGINT cell itself can still
-# overflow (needs D·t_ref·t_cur > 2^63) — there Spark nulls the cell and
-# DuckDB raises, both loud; ks_stat stays exact-selection-correct.
+# ~1e18 rows. Only the exported ks_num BIGINT convenience cell can still
+# overflow (needs D·t_ref·t_cur > 2^63, i.e. two ≳3e9-row windows with D
+# near 1) — and there the engines diverge ASYMMETRICALLY, the same shape
+# this fix addresses one level down: non-ANSI Spark's decimal→bigint cast
+# silently yields NULL (a value, not an error) while DuckDB raises. At
+# that scale the right move is exporting the cell as a canonical string
+# like q39_decimal_money; kept BIGINT here because the max-selection
+# beneath it is already exact and the boundary is ~9 orders of magnitude
+# past any real monitoring window. ks_stat stays exact-selection-correct.
 #
 # Scale note: the running ECDF needs an ORDERED cumulative sum. Running
 # it over raw distinct prices would put an unbounded single-partition

@@ -70,21 +70,19 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-6 window (VERDICT r5 "Next round" #1-#3):
+# Round-7 window (VERDICT r6 "Next round" #1 + ADVICE r6 medium item):
 # - 12 bench headliners: every bench.py-timed query stays driver-graded;
-# - 1 re-grade: q39_decimal_money, r5's only red cell — the decimal
-#   aggregate now crosses the comparator as a canonical string (plans/
-#   parity.py), needs a green row;
-# - 37 first-time rotations: the whole round-5 second wave (winnowing, PQ
-#   ANN + recall, manual HLL, KS/PSI drift, key skew, CDC apply, OLS,
-#   triangles, bloom contamination, split leakage, EWMA/OHLC/streaks/
-#   bounce/retention-bitmap/autocorr/dwell/seasonal-naive/mutual-info,
-#   q42-q47, Zipf, lang-confusion, dup-rate-by-source, stream dedup) plus
-#   seven more never-graded distinct capabilities (PMI collocations,
-#   audience overlap, token rebalance, windowed funnel, Markov transitions,
-#   Benford QC, containment dedup).
-# The r4/r5 keepers (twice green) and the r5 first-timers (once green) all
-# park: driver evidence exists, slots go to the never-graded.
+# - 22 queue drains: the entire round-6 GRADE_QUEUE rotates in — after this
+#   round every registry query has >=1 driver CORRECTNESS row and the
+#   rotation ledger is fully converged;
+# - 1 re-grade: events_anomaly_zscore — rewritten in round 6 (BIGINT →
+#   DECIMAL moments, new plan AND new oracle SQL) while parked on its r5
+#   green row, which graded the OLD implementation. The GRADED_HASHES.json
+#   ledger (tools/update_graded_hashes.py + tests/test_rotation.py) now
+#   makes this re-grade-on-rewrite mandatory instead of ad hoc;
+# - 15 evidence-deepeners: once-green parked queries rotate back in so the
+#   long tail accumulates a second independent driver round.
+# The 38 round-6 first-timers park (driver evidence exists).
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -100,46 +98,47 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "dedup_minhash_lsh_pairs",
         "ann_topk_cosine",
         "corpus_shingle_index",
-        # --- re-grade: r5 red cell, export form fixed this round ---
-        "q39_decimal_money",
-        # --- first-time rotations (never driver-graded before r6) ---
-        "events_autocorr",
-        "events_seasonal_naive",
-        "events_dwell_time",
-        "events_ewma",
-        "events_ohlc",
-        "events_activity_streaks",
-        "events_bounce_rate",
-        "events_mutual_info",
-        "events_retention_bitmap",
-        "qc_drift_ks",
-        "qc_drift_psi",
-        "qc_key_skew",
-        "q42_abc_analysis",
-        "q43_elasticity_slope",
-        "q44_lateral_topn",
-        "q45_rank_surface",
-        "q46_recursive_spine",
-        "q47_ols_normal_eq",
-        "corpus_triangles",
-        "corpus_bloom_contamination",
-        "corpus_split_leakage",
-        "corpus_dup_rate_by_source",
-        "text_zipf_slope",
-        "text_lang_confusion",
-        "dedup_winnowing_pairs",
-        "ann_pq_topk",
-        "ann_pq_recall",
-        "sketch_hll_manual",
-        "stream_dedup_counts",
-        "cdc_apply_changes",
-        "text_collocations",
-        "events_audience_overlap",
-        "corpus_token_rebalance",
-        "events_funnel_windowed",
-        "events_markov_transitions",
-        "qc_benford_totalprice",
-        "dedup_containment",
+        # --- re-grade: rewritten r6 while parked on an r5 green row ---
+        "events_anomaly_zscore",
+        # --- queue drains (the whole round-6 GRADE_QUEUE, never graded) ---
+        "ann_hamming_topk",
+        "ann_rrf_fusion",
+        "basket_part_pairs",
+        "corpus_encoding_audit",
+        "corpus_importance_weights",
+        "corpus_label_propagation",
+        "dedup_substring_ngrams",
+        "events_mad_anomaly",
+        "events_new_vs_returning",
+        "events_revenue_concentration",
+        "events_top_paths",
+        "events_wow_change",
+        "multimodal_audio_meta",
+        "multimodal_image_features",
+        "multimodal_image_resize",
+        "sketch_cms_manual",
+        "sketch_quantile_manual",
+        "text_bpe_merge_candidates",
+        "text_bpe_train",
+        "text_char_entropy",
+        "text_lm_score",
+        "text_readability",
+        # --- evidence-deepeners (once-green parked, second driver round) ---
+        "ann_int8_topk",
+        "corpus_pagerank",
+        "corpus_canonical_docs",
+        "embeddings_kmeans",
+        "entity_match_customers",
+        "events_session_native",
+        "layout_zorder_clustering",
+        "q32_window_depth",
+        "q33_variant_props",
+        "q35_market_share",
+        "q36_pipe_syntax",
+        "q40_map_type",
+        "q41_rfm_segments",
+        "text_tfidf_topterms",
+        "text_sentiment",
     }
 )
 
@@ -164,38 +163,48 @@ COVERED_BY: dict[str, str] = {
     # have driver evidence, kept for documentation)
     "ann_ivf_cells": "ann_ivf_topk",
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
+    # packed-BIGINT storage encoding of the SAME sign-quantized distances
+    # the graded query computes unpacked — every exported row carries both
+    # distances and an agree flag, so the coverage is self-evidencing
+    "ann_hamming_packed": "ann_hamming_topk",
 }
 
 # Tier 4 — the must-grade queue: never driver-graded, genuinely distinct
 # capabilities, with the round each rotates into EXPORTED_NAMES. The queue
 # must shrink every round; tests/test_rotation.py fails if a registry query
-# is in no tier. Everything here fits the round-7 window (12 bench + 17
-# queued + re-grades leaves slack for round-6 additions).
+# is in no tier. Round 7 drained the whole round-6 queue (all 22 entries
+# rotated into EXPORTED_NAMES above) — the queue is empty; new queries
+# registered this round must either take an export slot, a COVERED_BY
+# annotation, or a GRADE_QUEUE entry targeting round 8.
 GRADE_QUEUE: dict[str, int] = {
-    # round-6 additions (registered this round, graded next)
-    "sketch_cms_manual": 7,
-    "sketch_quantile_manual": 7,
-    "corpus_encoding_audit": 7,
-    "text_bpe_train": 7,
-    "ann_hamming_topk": 7,
-    "ann_rrf_fusion": 7,
-    "basket_part_pairs": 7,
-    "corpus_importance_weights": 7,
-    "corpus_label_propagation": 7,
-    "dedup_substring_ngrams": 7,
-    "events_mad_anomaly": 7,
-    "events_new_vs_returning": 7,
-    "events_revenue_concentration": 7,
-    "events_top_paths": 7,
-    "events_wow_change": 7,
-    "multimodal_audio_meta": 7,
-    "multimodal_image_features": 7,
-    "multimodal_image_resize": 7,
-    "text_bpe_merge_candidates": 7,
-    "text_char_entropy": 7,
-    "text_lm_score": 7,
-    "text_readability": 7,
+    # round-7 additions (registered this round, graded next)
+    "sketch_kmv_intersection": 8,
 }
+
+
+def spec_hash(spec: QuerySpec) -> str:
+    """Content hash of what a driver grade actually graded: the spec's own
+    plan-builder source plus its oracle SQL.
+
+    Used by the re-grade-on-rewrite policy (ADVICE r6): a parked-green query
+    keeps its driver evidence only while this hash matches the one recorded
+    in ``GRADED_HASHES.json`` at grading time; a rewrite flips the hash and
+    ``tests/test_rotation.py`` forces the query back into the export window.
+    Scope note: the hash covers the registered ``fn`` and ``oracle`` — a
+    rewrite buried in a helper the fn calls is caught only if the fn body or
+    the oracle SQL changes too, which held for every rewrite so far (the
+    r6 zscore rewrite changed both).
+    """
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(spec.fn))
+    except (OSError, TypeError):  # builtins / C-level callables: oracle-only
+        src = f"<unreadable:{getattr(spec.fn, '__qualname__', repr(spec.fn))}>"
+    payload = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
 def _route(spec: QuerySpec) -> QuerySpec:

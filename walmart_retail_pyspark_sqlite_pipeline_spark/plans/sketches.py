@@ -393,24 +393,36 @@ register_local(
 # sketch_cms_manual — Count-Min sketch built FROM SCRATCH out of portable
 # integer expressions (the frequency-estimation companion to
 # sketch_hll_manual's cardinality): d=4 hash rows x w=512 counter columns
-# over the corpus token stream, then point-queried for the top-20
-# true-frequency tokens. Every counter and estimate is an exact integer on
-# both engines, so the driver hash compares bit-identical values — and the
-# CMS one-sided-error invariant (estimate >= true count, overest >= 0) is
-# part of the exported row.
+# over the corpus token stream, with the heavy-hitter probe set derived
+# FROM THE SKETCH ITSELF (VERDICT r6 #3): candidates are the distinct
+# vocabulary, each point-queried against the counters, and the top-20 BY
+# CMS ESTIMATE are exported. The exact count appears only as the
+# error-evaluation column, computed for just those 20 tokens via a
+# broadcast semi-join — no exact full-cardinality frequency aggregate
+# anywhere on the probe-selection path. Every counter and estimate is an
+# exact integer on both engines, so the driver hash compares bit-identical
+# values — and the CMS one-sided-error invariant (estimate >= true count,
+# overest >= 0) is part of the exported row.
 #
 # Scale shape: the update side is an explode + groupBy into AT MOST d·w =
 # 2048 cells — partial aggregation combines map-side, so 1000 executors
 # each ship <= 2048 partial counters regardless of token cardinality (the
-# whole point of CMS vs an exact groupBy(token) at 100 TB). The exact
-# top-20 side is the EVALUATION harness (same role as exact_distinct in
-# sketch_hll_manual), and the probe join is 20x4 rows against the 2048-cell
-# counter table — broadcast territory.
+# whole point of CMS vs an exact groupBy(token) at 100 TB). The candidate
+# pass is a DISTINCT over (token, hash) — map-side-combinable dedup whose
+# state is bounded by VOCABULARY size (sub-linear in corpus at 100 TB:
+# natural-language vocabularies grow ~ Heaps' law), not by corpus rows,
+# and it carries no counts; each candidate then probes d cells of the
+# BROADCAST 2048-cell counter table and the top-k by estimate is a
+# TakeOrderedAndProject. The final exact pass touches only the corpus rows
+# of 20 tokens (broadcast semi-join), purely to export the error column.
 #
 # Hashing: token -> x = poly_hash (31-poly mod 2^31-1, functions/hashing),
 # row r's column = ((a_r*x + b_r) mod P) mod w with the documented minhash
 # affine family — a_r < 2^30 and x < 2^31 keep a_r*x < 2^61, inside int64
 # on both engines.
+#
+# Determinism: top-k ties on cms_est break by token ASC on both engines,
+# so the exported probe set is engine-identical even when estimates tie.
 # ---------------------------------------------------------------------------
 _CMS_W = 512
 _CMS_D = 4
@@ -443,13 +455,12 @@ def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cell.r", "cell.col")
     counters = cells.groupBy("r", "col").agg(F.count("*").alias("cnt"))
 
-    true_t = hx.groupBy("token").agg(
-        F.min("x").alias("x"), F.count("*").alias("true_cnt")
-    )
-    top = true_t.orderBy(F.desc("true_cnt"), "token").limit(_CMS_TOPK)
-    probes = top.select(
+    # candidate pass: vocabulary dedup (no counts), then each candidate
+    # probes its d cells against the broadcast counter table; top-k BY
+    # ESTIMATE is the sketch-native heavy-hitter selection
+    vocab = hx.distinct()
+    cand = vocab.select(
         "token",
-        "true_cnt",
         F.explode(
             F.array(
                 *[
@@ -458,11 +469,22 @@ def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("cell"),
-    ).select("token", "true_cnt", "cell.r", "cell.col")
-    return (
-        probes.join(F.broadcast(counters), ["r", "col"])
-        .groupBy("token", "true_cnt")
+    ).select("token", "cell.r", "cell.col")
+    top = (
+        cand.join(F.broadcast(counters), ["r", "col"])
+        .groupBy("token")
         .agg(F.min("cnt").alias("cms_est"))
+        .orderBy(F.desc("cms_est"), "token")
+        .limit(_CMS_TOPK)
+    )
+    # evaluation-only exact pass: count just the 20 selected tokens
+    exact = (
+        hx.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return (
+        top.join(exact, "token")
         .select(
             "token",
             F.col("true_cnt").cast("bigint").alias("true_cnt"),
@@ -471,7 +493,7 @@ def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("overest"),
         )
-        .orderBy(F.desc("true_cnt"), "token")
+        .orderBy(F.desc("cms_est"), "token")
     )
 
 
@@ -486,8 +508,8 @@ def _cms_sql() -> str:
     cell_union = "\n  UNION ALL ".join(
         f"SELECT {r} AS r, {c} AS col FROM hx" for r, c in enumerate(row_cols)
     )
-    probe_union = "\n  UNION ALL ".join(
-        f"SELECT token, true_cnt, {r} AS r, {c} AS col FROM top"
+    cand_union = "\n  UNION ALL ".join(
+        f"SELECT token, {r} AS r, {c} AS col FROM vocab"
         for r, c in enumerate(row_cols)
     )
     return f"""
@@ -503,26 +525,29 @@ cells AS (
 counters AS (
   SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
 ),
-true_t AS (
-  SELECT token, MIN(x) AS x, COUNT(*) AS true_cnt FROM hx GROUP BY token
+vocab AS (
+  SELECT DISTINCT token, x FROM hx
+),
+cand AS (
+  {cand_union}
 ),
 top AS (
-  SELECT token, x, true_cnt FROM true_t
-  ORDER BY true_cnt DESC, token LIMIT {_CMS_TOPK}
+  SELECT token, MIN(cnt) AS cms_est
+  FROM cand JOIN counters USING (r, col)
+  GROUP BY token
+  ORDER BY cms_est DESC, token LIMIT {_CMS_TOPK}
 ),
-probes AS (
-  {probe_union}
-),
-est AS (
-  SELECT token, true_cnt, MIN(cnt) AS cms_est
-  FROM probes JOIN counters USING (r, col)
-  GROUP BY token, true_cnt
+exact AS (
+  SELECT token, COUNT(*) AS true_cnt FROM hx
+  WHERE token IN (SELECT token FROM top)
+  GROUP BY token
 )
 SELECT token,
   CAST(true_cnt AS BIGINT) AS true_cnt,
   CAST(cms_est AS BIGINT) AS cms_est,
   CAST(cms_est - true_cnt AS BIGINT) AS overest
-FROM est ORDER BY true_cnt DESC, token
+FROM top JOIN exact USING (token)
+ORDER BY cms_est DESC, token
 """
 
 
@@ -708,5 +733,219 @@ register_local(
         SKETCH_QUANTILE_MANUAL_SQL,
         ("SK5",),
         doc="fixed-grid histogram quantiles, engine-identical, exact-eval twin",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_intersection — KMV ("k minimum values" / theta-style) sketches
+# with SET OPERATIONS, the capability the HLL/CMS/histogram trio lacks:
+# estimating |A∩B|, |A∪B| and the Jaccard of two token sets from two
+# k-value summaries (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD'07). HLL unions cleanly
+# but cannot intersect; KMV composes: the k smallest hashes of A∪B are
+# computable from K_A ∪ K_B alone, and the fraction of them present in
+# both sketches estimates the Jaccard — this is how a 100 TB pipeline
+# answers "how much does this new crawl overlap the training set" without
+# ever joining the corpora.
+#
+# Sides here: even vs odd doc_id (two same-distribution half-corpora with
+# genuine token overlap). Per side the sketch is the k=64 smallest
+# DISTINCT poly_hash values; estimators are the classic
+#   |S|    ≈ (k-1)·P / x_(k)          (x_(k) = k-th smallest hash, P = hash domain)
+#   |A∪B|  ≈ (k-1)·P / τ              (τ = k-th smallest of K_A ∪ K_B)
+#   J      ≈ ρ/k,  |A∩B| ≈ ρ/k · est_union   (ρ = |U ∩ K_A ∩ K_B|)
+# all computed with integer DIV on exact BIGINT hash values — engine-
+# identical, no floats anywhere. When a side holds fewer than k distinct
+# values the sketch IS the set and the estimate is declared exact (the
+# standard KMV small-set convention), handled by the same CASE on both
+# engines. The exact distinct/intersection/union columns are the
+# EVALUATION harness (same role as exact_distinct in sketch_hll_manual).
+#
+# Scale shape: the sketch state is k BIGINTs per side regardless of
+# corpus size; candidate generation is a DISTINCT over (side, hash) —
+# vocabulary-bounded like the CMS candidate pass — followed by a
+# per-side top-k (rank <= k window on the deduped hashes). Sketch
+# combination touches <= 2k rows. Nothing downstream of the dedup scales
+# with the corpus.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import hashing, text
+
+    docs = read_table(spark, sf_dir, "documents")
+    hx = (
+        docs.select(
+            (F.col("doc_id") % 2).cast("int").alias("side"),
+            F.explode(text.tokens(F.col("text"))).alias("token"),
+        )
+        .select("side", hashing.poly_hash(F.col("token")).alias("x"))
+        .distinct()
+    )
+    w = Window.partitionBy("side").orderBy("x")
+    ks = hx.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    side_stats = ks.groupBy("side").agg(
+        F.max("x").alias("xk"), F.count("*").alias("kk")
+    )
+    a = side_stats.filter(F.col("side") == 0).select(
+        F.col("xk").alias("xk_a"), F.col("kk").alias("kk_a")
+    )
+    b = side_stats.filter(F.col("side") == 1).select(
+        F.col("xk").alias("xk_b"), F.col("kk").alias("kk_b")
+    )
+    # union sketch: k smallest distinct values of K_A ∪ K_B; rho counts the
+    # union-sketch values present in BOTH side sketches
+    uni = (
+        ks.groupBy("x")
+        .agg(F.count("*").alias("n_sides"))
+        .orderBy("x")
+        .limit(_KMV_K)
+    )
+    u_stats = uni.agg(
+        F.max("x").alias("tau"),
+        F.count("*").alias("ku"),
+        F.sum((F.col("n_sides") == 2).cast("long")).alias("rho"),
+    )
+    # exact evaluation columns (the harness, not the operator under test)
+    tok_sets = hx.groupBy("x").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("side") == 1).cast("int")).alias("in_b"),
+    )
+    exact = tok_sets.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        ).alias("exact_inter"),
+        F.count("*").cast("bigint").alias("exact_union"),
+    )
+    P = hashing.MERSENNE_P
+    K = _KMV_K
+    est = (
+        a.crossJoin(b)
+        .crossJoin(u_stats)
+        .crossJoin(exact)
+        .select(
+            F.lit(K).cast("bigint").alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            "exact_union",
+            F.expr(
+                f"CASE WHEN kk_a < {K} THEN kk_a ELSE ({K} - 1) * CAST({P} AS BIGINT) DIV xk_a END"
+            )
+            .cast("bigint")
+            .alias("est_a"),
+            F.expr(
+                f"CASE WHEN kk_b < {K} THEN kk_b ELSE ({K} - 1) * CAST({P} AS BIGINT) DIV xk_b END"
+            )
+            .cast("bigint")
+            .alias("est_b"),
+            F.expr(
+                f"CASE WHEN ku < {K} THEN ku ELSE ({K} - 1) * CAST({P} AS BIGINT) DIV tau END"
+            )
+            .cast("bigint")
+            .alias("est_union"),
+            F.col("rho").cast("bigint").alias("rho"),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(f"rho * est_union DIV {K}").cast("bigint"),
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr(f"rho * 1000000 DIV {K}").cast("bigint"),
+        )
+        .withColumn(
+            "jaccard_exact_ppm",
+            F.expr("exact_inter * 1000000 DIV exact_union").cast("bigint"),
+        )
+    )
+    return est
+
+
+def _kmv_sql() -> str:
+    from ..functions import hashing, text
+
+    P, K = hashing.MERSENNE_P, _KMV_K
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id % 2 AS INTEGER) AS side,
+         unnest({text.tokens_sql('text')}) AS token
+  FROM documents
+),
+hx AS (
+  SELECT DISTINCT side, {hashing.poly_hash_sql('token')} AS x FROM toks
+),
+ks AS (
+  SELECT side, x FROM (
+    SELECT side, x, ROW_NUMBER() OVER (PARTITION BY side ORDER BY x) AS rn
+    FROM hx
+  ) WHERE rn <= {K}
+),
+side_stats AS (
+  SELECT side, MAX(x) AS xk, COUNT(*) AS kk FROM ks GROUP BY side
+),
+uni AS (
+  SELECT x, COUNT(*) AS n_sides FROM ks GROUP BY x ORDER BY x LIMIT {K}
+),
+u_stats AS (
+  SELECT MAX(x) AS tau, COUNT(*) AS ku,
+         SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS rho
+  FROM uni
+),
+tok_sets AS (
+  SELECT x,
+         MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM hx GROUP BY x
+),
+exact AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+         CAST(SUM(in_b) AS BIGINT) AS exact_b,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter,
+         CAST(COUNT(*) AS BIGINT) AS exact_union
+  FROM tok_sets
+),
+a AS (SELECT xk AS xk_a, kk AS kk_a FROM side_stats WHERE side = 0),
+b AS (SELECT xk AS xk_b, kk AS kk_b FROM side_stats WHERE side = 1),
+est AS (
+  SELECT CAST({K} AS BIGINT) AS k,
+    exact_a, exact_b, exact_inter, exact_union,
+    CAST(CASE WHEN kk_a < {K} THEN kk_a
+         ELSE ({K} - 1) * CAST({P} AS BIGINT) // xk_a END AS BIGINT) AS est_a,
+    CAST(CASE WHEN kk_b < {K} THEN kk_b
+         ELSE ({K} - 1) * CAST({P} AS BIGINT) // xk_b END AS BIGINT) AS est_b,
+    CAST(CASE WHEN ku < {K} THEN ku
+         ELSE ({K} - 1) * CAST({P} AS BIGINT) // tau END AS BIGINT) AS est_union,
+    CAST(rho AS BIGINT) AS rho
+  FROM a, b, u_stats, exact
+)
+SELECT k, exact_a, exact_b, exact_inter, exact_union,
+  est_a, est_b, est_union, rho,
+  CAST(rho * est_union // {K} AS BIGINT) AS est_inter,
+  CAST(rho * 1000000 // {K} AS BIGINT) AS jaccard_est_ppm,
+  CAST(exact_inter * 1000000 // exact_union AS BIGINT) AS jaccard_exact_ppm
+FROM est
+"""
+
+
+SKETCH_KMV_SQL = _kmv_sql()
+
+
+register_local(
+    QuerySpec(
+        "sketch_kmv_intersection",
+        sketch_kmv_intersection,
+        SKETCH_KMV_SQL,
+        ("SK6",),
+        doc="KMV/theta sketches with set ops: union/intersection/Jaccard estimation",
     )
 )
