@@ -153,6 +153,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # r7), packed==unpacked agreement exported in every row
         "SK6",  # KMV set-op sketches: sketch family (SK1/SK3 driver-green)
         # proven; queued for round 8
+        "DD21",  # SemDeDup learned-cluster pruning: blocked-cosine (DD13) +
+        # IVF assignment (SIM2) families proven; queued for round 8
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
         "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)

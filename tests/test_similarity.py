@@ -297,3 +297,39 @@ def test_packed_hamming_agrees_with_unpacked_on_planted_bit63_vectors(spark):
     assert (got[1].hamming, got[2].hamming, got[3].hamming) == (2, 32, 64)
     for r in out:
         assert r.hamming == r.hamming_unpacked and r.agree == 1, r
+
+
+def test_semdedup_prunes_planted_near_duplicates_within_learned_cluster(spark):
+    """Planted geometry: label-0 vectors hug axis 0 with three of them
+    nearly identical; label-1 vectors hug axis 1, all mutually distant.
+    The learned-cluster pass must keep one representative of the planted
+    trio (min vec_id) and prune the other two, and must not prune anything
+    in the spread-out cluster."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_semantic_clusters,
+    )
+
+    def axis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    near = axis(0)
+    near_b = axis(0); near_b[1] = 1e-3
+    near_c = axis(0); near_c[2] = -1e-3
+    far = axis(3)          # same cluster (label 0) but orthogonal: kept
+    rows = [
+        (1, near, 0), (2, near_b, 0), (3, near_c, 0), (4, far, 0),
+        (10, axis(1), 1), (11, axis(5), 1), (12, axis(7), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = {r.cluster: r for r in dedup_semantic_clusters(spark, d).collect()}
+    c0, c1 = out[0], out[1]
+    assert (c0.n_vecs, c0.n_dup_pairs, c0.n_pruned, c0.n_kept) == (4, 3, 2, 2)
+    assert (c1.n_vecs, c1.n_dup_pairs, c1.n_pruned, c1.n_kept) == (3, 0, 0, 3)

@@ -149,3 +149,54 @@ def test_quantile_histogram_error_bounded_by_half_bucket(spark):
             assert r[f"abs_err_q{p}"] <= _QSK_B // 2, (r, p)
             assert r[f"exact_q{p}"] > 0
         assert r.exact_q50 <= r.exact_q90 <= r.exact_q99
+
+
+def test_kmv_small_sets_are_exact_and_estimators_track_planted_overlap(spark):
+    """KMV small-set convention: when a side holds fewer than k distinct
+    hashes the sketch IS the set and every estimate must equal the exact
+    count — a sharp deterministic contract. A second corpus with >k tokens
+    per side checks the estimators land within the KMV error envelope."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        _KMV_K,
+        sketch_kmv_intersection,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            return sketch_kmv_intersection(spark, d).collect()[0]
+
+    # small sets: even docs hold tokens s0..s19, odd docs s10..s29
+    small = [
+        (0, " ".join(f"s{i}" for i in range(20)), "en", "a", 0),
+        (1, " ".join(f"s{i}" for i in range(10, 30)), "en", "a", 0),
+    ]
+    r = run(small)
+    assert (r.exact_a, r.exact_b, r.exact_inter, r.exact_union) == (20, 20, 10, 30)
+    assert (r.est_a, r.est_b, r.est_union) == (20, 20, 30)
+    # rho counts sketch values on both sides; with everything in-sketch
+    # (ku = 30 < k) the ku-denominator estimators are exact too
+    assert r.rho == 10 and r.ku == 30 and r.est_inter == 10
+    assert r.jaccard_est_ppm == 333_333
+    assert r.jaccard_exact_ppm == 333_333
+
+    # big sets: 400 tokens per side, 200 shared -> estimators approximate
+    big = [
+        (0, " ".join(f"t{i}" for i in range(400)), "en", "a", 0),
+        (1, " ".join(f"t{i}" for i in range(200, 600)), "en", "a", 0),
+    ]
+    r = run(big)
+    assert (r.exact_a, r.exact_b, r.exact_inter, r.exact_union) == (
+        400, 400, 200, 600,
+    )
+    # KMV k=64: sigma ~ |S|/sqrt(k-2) ~ 13% rel; assert a generous 3-sigma
+    for est, exact in ((r.est_a, 400), (r.est_b, 400), (r.est_union, 600)):
+        assert abs(est - exact) < 0.4 * exact, (est, exact)
+    assert abs(r.est_inter - 200) < 0.5 * 200 + 40, r.est_inter
+    assert abs(r.jaccard_est_ppm - 333_333) < 200_000, r.jaccard_est_ppm

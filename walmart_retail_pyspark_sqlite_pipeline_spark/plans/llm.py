@@ -3871,3 +3871,113 @@ register_local(
         doc="BIGINT-packed XOR+bit_count Hamming top-k, cross-checked vs unpacked",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters — SemDeDup-shaped semantic deduplication (Abbas et
+# al. 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): cluster the embedding space, then look for near-duplicate
+# pairs ONLY within each cluster and prune all but one representative per
+# duplicate neighborhood. Differs from dedup_embedding_cosine (GIVEN label
+# blocks) in that the blocking here is LEARNED from the data — the
+# nearest-centroid assignment the IVF/kmeans family computes — which is the
+# form that works when no labels exist, i.e. on a raw crawl.
+#
+# Keep rule: within a cluster, a vector is pruned iff some cluster-mate with
+# a SMALLER vec_id is within the cosine threshold — the deterministic
+# min-id representative rule (SemDeDup keeps one doc per ε-neighborhood;
+# min-id is the engine-portable choice of which).
+#
+# Export: per-cluster integers only (members, duplicate pairs, pruned
+# count, kept count) — no float crosses the driver hash; the threshold
+# compare happens on the 6-dp-rounded cosine with the identical rounding
+# on both engines (dedup_embedding_cosine's proven idiom).
+#
+# Scale shape: the centroid table is broadcast (bounded by n_clusters);
+# the pair search is an equi-join on cell — candidate pairs are bounded
+# per-cluster exactly like the label/LSH/IVF blocked variants, never
+# all-pairs. At 100 TB the cluster count scales with the corpus (SemDeDup
+# uses ~100k clusters for billions of docs) keeping per-cluster candidate
+# sets tiny; the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    cent = _mean_centroids(e, "label")
+    ev = (
+        e.join(_assign_nearest(e, cent).select("vec_id", "cell"), "vec_id")
+        .select("cell", "vec_id", "v")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("b.vec_id").alias("pruned_id"),
+            F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+    per_pairs = pairs.groupBy("cell").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("pruned_id").alias("n_pruned"),
+    )
+    return (
+        ev.groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .join(per_pairs, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cluster"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce("n_pruned", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+ev AS (
+  SELECT c.cell, e.vec_id, e.v FROM e JOIN cells c USING (vec_id)
+),
+pairs AS (
+  SELECT a.cell, b.vec_id AS pruned_id,
+         ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
+  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+),
+per_pairs AS (
+  SELECT cell, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT pruned_id) AS n_pruned
+  FROM pairs GROUP BY cell
+)
+SELECT CAST(ev.cell AS BIGINT) AS cluster,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COALESCE(ANY_VALUE(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+  CAST(COALESCE(ANY_VALUE(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+  CAST(COUNT(*) - COALESCE(ANY_VALUE(p.n_pruned), 0) AS BIGINT) AS n_kept
+FROM ev LEFT JOIN per_pairs p ON ev.cell = p.cell
+GROUP BY ev.cell
+ORDER BY cluster
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_semantic_clusters",
+        dedup_semantic_clusters,
+        DEDUP_SEMANTIC_SQL,
+        ("DD21",),
+        doc="SemDeDup: learned-cluster blocking + min-id representative pruning",
+    )
+)

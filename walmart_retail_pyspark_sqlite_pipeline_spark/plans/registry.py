@@ -179,6 +179,7 @@ COVERED_BY: dict[str, str] = {
 GRADE_QUEUE: dict[str, int] = {
     # round-7 additions (registered this round, graded next)
     "sketch_kmv_intersection": 8,
+    "dedup_semantic_clusters": 8,
 }
 
 

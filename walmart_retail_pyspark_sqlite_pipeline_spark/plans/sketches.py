@@ -751,10 +751,19 @@ register_local(
 #
 # Sides here: even vs odd doc_id (two same-distribution half-corpora with
 # genuine token overlap). Per side the sketch is the k=64 smallest
-# DISTINCT poly_hash values; estimators are the classic
+# DISTINCT hash values, where the hash is poly_hash SCRAMBLED through the
+# documented minhash affine permutation — the raw 31-polynomial of a short
+# token (< ~7 chars) never wraps the 2^31-1 modulus, so its low values
+# cluster and the order statistics KMV depends on are badly non-uniform;
+# the affine step (a·x + b mod P with a ≈ 2^30) wraps even x = 1 around
+# the modulus and restores the uniformity the estimator needs (planted
+# short-token test: tests/test_sketches.py). Estimators are the classic
 #   |S|    ≈ (k-1)·P / x_(k)          (x_(k) = k-th smallest hash, P = hash domain)
 #   |A∪B|  ≈ (k-1)·P / τ              (τ = k-th smallest of K_A ∪ K_B)
-#   J      ≈ ρ/k,  |A∩B| ≈ ρ/k · est_union   (ρ = |U ∩ K_A ∩ K_B|)
+#   J      ≈ ρ/k_U,  |A∩B| ≈ ρ/k_U · est_union   (ρ = |U ∩ K_A ∩ K_B|,
+#                     k_U = |U| = min(k, |K_A ∪ K_B|) — using the union
+#                     sketch's ACTUAL size as the denominator makes the
+#                     small-set regime exact, where k would underestimate)
 # all computed with integer DIV on exact BIGINT hash values — engine-
 # identical, no floats anywhere. When a side holds fewer than k distinct
 # values the sketch IS the set and the estimate is declared exact (the
@@ -783,7 +792,12 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 2).cast("int").alias("side"),
             F.explode(text.tokens(F.col("text"))).alias("token"),
         )
-        .select("side", hashing.poly_hash(F.col("token")).alias("x"))
+        .select(
+            "side",
+            hashing.minhash_value(
+                hashing.poly_hash(F.col("token")), hashing.MINHASH_PERMS[0]
+            ).alias("x"),
+        )
         .distinct()
     )
     w = Window.partitionBy("side").orderBy("x")
@@ -852,15 +866,16 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("est_union"),
+            F.col("ku").cast("bigint").alias("ku"),
             F.col("rho").cast("bigint").alias("rho"),
         )
         .withColumn(
             "est_inter",
-            F.expr(f"rho * est_union DIV {K}").cast("bigint"),
+            F.expr("rho * est_union DIV ku").cast("bigint"),
         )
         .withColumn(
             "jaccard_est_ppm",
-            F.expr(f"rho * 1000000 DIV {K}").cast("bigint"),
+            F.expr("rho * 1000000 DIV ku").cast("bigint"),
         )
         .withColumn(
             "jaccard_exact_ppm",
@@ -881,7 +896,9 @@ WITH toks AS (
   FROM documents
 ),
 hx AS (
-  SELECT DISTINCT side, {hashing.poly_hash_sql('token')} AS x FROM toks
+  SELECT DISTINCT side,
+    {hashing.minhash_value_sql(hashing.poly_hash_sql('token'), hashing.MINHASH_PERMS[0])} AS x
+  FROM toks
 ),
 ks AS (
   SELECT side, x FROM (
@@ -925,13 +942,14 @@ est AS (
          ELSE ({K} - 1) * CAST({P} AS BIGINT) // xk_b END AS BIGINT) AS est_b,
     CAST(CASE WHEN ku < {K} THEN ku
          ELSE ({K} - 1) * CAST({P} AS BIGINT) // tau END AS BIGINT) AS est_union,
+    CAST(ku AS BIGINT) AS ku,
     CAST(rho AS BIGINT) AS rho
   FROM a, b, u_stats, exact
 )
 SELECT k, exact_a, exact_b, exact_inter, exact_union,
-  est_a, est_b, est_union, rho,
-  CAST(rho * est_union // {K} AS BIGINT) AS est_inter,
-  CAST(rho * 1000000 // {K} AS BIGINT) AS jaccard_est_ppm,
+  est_a, est_b, est_union, ku, rho,
+  CAST(rho * est_union // ku AS BIGINT) AS est_inter,
+  CAST(rho * 1000000 // ku AS BIGINT) AS jaccard_est_ppm,
   CAST(exact_inter * 1000000 // exact_union AS BIGINT) AS jaccard_exact_ppm
 FROM est
 """
