@@ -155,6 +155,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # proven; queued for round 8
         "DD21",  # SemDeDup learned-cluster pruning: blocked-cosine (DD13) +
         # IVF assignment (SIM2) families proven; queued for round 8
+        "TS24",  # CUSUM drawup change-point: anomaly family (TS6 z-score,
+        # TS8 MAD) + window cumsum proven; queued for round 8
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
         "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)

@@ -180,6 +180,7 @@ GRADE_QUEUE: dict[str, int] = {
     # round-7 additions (registered this round, graded next)
     "sketch_kmv_intersection": 8,
     "dedup_semantic_clusters": 8,
+    "events_cusum_changepoint": 8,
 }
 
 

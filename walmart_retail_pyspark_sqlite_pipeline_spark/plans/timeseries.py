@@ -1700,3 +1700,106 @@ register_local(
         doc="pairwise audience Jaccard between event types (cross-sell matrix)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — sequential level-shift detection via the
+# drawup form of CUSUM: per event type, S_t = Σ (x_s·n − T) (the scaled
+# deviation-from-mean cumsum) and D_t = S_t − min_{s≤t} S_s; a sustained
+# upward level shift accumulates D_t linearly while noise mean-reverts.
+# Completes the anomaly family a monitoring pipeline needs: z-score
+# (pointwise, events_anomaly_zscore), MAD (robust pointwise,
+# events_mad_anomaly), CUSUM (SEQUENTIAL — detects small persistent
+# shifts no pointwise test sees).
+#
+# Exactness: deviations are scaled by n (the day count) so the mean
+# never becomes a float — dev_t = cents_t·n − T is an exact BIGINT, and
+# cumsum/min/drawup stay exact; the shift flag compares drawup against
+# 5·T (i.e. five mean-days of excess, both sides integer). Magnitudes:
+# cents/day·n_days·n_days ≤ ~1e8·3e3·3e3 ≈ 1e15 — 3 orders inside int64.
+#
+# Scale shape: one shuffle to the (type, day) rollup, then per-type
+# ordered windows whose state is VALUE-DOMAIN-BOUNDED (days in the
+# calendar, like qc_drift_ks's price grid), never row-count-bounded —
+# the partition-per-type window is the same shape at 100 TB.
+# ---------------------------------------------------------------------------
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("t_sum"), F.count("*").alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "dev", F.col("cents") * F.col("n_days") - F.col("t_sum")
+    )
+    return (
+        dev.withColumn("cusum_scaled", F.sum("dev").over(w))
+        .withColumn("run_min", F.min("cusum_scaled").over(w))
+        .select(
+            "event_type",
+            "day",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            (F.col("cusum_scaled") - F.col("run_min"))
+            .cast("bigint")
+            .alias("drawup_scaled"),
+            (
+                (F.col("cusum_scaled") - F.col("run_min"))
+                > F.lit(5) * F.col("t_sum")
+            ).alias("is_shift"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(cents) AS t_sum, COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT daily.event_type, day, cents,
+         cents * n_days - t_sum AS dev, t_sum
+  FROM daily JOIN tot USING (event_type)
+),
+cs AS (
+  SELECT event_type, day, cents, t_sum,
+    SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+  FROM dev
+)
+SELECT event_type, day,
+  CAST(cents AS BIGINT) AS cents,
+  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+  CAST(cusum_scaled - MIN(cusum_scaled) OVER (PARTITION BY event_type
+    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS drawup_scaled,
+  (cusum_scaled - MIN(cusum_scaled) OVER (PARTITION BY event_type
+    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    > 5 * t_sum AS is_shift
+FROM cs
+ORDER BY event_type, day
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_cusum_changepoint",
+        events_cusum_changepoint,
+        CUSUM_SQL,
+        ("TS24",),
+        doc="CUSUM drawup change-point detection (sequential level-shift test)",
+    )
+)
