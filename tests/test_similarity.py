@@ -333,3 +333,38 @@ def test_semdedup_prunes_planted_near_duplicates_within_learned_cluster(spark):
     c0, c1 = out[0], out[1]
     assert (c0.n_vecs, c0.n_dup_pairs, c0.n_pruned, c0.n_kept) == (4, 3, 2, 2)
     assert (c1.n_vecs, c1.n_dup_pairs, c1.n_pruned, c1.n_kept) == (3, 0, 0, 3)
+
+
+def test_mips_ranks_by_inner_product_and_reduction_agrees(spark):
+    """Planted magnitudes where cosine and inner-product DISAGREE: a long
+    vector with moderate angle must out-rank a short well-aligned one by
+    dot while cosine would invert them — and the augmented-vector
+    reduction must reproduce the dot ranking exactly (agree=true rows)."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_mips_topk,
+    )
+
+    def vec(vals):
+        v = [0.0] * 64
+        for i, x in enumerate(vals):
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec([1.0]), 0),              # query along axis 0
+        (1, vec([0.9, 0.1]), 0),         # short, nearly parallel: dot 0.9
+        (2, vec([5.0, -3.0]), 0),        # long, ~31 deg off: dot 5.0
+        (3, vec([0.0, 1.0]), 0),         # orthogonal: dot 0
+        (4, vec([2.0, 0.5]), 0),         # dot 2.0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = ann_mips_topk(spark, d).collect()
+    assert [r.vec_id for r in out[:3]] == [2, 4, 1]  # by dot, NOT cosine
+    assert all(r.agree for r in out), out
+    assert [r.rk_dot for r in out] == [r.rk_mips for r in out]

@@ -5,7 +5,7 @@ order-insensitive values (exact, with a float-approx fallback diagnostic).
 Checks every exported registry query plus the local-only registry (strict
 sub-plans / alternate surfaces the driver doesn't grade).
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--plain] [--tz ZONE] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -151,6 +151,16 @@ def main():
     # condition reproducible locally.
     plain = "--plain" in args
     args = [a for a in args if a != "--plain"]
+    # --tz ZONE: additionally pin spark.sql.session.timeZone (e.g.
+    # Asia/Tokyo, America/New_York) — the driver may run in ANY system
+    # timezone, and epoch/date extraction that silently depends on the
+    # session zone is a class of bug only a non-UTC drive exposes (two
+    # were found this way; see .claude/skills/verify/SKILL.md gotchas).
+    tz = ""
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -172,6 +182,8 @@ def main():
         from walmart_retail_pyspark_sqlite_pipeline_spark.session import get_spark
 
         spark = get_spark("oracle-check")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_skip = 0

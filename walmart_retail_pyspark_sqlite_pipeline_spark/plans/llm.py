@@ -3981,3 +3981,140 @@ register_local(
         doc="SemDeDup: learned-cluster blocking + min-id representative pruning",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_mips_topk — maximum-inner-product search (MIPS), the retrieval mode
+# where vector MAGNITUDE carries signal (recommender scores, frequency- or
+# popularity-weighted embeddings) so cosine ANN ranks WRONG. The query
+# exports the exact inner-product top-k AND proves the classic
+# MIPS→cosine reduction (Neyshabur & Srebro 2015; Shrivastava & Li 2014)
+# in the same row: each vector is literally augmented to
+#   x' = [x/M ; sqrt(max(0, 1 − ‖x‖²/M²))],  q' = [q ; 0]   (M = max ‖x‖)
+# and run through the SAME generic cosine used everywhere else; because
+# ‖x'‖ = 1 for every x, cos(x', q') ∝ dot(x, q) and the two rankings must
+# coincide — the exported rk_dot/rk_mips/agree columns are that proof.
+# This is what lets a 100 TB deployment reuse its cosine-LSH/IVF
+# infrastructure for inner-product retrieval: transform once at ingest,
+# search with the unmodified cosine index.
+#
+# The sqrt argument is clamped at 0: for the max-norm vector 1 − s can
+# round to −ε in floating point, and both engines apply the identical
+# GREATEST(0, ·) guard. Ranks come from row_number over the 6-dp-rounded
+# scores on the LIMITed top-k only (10 rows — never a corpus-wide window);
+# candidate selection itself is orderBy+limit = TakeOrderedAndProject,
+# broadcast 1-row query side, one linear scan, same plan family as
+# ann_topk_cosine.
+# ---------------------------------------------------------------------------
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    m = e.agg(
+        F.max(F.sqrt(vectors.dot(F.col("v"), F.col("v")))).alias("m")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    aug = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vectors.dot(F.col("v"), F.col("qv")), 6).alias("dot"),
+            F.concat(
+                F.transform(F.col("v"), lambda x: x / F.col("m")),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.lit(1.0)
+                            - vectors.dot(F.col("v"), F.col("v"))
+                            / (F.col("m") * F.col("m")),
+                        )
+                    )
+                ),
+            ).alias("va"),
+            F.concat(F.col("qv"), F.array(F.lit(0.0))).alias("qa"),
+        )
+        .select(
+            "vec_id",
+            "dot",
+            F.round(vectors.cosine(F.col("va"), F.col("qa")), 6).alias("mips_cos"),
+        )
+    )
+    topd = (
+        aug.orderBy(F.desc("dot"), "vec_id")
+        .limit(ANN_K)
+        .withColumn(
+            "rk_dot",
+            F.row_number().over(Window.orderBy(F.desc("dot"), "vec_id")),
+        )
+    )
+    topm = (
+        aug.orderBy(F.desc("mips_cos"), "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.col("mips_cos").alias("mc"))
+        .withColumn(
+            "rk_mips",
+            F.row_number().over(Window.orderBy(F.desc("mc"), "vec_id")),
+        )
+        .select("vec_id", "rk_mips")
+    )
+    return (
+        topd.join(topm, "vec_id")
+        .select(
+            "vec_id",
+            "dot",
+            "mips_cos",
+            F.col("rk_dot").cast("bigint").alias("rk_dot"),
+            F.col("rk_mips").cast("bigint").alias("rk_mips"),
+            (F.col("rk_dot") == F.col("rk_mips")).alias("agree"),
+        )
+        .orderBy("rk_dot")
+    )
+
+
+ANN_MIPS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT MAX(sqrt(list_dot_product(v, v))) AS m FROM e),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+aug AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(v, qv), 6) AS dot,
+    ROUND({vectors.cosine_sql(
+        "list_append(list_transform(v, x -> x / m), "
+        "sqrt(greatest(CAST(0.0 AS DOUBLE), "
+        "1.0 - list_dot_product(v, v) / (m * m))))",
+        "list_append(qv, CAST(0.0 AS DOUBLE))",
+    )}, 6) AS mips_cos
+  FROM e, m, q WHERE vec_id <> 0
+),
+topd AS (
+  SELECT vec_id, dot, mips_cos,
+    ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rk_dot
+  FROM (SELECT * FROM aug ORDER BY dot DESC, vec_id LIMIT {ANN_K})
+),
+topm AS (
+  SELECT vec_id,
+    ROW_NUMBER() OVER (ORDER BY mips_cos DESC, vec_id) AS rk_mips
+  FROM (SELECT * FROM aug ORDER BY mips_cos DESC, vec_id LIMIT {ANN_K})
+)
+SELECT vec_id, dot, mips_cos,
+  CAST(rk_dot AS BIGINT) AS rk_dot,
+  CAST(rk_mips AS BIGINT) AS rk_mips,
+  rk_dot = rk_mips AS agree
+FROM topd JOIN topm USING (vec_id)
+ORDER BY rk_dot
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_mips_topk",
+        ann_mips_topk,
+        ANN_MIPS_SQL,
+        ("SIM14",),
+        doc="inner-product top-k with the MIPS-to-cosine reduction proven per row",
+    )
+)

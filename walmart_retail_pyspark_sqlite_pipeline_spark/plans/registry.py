@@ -181,6 +181,7 @@ GRADE_QUEUE: dict[str, int] = {
     "sketch_kmv_intersection": 8,
     "dedup_semantic_clusters": 8,
     "events_cusum_changepoint": 8,
+    "ann_mips_topk": 8,
 }
 
 
