@@ -186,3 +186,92 @@ def test_constraint_counts_match_python(spark, rows):
     assert rep.violations["accepted_values(status)"] == sum(
         s not in ("ok", "bad") for _, s in rows
     )
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    signs=st.lists(
+        st.lists(st.sampled_from([-1.0, 1.0, 2.5, -0.5]), min_size=64, max_size=64),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_packed_hamming_matches_python_sign_model(spark, signs):
+    """ann_hamming_packed vs a pure-Python model: for arbitrary sign
+    patterns (including bit 63 both ways), the packed XOR+bit_count
+    distance, the unpacked zip_with distance, and the Python mismatch
+    count must all agree, and the top-k order must follow (distance,
+    vec_id)."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ANN_K,
+        ann_hamming_packed,
+    )
+
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(signs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = ann_hamming_packed(spark, d).collect()
+
+    q = signs[0]
+    model = {
+        i: sum((x > 0) != (y > 0) for x, y in zip(v, q))
+        for i, v in enumerate(signs)
+        if i != 0
+    }
+    want = sorted(model.items(), key=lambda t: (t[1], t[0]))[:ANN_K]
+    assert [(r.vec_id, r.hamming) for r in out] == want
+    for r in out:
+        assert r.hamming == r.hamming_unpacked and r.agree == 1, r
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    data=st.data(),
+)
+def test_kmv_exact_columns_and_small_set_exactness(spark, data):
+    """KMV invariants over generated corpora: the exact evaluation columns
+    must satisfy set algebra (inter <= min, union = a + b - inter), the
+    sketch sizes are capped by k, and whenever the union vocabulary fits
+    inside the sketch every estimator equals its exact value."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        _KMV_K,
+        sketch_kmv_intersection,
+    )
+
+    vocab = [f"w{i}" for i in range(40)]  # < k so the small-set path is hit
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        words = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=30)
+        )
+        docs.append((i, " ".join(words), "en", "s", 0))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = sketch_kmv_intersection(spark, d).collect()
+
+    # a side may be empty (all docs even or all odd) -> no output row is
+    # acceptable only if one side is missing; otherwise exactly one row
+    sides = {i % 2 for i in range(n_docs)}
+    if len(sides) < 2:
+        assert rows == []
+        return
+    r = rows[0]
+    assert r.exact_inter <= min(r.exact_a, r.exact_b)
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_inter
+    assert r.rho <= r.ku <= _KMV_K
+    if r.exact_union <= _KMV_K:  # everything fits in the sketches: exact
+        assert (r.est_a, r.est_b, r.est_union, r.est_inter) == (
+            r.exact_a, r.exact_b, r.exact_union, r.exact_inter,
+        )
+        assert r.jaccard_est_ppm == r.jaccard_exact_ppm
