@@ -124,7 +124,12 @@ def test_parked_queries_unchanged_since_their_driver_grade():
         if name not in green:
             continue  # untiered — the partition test reports it
         if name not in ledger:
-            problems.append(f"{name}: parked-green but not in GRADED_HASHES.json")
+            problems.append(
+                f"{name}: parked-green but not in GRADED_HASHES.json — run "
+                "tools/update_graded_hashes.py at round start (BEFORE editing "
+                "any query) so the new green rows are stamped with the source "
+                "the driver graded"
+            )
         elif spec_hash(spec) != ledger[name]["hash"]:
             problems.append(
                 f"{name}: source/oracle rewritten since its round-"
