@@ -137,3 +137,42 @@ def test_parked_queries_unchanged_since_their_driver_grade():
                 "EXPORTED_NAMES or GRADE_QUEUE for a re-grade"
             )
     assert problems == [], "\n".join(problems)
+
+
+def test_ledger_stamping_rules():
+    """Unit test of the GRADED_HASHES stamping logic (pure function):
+    latest-round greens restamp, older known entries persist, older
+    unknown parked queries seed with a flag, older unknown EXPORTED
+    queries stay absent (the events_anomaly_zscore falsification case),
+    and de-registered queries drop."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "update_graded_hashes", REPO / "tools" / "update_graded_hashes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    greens = {
+        "fresh": 7,          # green this round -> restamp
+        "stable": 5,         # old green, already in ledger -> keep old hash
+        "seedme": 4,         # old green, parked, never stamped -> seed
+        "rewritten": 5,      # old green, EXPORTED for re-grade -> no entry
+        "gone": 3,           # de-registered -> dropped
+    }
+    current = {
+        "fresh": "H_fresh_now",
+        "stable": "H_stable_now",
+        "seedme": "H_seed_now",
+        "rewritten": "H_rw_now",
+        # "gone" absent: not registered
+    }
+    old = {"stable": {"hash": "H_stable_graded", "round": 5}}
+    out = mod.build_entries(
+        greens, 7, current, frozenset({"rewritten"}), old
+    )
+    assert out == {
+        "fresh": {"hash": "H_fresh_now", "round": 7},
+        "stable": {"hash": "H_stable_graded", "round": 5},
+        "seedme": {"hash": "H_seed_now", "round": 4, "seeded_at_round": 8},
+    }

@@ -55,6 +55,40 @@ def _green(row: dict) -> bool:
     )
 
 
+def build_entries(
+    greens: dict[str, int],
+    latest_round: int,
+    current_hashes: dict[str, str],
+    exported: frozenset[str] | set[str],
+    old: dict[str, dict],
+) -> dict[str, dict]:
+    """Pure stamping rules (unit-tested in tests/test_rotation.py):
+
+    - green in the LATEST round  -> (re)stamp with the current hash;
+    - green only EARLIER, known  -> keep the old entry untouched;
+    - green only EARLIER, new, PARKED -> seed with the current hash,
+      flagged with seeded_at_round;
+    - green only EARLIER, new, EXPORTED -> no entry (about to be
+      re-graded; seeding a possibly-rewritten source would lie);
+    - not registered anymore     -> dropped (absent from current_hashes).
+    """
+    entries: dict[str, dict] = {}
+    for name, last_green in sorted(greens.items()):
+        if name not in current_hashes:
+            continue  # de-registered query: drop
+        if last_green == latest_round:
+            entries[name] = {"hash": current_hashes[name], "round": last_green}
+        elif name in old:
+            entries[name] = old[name]
+        elif name not in exported:
+            entries[name] = {
+                "hash": current_hashes[name],
+                "round": last_green,
+                "seeded_at_round": latest_round + 1,
+            }
+    return entries
+
+
 def main() -> None:
     files = sorted(
         glob.glob(str(REPO / "CORRECTNESS_r*.json")),
@@ -76,27 +110,13 @@ def main() -> None:
         json.load(open(LEDGER))["entries"] if LEDGER.exists() else {}
     )
 
-    entries: dict[str, dict] = {}
-    for name, last_green in sorted(greens.items()):
-        if name not in specs:
-            continue  # de-registered query: drop
-        if last_green == latest_round:
-            # the driver just graded exactly this source — (re)stamp
-            entries[name] = {"hash": spec_hash(specs[name]), "round": last_green}
-        elif name in old:
-            entries[name] = old[name]  # evidence older than this run: keep as-is
-        elif name not in EXPORTED_NAMES:
-            # seeding a never-stamped PARKED query green only in earlier
-            # rounds: record the current hash and flag the seed round so the
-            # initialization assumption stays visible. Names currently in the
-            # export window are NOT seeded — they are about to be (re)graded,
-            # and seeding one whose source changed since its old green round
-            # (the events_anomaly_zscore case) would falsify the ledger.
-            entries[name] = {
-                "hash": spec_hash(specs[name]),
-                "round": last_green,
-                "seeded_at_round": latest_round + 1,
-            }
+    entries = build_entries(
+        greens,
+        latest_round,
+        {name: spec_hash(s) for name, s in specs.items()},
+        EXPORTED_NAMES,
+        old,
+    )
 
     LEDGER.write_text(
         json.dumps(
