@@ -200,3 +200,81 @@ def test_kmv_small_sets_are_exact_and_estimators_track_planted_overlap(spark):
         assert abs(est - exact) < 0.4 * exact, (est, exact)
     assert abs(r.est_inter - 200) < 0.5 * 200 + 40, r.est_inter
     assert abs(r.jaccard_est_ppm - 333_333) < 200_000, r.jaccard_est_ppm
+
+
+def test_cms_and_kmv_states_are_mergeable_across_shards(spark):
+    """The 100 TB claim for both sketches is that per-executor partial
+    states combine losslessly: CMS counters are sums (shard-wise counter
+    tables added cell-wise must equal the full-corpus counters), and a
+    KMV sketch of a union is computable from the per-shard k-minima alone
+    (k smallest of the union of shard sketches == k smallest of the full
+    hash set). Verified directly on the sf0.001 documents corpus split
+    into two arbitrary shards."""
+    from pyspark.sql import functions as F
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import (
+        hashing,
+        text,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        _CMS_D,
+        _CMS_W,
+        _KMV_K,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    hx = docs.select(
+        (F.col("doc_id") % 3 == 0).alias("shard_a"),
+        F.explode(text.tokens(F.col("text"))).alias("token"),
+    ).select(
+        "shard_a", hashing.poly_hash(F.col("token")).alias("x")
+    )
+
+    def cms_cells(df):
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                (
+                                    F.col("x") * hashing.MINHASH_PERMS[r][0]
+                                    + hashing.MINHASH_PERMS[r][1]
+                                )
+                                % hashing.MERSENNE_P
+                                % _CMS_W
+                            ).alias("col"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        ).select("c.r", "c.col")
+        return {
+            (row.r, row.col): row.cnt
+            for row in cells.groupBy("r", "col")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    full = cms_cells(hx)
+    shard_a = cms_cells(hx.filter("shard_a"))
+    shard_b = cms_cells(hx.filter("NOT shard_a"))
+    merged = dict(shard_a)
+    for k, v in shard_b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full  # CMS merge = cell-wise addition, lossless
+
+    # KMV: k smallest of (k smallest of A) ∪ (k smallest of B) ==
+    # k smallest of A ∪ B
+    distinct = hx.select("shard_a", "x").distinct()
+    def kmins(df):
+        return sorted(r.x for r in df.select("x").distinct().collect())[:_KMV_K]
+    full_k = kmins(distinct)
+    merged_k = sorted(
+        set(kmins(distinct.filter("shard_a")))
+        | set(kmins(distinct.filter("NOT shard_a")))
+    )[:_KMV_K]
+    assert merged_k == full_k
