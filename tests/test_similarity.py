@@ -300,29 +300,34 @@ def test_packed_hamming_agrees_with_unpacked_on_planted_bit63_vectors(spark):
 
 
 def test_semdedup_prunes_planted_near_duplicates_within_learned_cluster(spark):
-    """Planted geometry: label-0 vectors hug axis 0 with three of them
-    nearly identical; label-1 vectors hug axis 1, all mutually distant.
-    The learned-cluster pass must keep one representative of the planted
-    trio (min vec_id) and prune the other two, and must not prune anything
-    in the spread-out cluster."""
+    """Planted geometry with NO usable labels (all label 0): two seed
+    vectors (ids 0 and 1) sit on orthogonal axes; a trio of near-copies of
+    the axis-0 seed must land in its learned cluster and be pruned down to
+    the min-id representative, orthogonal strays must survive, and the
+    axis-1 near-copy prunes against its own cluster — entirely from the
+    vectors themselves."""
     import tempfile
 
     from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
         dedup_semantic_clusters,
     )
 
-    def axis(i, scale=1.0):
+    def axis(i, bump=None):
         v = [0.0] * 64
-        v[i] = scale
+        v[i] = 1.0
+        if bump is not None:
+            v[bump] = 1e-3
         return v
 
-    near = axis(0)
-    near_b = axis(0); near_b[1] = 1e-3
-    near_c = axis(0); near_c[2] = -1e-3
-    far = axis(3)          # same cluster (label 0) but orthogonal: kept
     rows = [
-        (1, near, 0), (2, near_b, 0), (3, near_c, 0), (4, far, 0),
-        (10, axis(1), 1), (11, axis(5), 1), (12, axis(7), 1),
+        (0, axis(0), 0),          # seed A (axis 0)
+        (1, axis(1), 0),          # seed B (axis 1)
+        (20, axis(0, bump=2), 0),  # near-copies of seed A -> pruned
+        (21, axis(0, bump=3), 0),
+        (22, axis(0, bump=4), 0),
+        (23, axis(3), 0),          # orthogonal stray -> kept
+        (30, axis(1, bump=5), 0),  # near-copy of seed B -> pruned
+        (31, axis(5), 0),          # orthogonal stray -> kept
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -331,8 +336,10 @@ def test_semdedup_prunes_planted_near_duplicates_within_learned_cluster(spark):
         df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
         out = {r.cluster: r for r in dedup_semantic_clusters(spark, d).collect()}
     c0, c1 = out[0], out[1]
-    assert (c0.n_vecs, c0.n_dup_pairs, c0.n_pruned, c0.n_kept) == (4, 3, 2, 2)
-    assert (c1.n_vecs, c1.n_dup_pairs, c1.n_pruned, c1.n_kept) == (3, 0, 0, 3)
+    # cluster 0: seed A + its 3 near-copies + the tie-broken strays 23/31
+    assert (c0.n_vecs, c0.n_dup_pairs, c0.n_pruned, c0.n_kept) == (6, 6, 3, 3)
+    # cluster 1: seed B + its near-copy
+    assert (c1.n_vecs, c1.n_dup_pairs, c1.n_pruned, c1.n_kept) == (2, 1, 1, 1)
 
 
 def test_mips_ranks_by_inner_product_and_reduction_agrees(spark):
@@ -368,3 +375,69 @@ def test_mips_ranks_by_inner_product_and_reduction_agrees(spark):
     assert [r.vec_id for r in out[:3]] == [2, 4, 1]  # by dot, NOT cosine
     assert all(r.agree for r in out), out
     assert [r.rk_dot for r in out] == [r.rk_mips for r in out]
+
+
+def test_packed_hamming_storage_form_scans_only_words(spark):
+    """The production deployment stores ONE BIGINT word per vector and
+    never touches the float arrays at query time. Materialize that layout
+    (vec_id, word) to parquet from the real embeddings, run the
+    XOR+bit_count top-k directly on it, and require (a) distances equal to
+    ann_hamming_packed's on the same data and (b) a scan whose ReadSchema
+    carries only the two 8-byte columns — the 64x narrower scan, shown on
+    the actual plan."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        _HAM_WEIGHTS,
+        ann_hamming_packed,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    w = F.array(*[F.lit(x).cast("long") for x in _HAM_WEIGHTS])
+    packed = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                vectors.as_double(F.col("embedding")),
+                w,
+                lambda x, wt: F.when(x > 0, wt).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("word"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        packed.write.mode("overwrite").parquet(f"{d}/packed.parquet")
+        store = spark.read.parquet(f"{d}/packed.parquet")
+        q = store.filter(F.col("vec_id") == 0).select(F.col("word").alias("qw"))
+        scan = (
+            store.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.expr("bit_count(word ^ qw)").cast("bigint").alias("hamming"),
+            )
+            .orderBy("hamming", "vec_id")
+            .limit(10)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        got = [(r.vec_id, r.hamming) for r in scan.collect()]
+
+    want = [
+        (r.vec_id, r.hamming)
+        for r in ann_hamming_packed(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # the store-side scan reads ONLY the two BIGINT columns
+    import re as _re
+
+    read_schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert cols <= {"vec_id", "word"}, rs

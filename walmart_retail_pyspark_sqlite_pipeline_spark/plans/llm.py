@@ -3879,9 +3879,12 @@ register_local(
 # deduplication"): cluster the embedding space, then look for near-duplicate
 # pairs ONLY within each cluster and prune all but one representative per
 # duplicate neighborhood. Differs from dedup_embedding_cosine (GIVEN label
-# blocks) in that the blocking here is LEARNED from the data — the
-# nearest-centroid assignment the IVF/kmeans family computes — which is the
-# form that works when no labels exist, i.e. on a raw crawl.
+# blocks) in that the blocking is LEARNED from the data WITHOUT labels —
+# the form that works on a raw crawl: clustering is one deterministic
+# k-means pass seeded from the data itself (the C lowest-vec_id vectors
+# are the seeds — engine-portable and label-free), then a mean-centroid
+# update and a final reassignment, exactly the Lloyd-step machinery
+# embeddings_kmeans proves but with no label anywhere in the plan.
 #
 # Keep rule: within a cluster, a vector is pruned iff some cluster-mate with
 # a SMALLER vec_id is within the cosine threshold — the deterministic
@@ -3900,12 +3903,21 @@ register_local(
 # uses ~100k clusters for billions of docs) keeping per-cluster candidate
 # sets tiny; the plan shape is unchanged.
 # ---------------------------------------------------------------------------
+_SEMDEDUP_C = 8  # seed count: vectors with vec_id < C seed the clustering
+
+
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # label-free learned clustering: data-vector seeds -> assign ->
+    # mean-centroid update -> final assignment (one Lloyd refinement)
+    seeds = e.filter(F.col("vec_id") < _SEMDEDUP_C).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    cent = _mean_centroids(e, "label")
+    a1 = _assign_nearest(e, seeds).select("vec_id", F.col("cell").alias("c1"))
+    cent = _mean_centroids(
+        e.join(a1, "vec_id").select(F.col("c1").alias("cell"), "v"), "cell"
+    )
     ev = (
         e.join(_assign_nearest(e, cent).select("vec_id", "cell"), "vec_id")
         .select("cell", "vec_id", "v")
@@ -3945,8 +3957,46 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L2_FOLD = """list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+      (acc, x) -> acc + x)"""
+
 DEDUP_SEMANTIC_SQL = f"""
-WITH {_IVF_CELLS_CTE},
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seed AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_C}),
+dist0 AS (
+  SELECT e.vec_id, seed.cell, {_L2_FOLD} AS d2 FROM e, seed
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist0
+  ) WHERE rn = 1
+),
+ex1 AS (
+  SELECT a1.cell, t.d AS d, e.v[t.d + 1] AS x
+  FROM e JOIN a1 USING (vec_id), range(0, 64) t(d)
+),
+centdim AS (
+  SELECT cell, d,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex1 GROUP BY cell, d
+),
+cent AS (
+  SELECT cell, list(c ORDER BY d) AS cv FROM centdim GROUP BY cell
+),
+dist AS (
+  SELECT e.vec_id, cent.cell, {_L2_FOLD} AS d2 FROM e, cent
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
 ev AS (
   SELECT c.cell, e.vec_id, e.v FROM e JOIN cells c USING (vec_id)
 ),
