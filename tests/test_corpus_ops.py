@@ -543,6 +543,10 @@ def test_encoding_audit_flags_planted_damage(spark):
         (1, "perfectly clean english text", "en", "a", 0),
         (2, "broken � decode here", "en", "a", 0),
         (3, "smart quote gone wrong â€™ and Ã© together", "en", "a", 0),
+        # cp1252-channel mojibake of an UPPERCASE accent: É -> C3 89 ->
+        # 'Ã' + U+2030 (outside the Latin-1 continuation range) — the
+        # class the code-review r7 fix added
+        (7, "the CAFÃ‰ menu and Ãœber rides", "en", "a", 0),
         (4, "binary\x07junk\x01inside", "en", "a", 0),
         (5, "tab\tand\nnewline are fine", "en", "b", 0),
         # legitimate uppercase accents: 'Ã' followed by ASCII letters must
@@ -556,8 +560,8 @@ def test_encoding_audit_flags_planted_damage(spark):
         )
     }
     a = out["a"]
-    assert (a.n_docs, a.n_replacement, a.n_mojibake, a.n_control) == (4, 1, 1, 1)
-    assert a.damage_rate == 0.75
+    assert (a.n_docs, a.n_replacement, a.n_mojibake, a.n_control) == (5, 1, 2, 1)
+    assert a.damage_rate == 0.8
     b = out["b"]
     assert (b.n_docs, b.n_replacement, b.n_mojibake, b.n_control) == (2, 0, 0, 0)
     assert b.damage_rate == 0.0

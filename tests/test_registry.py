@@ -72,10 +72,11 @@ def test_rotation_never_orphans_a_capability_tag():
     CORRECTNESS_r*.json history the driver wrote — or (c) in the short
     documented exception list below. This is the invariant each round's
     export rotation has to preserve."""
-    import glob
-    import json
     from pathlib import Path
 
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.evidence import (
+        green_rounds,
+    )
     from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
         LOCAL_REGISTRY,
         all_specs,
@@ -85,17 +86,11 @@ def test_rotation_never_orphans_a_capability_tag():
     exported_tags = {t for s in REGISTRY.values() for t in s.tags}
 
     repo = Path(__file__).resolve().parent.parent
-    greens: dict[str, int] = {}
-    for p in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        with open(p) as f:
-            rows = json.load(f)
-        for name, v in rows.items():
-            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
-                greens[name] = greens.get(name, 0) + 1
+    greens = green_rounds(repo)
     parked_proven_tags = {
         t
         for s in LOCAL_REGISTRY.values()
-        if greens.get(s.name, 0) >= 1
+        if len(greens.get(s.name, [])) >= 1
         for t in s.tags
     }
 

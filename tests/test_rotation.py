@@ -17,10 +17,12 @@ that keeps the grading backlog shrinking instead of silently growing.
 
 from __future__ import annotations
 
-import glob
 import json
 from pathlib import Path
 
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.evidence import (
+    green_rounds,
+)
 from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
     COVERED_BY,
     EXPORTED_NAMES,
@@ -34,16 +36,7 @@ REPO = Path(__file__).resolve().parents[1]
 
 def _driver_green_names() -> set[str]:
     """Names with >=1 fully-green driver row across all recorded rounds."""
-    green: set[str] = set()
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
-        for name, row in json.load(open(f)).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
-    return green
+    return set(green_rounds(REPO))
 
 
 def test_every_registry_query_has_exactly_one_tier():

@@ -159,6 +159,14 @@ def main():
     tz = ""
     if "--tz" in args:
         i = args.index("--tz")
+        # a missing operand, or one that is actually the sf_dir positional
+        # (an existing directory), means the user forgot the zone — fail
+        # with usage instead of an IndexError / silently consuming sf_dir
+        if i + 1 >= len(args) or os.path.isdir(args[i + 1]):
+            raise SystemExit(
+                "--tz requires a zone argument like Asia/Tokyo "
+                "(usage: oracle_check.py [--plain] [--tz ZONE] [sf_dir] [query ...])"
+            )
         tz = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"

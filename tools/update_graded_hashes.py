@@ -31,15 +31,17 @@ is deliberately absent until its round-7 re-grade lands.
 
 from __future__ import annotations
 
-import glob
 import json
-import re
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.evidence import (  # noqa: E402
+    green_rounds,
+    latest_round,
+)
 from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (  # noqa: E402
     EXPORTED_NAMES,
     all_specs,
@@ -47,12 +49,6 @@ from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (  # noq
 )
 
 LEDGER = REPO / "GRADED_HASHES.json"
-
-
-def _green(row: dict) -> bool:
-    return bool(
-        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
-    )
 
 
 def build_entries(
@@ -90,20 +86,10 @@ def build_entries(
 
 
 def main() -> None:
-    files = sorted(
-        glob.glob(str(REPO / "CORRECTNESS_r*.json")),
-        key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
-    )
-    if not files:
+    latest = latest_round(REPO)
+    if latest is None:
         raise SystemExit("no CORRECTNESS_r*.json found")
-    latest_round = int(re.search(r"_r(\d+)\.json$", files[-1]).group(1))
-
-    greens: dict[str, int] = {}  # name -> latest green round
-    for f in files:
-        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
-        for name, row in json.load(open(f)).items():
-            if _green(row):
-                greens[name] = max(rnd, greens.get(name, 0))
+    greens = {name: max(rounds) for name, rounds in green_rounds(REPO).items()}
 
     specs = all_specs(include_local=True)
     old = (
@@ -112,7 +98,7 @@ def main() -> None:
 
     entries = build_entries(
         greens,
-        latest_round,
+        latest,
         {name: spec_hash(s) for name, s in specs.items()},
         EXPORTED_NAMES,
         old,
@@ -120,13 +106,13 @@ def main() -> None:
 
     LEDGER.write_text(
         json.dumps(
-            {"latest_correctness_round": latest_round, "entries": entries},
+            {"latest_correctness_round": latest, "entries": entries},
             indent=1,
             sort_keys=True,
         )
         + "\n"
     )
-    print(f"wrote {LEDGER}: {len(entries)} entries (latest round {latest_round})")
+    print(f"wrote {LEDGER}: {len(entries)} entries (latest round {latest})")
 
 
 if __name__ == "__main__":

@@ -1771,9 +1771,27 @@ register_local(
 # Planted-damage behavioral test: tests/test_corpus_ops.py.
 # ---------------------------------------------------------------------------
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
-# built with chr() so no raw C1 control characters sit in this source file;
-# the IDENTICAL pattern string is interpolated into the DuckDB twin below
-_MOJI_RE = "Ã[" + chr(0x80) + "-" + chr(0xBF) + "]"
+# The continuation byte of a UTF-8 accented letter re-decoded as LATIN-1
+# lands in U+0080-U+00BF; re-decoded as WINDOWS-1252 (the more common
+# real-world channel, identical to Latin-1 except bytes 0x80-0x9F) it
+# lands on the cp1252 punctuation/letter mappings of 0x80-0x9F (€ ‚ ƒ „ …
+# † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ) — without these the audit
+# missed mojibake'd UPPERCASE accents like "CAFÃ‰" / "Ãœber" (code-review
+# r7). Both alphabets are built with chr()/decode so no raw C1 control
+# characters sit in this source file; the IDENTICAL pattern string is
+# interpolated into the DuckDB twin below.
+_CP1252_EXTRA = "".join(
+    sorted(
+        {
+            c
+            for b in range(0x80, 0xA0)
+            for c in (bytes([b]).decode("cp1252", errors="ignore"),)
+            if c
+        }
+        - {chr(c) for c in range(0x80, 0xC0)}
+    )
+)
+_MOJI_RE = "Ã[" + chr(0x80) + "-" + chr(0xBF) + _CP1252_EXTRA + "]"
 
 
 def corpus_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

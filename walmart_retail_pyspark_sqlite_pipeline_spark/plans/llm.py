@@ -4050,11 +4050,23 @@ register_local(
 #
 # The sqrt argument is clamped at 0: for the max-norm vector 1 − s can
 # round to −ε in floating point, and both engines apply the identical
-# GREATEST(0, ·) guard. Ranks come from row_number over the 6-dp-rounded
-# scores on the LIMITed top-k only (10 rows — never a corpus-wide window);
-# candidate selection itself is orderBy+limit = TakeOrderedAndProject,
-# broadcast 1-row query side, one linear scan, same plan family as
-# ann_topk_cosine.
+# GREATEST(0, ·) guard.
+#
+# Ranking discipline (code-review r7 fix): selection and BOTH rankings use
+# the RAW double scores — rounding scores to 6 dp before ranking could
+# merge adjacent dots into ties that the (value, vec_id) tie-break then
+# ordered differently for the two scores, firing agree=false on a
+# mathematically exact reduction (and, across the LIMIT boundary, making
+# the two top-k SETS diverge so the inner join dropped rows). Raw-double
+# ranking is engine-stable here for the same reason _assign_nearest's raw
+# d2 ranking is: both engines fold identical doubles in identical order
+# (proven by embeddings_kmeans/IVF parity), and IEEE sqrt/divide are
+# correctly rounded. One top-k set is selected (by raw dot,
+# TakeOrderedAndProject); rk_mips re-ranks THE SAME K ROWS by the raw
+# augmented cosine, so the result always has exactly K rows and the
+# agreement columns compare orderings of one set. Only the exported score
+# columns are rounded. Broadcast 1-row query side, one linear scan, same
+# plan family as ann_topk_cosine.
 # ---------------------------------------------------------------------------
 def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -4071,7 +4083,7 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(vectors.dot(F.col("v"), F.col("qv")), 6).alias("dot"),
+            vectors.dot(F.col("v"), F.col("qv")).alias("dot_raw"),
             F.concat(
                 F.transform(F.col("v"), lambda x: x / F.col("m")),
                 F.array(
@@ -4089,34 +4101,24 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            "dot",
-            F.round(vectors.cosine(F.col("va"), F.col("qa")), 6).alias("mips_cos"),
+            "dot_raw",
+            vectors.cosine(F.col("va"), F.col("qa")).alias("mips_raw"),
         )
     )
-    topd = (
-        aug.orderBy(F.desc("dot"), "vec_id")
-        .limit(ANN_K)
-        .withColumn(
+    top = aug.orderBy(F.desc("dot_raw"), "vec_id").limit(ANN_K)
+    return (
+        top.withColumn(
             "rk_dot",
-            F.row_number().over(Window.orderBy(F.desc("dot"), "vec_id")),
+            F.row_number().over(Window.orderBy(F.desc("dot_raw"), "vec_id")),
         )
-    )
-    topm = (
-        aug.orderBy(F.desc("mips_cos"), "vec_id")
-        .limit(ANN_K)
-        .select("vec_id", F.col("mips_cos").alias("mc"))
         .withColumn(
             "rk_mips",
-            F.row_number().over(Window.orderBy(F.desc("mc"), "vec_id")),
+            F.row_number().over(Window.orderBy(F.desc("mips_raw"), "vec_id")),
         )
-        .select("vec_id", "rk_mips")
-    )
-    return (
-        topd.join(topm, "vec_id")
         .select(
             "vec_id",
-            "dot",
-            "mips_cos",
+            F.round("dot_raw", 6).alias("dot"),
+            F.round("mips_raw", 6).alias("mips_cos"),
             F.col("rk_dot").cast("bigint").alias("rk_dot"),
             F.col("rk_mips").cast("bigint").alias("rk_mips"),
             (F.col("rk_dot") == F.col("rk_mips")).alias("agree"),
@@ -4131,30 +4133,32 @@ m AS (SELECT MAX(sqrt(list_dot_product(v, v))) AS m FROM e),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 aug AS (
   SELECT vec_id,
-    ROUND(list_dot_product(v, qv), 6) AS dot,
-    ROUND({vectors.cosine_sql(
+    list_dot_product(v, qv) AS dot_raw,
+    {vectors.cosine_sql(
         "list_append(list_transform(v, x -> x / m), "
         "sqrt(greatest(CAST(0.0 AS DOUBLE), "
         "1.0 - list_dot_product(v, v) / (m * m))))",
         "list_append(qv, CAST(0.0 AS DOUBLE))",
-    )}, 6) AS mips_cos
+    )} AS mips_raw
   FROM e, m, q WHERE vec_id <> 0
 ),
-topd AS (
-  SELECT vec_id, dot, mips_cos,
-    ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rk_dot
-  FROM (SELECT * FROM aug ORDER BY dot DESC, vec_id LIMIT {ANN_K})
+top AS (
+  SELECT vec_id, dot_raw, mips_raw
+  FROM aug ORDER BY dot_raw DESC, vec_id LIMIT {ANN_K}
 ),
-topm AS (
-  SELECT vec_id,
-    ROW_NUMBER() OVER (ORDER BY mips_cos DESC, vec_id) AS rk_mips
-  FROM (SELECT * FROM aug ORDER BY mips_cos DESC, vec_id LIMIT {ANN_K})
+ranked AS (
+  SELECT vec_id, dot_raw, mips_raw,
+    ROW_NUMBER() OVER (ORDER BY dot_raw DESC, vec_id) AS rk_dot,
+    ROW_NUMBER() OVER (ORDER BY mips_raw DESC, vec_id) AS rk_mips
+  FROM top
 )
-SELECT vec_id, dot, mips_cos,
+SELECT vec_id,
+  ROUND(dot_raw, 6) AS dot,
+  ROUND(mips_raw, 6) AS mips_cos,
   CAST(rk_dot AS BIGINT) AS rk_dot,
   CAST(rk_mips AS BIGINT) AS rk_mips,
   rk_dot = rk_mips AS agree
-FROM topd JOIN topm USING (vec_id)
+FROM ranked
 ORDER BY rk_dot
 """
 

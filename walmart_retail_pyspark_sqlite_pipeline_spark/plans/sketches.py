@@ -787,19 +787,16 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hashing, text
 
     docs = read_table(spark, sf_dir, "documents")
-    hx = (
-        docs.select(
-            (F.col("doc_id") % 2).cast("int").alias("side"),
-            F.explode(text.tokens(F.col("text"))).alias("token"),
-        )
-        .select(
-            "side",
-            hashing.minhash_value(
-                hashing.poly_hash(F.col("token")), hashing.MINHASH_PERMS[0]
-            ).alias("x"),
-        )
-        .distinct()
-    )
+    toks = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        F.explode(text.tokens(F.col("text"))).alias("token"),
+    ).distinct()
+    hx = toks.select(
+        "side",
+        hashing.minhash_value(
+            hashing.poly_hash(F.col("token")), hashing.MINHASH_PERMS[0]
+        ).alias("x"),
+    ).distinct()
     w = Window.partitionBy("side").orderBy("x")
     ks = hx.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _KMV_K
@@ -826,8 +823,10 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("ku"),
         F.sum((F.col("n_sides") == 2).cast("long")).alias("rho"),
     )
-    # exact evaluation columns (the harness, not the operator under test)
-    tok_sets = hx.groupBy("x").agg(
+    # exact evaluation columns (the harness, not the operator under test) —
+    # computed over TOKENS, not hashes: a cross-side hash collision must
+    # not corrupt the ground truth the estimators are judged against
+    tok_sets = toks.groupBy("token").agg(
         F.max((F.col("side") == 0).cast("int")).alias("in_a"),
         F.max((F.col("side") == 1).cast("int")).alias("in_b"),
     )
@@ -891,7 +890,7 @@ def _kmv_sql() -> str:
     P, K = hashing.MERSENNE_P, _KMV_K
     return f"""
 WITH toks AS (
-  SELECT CAST(doc_id % 2 AS INTEGER) AS side,
+  SELECT DISTINCT CAST(doc_id % 2 AS INTEGER) AS side,
          unnest({text.tokens_sql('text')}) AS token
   FROM documents
 ),
@@ -918,10 +917,10 @@ u_stats AS (
   FROM uni
 ),
 tok_sets AS (
-  SELECT x,
+  SELECT token,
          MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
          MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
-  FROM hx GROUP BY x
+  FROM toks GROUP BY token
 ),
 exact AS (
   SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
