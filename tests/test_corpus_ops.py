@@ -581,3 +581,43 @@ def test_bpe_train_merge_sequence_on_planted_words(spark):
     )
     got = [(r.step, r.merge_left, r.merge_right, r.pair_count) for r in out]
     assert got == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)], got
+
+
+def test_gopher_rules_ledger_counts_planted_violations(spark):
+    """One doc per rule violation plus one clean doc: each rule row must
+    count exactly its planted offenders, and any_rule must count distinct
+    failing docs (not rule firings)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_gopher_rules,
+    )
+
+    clean = "the quick brown fox jumps over the lazy dog and it runs " * 3
+    rows = [
+        (1, clean, "en", "s", 0),                      # passes everything
+        (2, "the and tiny doc", "en", "s", 0),         # min_words only
+        (3, "the and " + "word " * 90, "en", "s", 0),  # max_words only
+        (4, clean + " supercalifragilisticexpialidocious", "en", "s", 0),
+        # ^ max_word_len only
+        (5, "the and " + "!@#$%^&*()" * 20 + " " + "word " * 24, "en", "s", 0),
+        # ^ symbol_ratio only (26 words incl 2 stopwords, mean len ok)
+        (6, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg "
+            "ff ee dd cc bb aa zz yy xx ww", "en", "s", 0),
+        # ^ mean_word_len (2.0) + stopword_hits (0 stops)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r.rule: r
+        for r in _with_docs(
+            spark, rows, lambda d: corpus_gopher_rules(spark, d).collect()
+        )
+    }
+    assert out["min_words"].n_fail == 1
+    assert out["max_words"].n_fail == 1
+    assert out["max_word_len"].n_fail == 1
+    assert out["symbol_ratio"].n_fail == 1
+    assert out["mean_word_len"].n_fail == 1
+    assert out["stopword_hits"].n_fail == 1
+    assert out["any_rule"].n_fail == 5  # docs 2-6; doc 1 passes
+    assert out["any_rule"].n_docs == 6

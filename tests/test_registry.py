@@ -154,6 +154,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # TS8 MAD) + window cumsum proven; queued for round 8
         "SIM14",  # MIPS inner-product top-k: ANN family (SIM1 driver-green)
         # + in-row reduction proof; queued for round 8
+        "QG1",  # Gopher rule ledger: text-quality (TX2) + constraint-suite
+        # (QC5/QC7) families proven; queued for round 8
         "Q7",   # join-key skew diagnostics: QC family + percentile (TS8) proven
         "REG2",  # multivariate OLS normal equations: exact-moments (REG1) family
         "CDC1",  # MERGE-shaped CDC apply: SCD/lifecycle family (SCD1 driver-green)

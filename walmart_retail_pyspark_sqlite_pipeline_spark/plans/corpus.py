@@ -1860,3 +1860,196 @@ register_local(
         doc="per-source encoding-damage counts (U+FFFD, mojibake, control chars)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_gopher_rules — the Gopher-style quality-rule LEDGER (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", App. A: rule-based text
+# filtering): for each filter rule, how many documents would it remove and
+# at what rate — the planning view a data team reads BEFORE committing a
+# filter to the training mix. Complements text_quality (per-doc component
+# scores) and qc_constraint_suite (the same rule-ledger shape on relational
+# tables): here the rules are the corpus-filter classics — word-count
+# bounds, mean-word-length band, longest-word cap, symbol ratio, stopword
+# requirement — plus an any_rule row for the docs at least one rule kills.
+#
+# Exactness: every metric is integer (token counts, char sums, ppm ratios
+# via the sign-safe DIV idiom); thresholds compare integers, so both
+# engines agree bit-exact. One projection + ONE aggregate row, unpivoted
+# to rule rows: a single corpus pass regardless of rule count (the
+# qc_constraint_suite job-shape argument), trivially the 100 TB shape.
+# ---------------------------------------------------------------------------
+_GR_MIN_WORDS = 25
+_GR_MAX_WORDS = 80
+_GR_MEAN_LO_PPM = 3_000_000   # mean word length >= 3.0 chars
+_GR_MEAN_HI_PPM = 10_000_000  # mean word length <= 10.0 chars
+_GR_MAX_WORD_LEN = 15
+_GR_SYM_PPM = 100_000         # symbol chars <= 10% of all chars
+_GR_MIN_STOPS = 2
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    d = docs.select(
+        F.size(tok).alias("nw"),
+        F.aggregate(
+            F.transform(tok, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("wchars"),
+        F.coalesce(F.array_max(F.transform(tok, F.length)), F.lit(0)).alias(
+            "maxwl"
+        ),
+        F.length("text").alias("nchars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("nsym"),
+        text.stopword_hits(tok, text.QUALITY_STOPWORDS).alias("stops"),
+    )
+    f = d.select(
+        (F.col("nw") < _GR_MIN_WORDS).cast("long").alias("f_min_words"),
+        (F.col("nw") > _GR_MAX_WORDS).cast("long").alias("f_max_words"),
+        (
+            (F.col("nw") == 0)
+            | (F.expr("wchars * 1000000 DIV nw") < _GR_MEAN_LO_PPM)
+            | (F.expr("wchars * 1000000 DIV nw") > _GR_MEAN_HI_PPM)
+        )
+        .cast("long")
+        .alias("f_mean_word_len"),
+        (F.col("maxwl") > _GR_MAX_WORD_LEN).cast("long").alias("f_max_word_len"),
+        (
+            (F.col("nchars") > 0)
+            & (F.expr("nsym * 1000000 DIV nchars") > _GR_SYM_PPM)
+        )
+        .cast("long")
+        .alias("f_symbol_ratio"),
+        (F.col("stops") < _GR_MIN_STOPS).cast("long").alias("f_stopword_hits"),
+    ).withColumn(
+        "f_any_rule",
+        F.greatest(
+            "f_min_words",
+            "f_max_words",
+            "f_mean_word_len",
+            "f_max_word_len",
+            "f_symbol_ratio",
+            "f_stopword_hits",
+        ),
+    )
+    agg = f.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "f_min_words",
+                "f_max_words",
+                "f_mean_word_len",
+                "f_max_word_len",
+                "f_symbol_ratio",
+                "f_stopword_hits",
+                "f_any_rule",
+            )
+        ],
+    )
+    return (
+        agg.selectExpr(
+            "n_docs",
+            "stack(7, "
+            "'min_words', f_min_words, "
+            "'max_words', f_max_words, "
+            "'mean_word_len', f_mean_word_len, "
+            "'max_word_len', f_max_word_len, "
+            "'symbol_ratio', f_symbol_ratio, "
+            "'stopword_hits', f_stopword_hits, "
+            "'any_rule', f_any_rule) AS (rule, n_fail)",
+        )
+        .select(
+            "rule",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.expr(
+                "((2 * n_fail * 1000000 + n_docs) DIV (2 * n_docs))"
+            )
+            .cast("bigint")
+            .alias("fail_ppm"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _gopher_sql() -> str:
+    from ..functions import text
+
+    tok = text.tokens_sql("text")
+    stops = text.stopword_hits_sql("tok", text.QUALITY_STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT len(tok) AS nw,
+    COALESCE(list_sum(list_transform(tok, t -> length(t))), 0) AS wchars,
+    COALESCE(list_max(list_transform(tok, t -> length(t))), 0) AS maxwl,
+    length(text) AS nchars,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+      AS nsym,
+    COALESCE({stops}, 0) AS stops
+  FROM (SELECT text, {tok} AS tok FROM documents)
+),
+f AS (
+  SELECT
+    CASE WHEN nw < {_GR_MIN_WORDS} THEN 1 ELSE 0 END AS f_min_words,
+    CASE WHEN nw > {_GR_MAX_WORDS} THEN 1 ELSE 0 END AS f_max_words,
+    CASE WHEN nw = 0 OR wchars * 1000000 // nw < {_GR_MEAN_LO_PPM}
+           OR wchars * 1000000 // nw > {_GR_MEAN_HI_PPM}
+      THEN 1 ELSE 0 END AS f_mean_word_len,
+    CASE WHEN maxwl > {_GR_MAX_WORD_LEN} THEN 1 ELSE 0 END AS f_max_word_len,
+    CASE WHEN nchars > 0 AND nsym * 1000000 // nchars > {_GR_SYM_PPM}
+      THEN 1 ELSE 0 END AS f_symbol_ratio,
+    CASE WHEN stops < {_GR_MIN_STOPS} THEN 1 ELSE 0 END AS f_stopword_hits
+  FROM d
+),
+f2 AS (
+  SELECT f.*,
+    GREATEST(f_min_words, f_max_words, f_mean_word_len, f_max_word_len,
+             f_symbol_ratio, f_stopword_hits) AS f_any_rule
+  FROM f
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+    SUM(f_min_words) AS f_min_words, SUM(f_max_words) AS f_max_words,
+    SUM(f_mean_word_len) AS f_mean_word_len,
+    SUM(f_max_word_len) AS f_max_word_len,
+    SUM(f_symbol_ratio) AS f_symbol_ratio,
+    SUM(f_stopword_hits) AS f_stopword_hits,
+    SUM(f_any_rule) AS f_any_rule
+  FROM f2
+),
+rules AS (
+  SELECT 'min_words' AS rule, n_docs, f_min_words AS n_fail FROM agg
+  UNION ALL SELECT 'max_words', n_docs, f_max_words FROM agg
+  UNION ALL SELECT 'mean_word_len', n_docs, f_mean_word_len FROM agg
+  UNION ALL SELECT 'max_word_len', n_docs, f_max_word_len FROM agg
+  UNION ALL SELECT 'symbol_ratio', n_docs, f_symbol_ratio FROM agg
+  UNION ALL SELECT 'stopword_hits', n_docs, f_stopword_hits FROM agg
+  UNION ALL SELECT 'any_rule', n_docs, f_any_rule FROM agg
+)
+SELECT rule,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_fail AS BIGINT) AS n_fail,
+  CAST((2 * n_fail * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS fail_ppm
+FROM rules
+ORDER BY rule
+"""
+
+
+GOPHER_RULES_SQL = _gopher_sql()
+
+
+register_local(
+    QuerySpec(
+        "corpus_gopher_rules",
+        corpus_gopher_rules,
+        GOPHER_RULES_SQL,
+        ("QG1",),
+        doc="Gopher-style quality-rule ledger: per-rule removal counts in one pass",
+    )
+)

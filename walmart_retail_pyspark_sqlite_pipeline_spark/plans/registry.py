@@ -182,6 +182,7 @@ GRADE_QUEUE: dict[str, int] = {
     "dedup_semantic_clusters": 8,
     "events_cusum_changepoint": 8,
     "ann_mips_topk": 8,
+    "corpus_gopher_rules": 8,
 }
 
 
