@@ -621,3 +621,70 @@ def test_gopher_rules_ledger_counts_planted_violations(spark):
     assert out["stopword_hits"].n_fail == 1
     assert out["any_rule"].n_fail == 5  # docs 2-6; doc 1 passes
     assert out["any_rule"].n_docs == 6
+
+
+def test_temperature_mix_planted_shares_and_boosts(spark):
+    """alpha=0.5 on a 400-token vs 100-token pair: sqrt weights 20:10 give
+    temp shares 2/3 : 1/3 against raw shares 0.8 : 0.2 — the low-resource
+    source is boosted by exactly 5/3 and the high-resource one damped to
+    5/6. Shares must sum to ~1 and the boost must always move shares
+    TOWARD uniform, never past it."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_temperature_mix,
+    )
+
+    rows = [(i, "tok " * 40, "en", "big", 0) for i in range(10)]
+    rows += [(100 + i, "tok " * 20, "en", "small", 0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.source: r for r in corpus_temperature_mix(spark, d).collect()}
+    big, small = out["big"], out["small"]
+    assert big.src_tokens == 400 and small.src_tokens == 100
+    assert big.raw_share == 0.8 and small.raw_share == 0.2
+    assert abs(big.temp_share - 2 / 3) < 1e-6
+    assert abs(small.temp_share - 1 / 3) < 1e-6
+    assert abs(big.boost - 5 / 6) < 1e-5 and abs(small.boost - 5 / 3) < 1e-5
+    assert abs(big.temp_share + small.temp_share - 1.0) < 1e-5
+    # temperature moves every share toward uniform (1/2), never past it
+    assert 0.5 < big.temp_share < big.raw_share
+    assert small.raw_share < small.temp_share < 0.5
+
+
+def test_novelty_curve_planted_first_occurrence_attribution(spark):
+    """Ten docs = ten ingestion deciles. A duplicated doc contributes zero
+    new shingles in its bucket; a fresh doc is 100% novel; the cumulative
+    curve is the running distinct-shingle count and never decreases."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_novelty_curve,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta",      # 2 new shingles
+        1: "alpha beta gamma delta",      # exact dup -> 0 new
+        2: "epsilon zeta eta",            # 1 new
+        3: "alpha beta gamma",            # substring of doc 0 -> 0 new
+    }
+    rows = [
+        (i, texts.get(i, f"unique{i} filler{i} tail{i}"), "en", "s", 0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.bucket: r for r in corpus_novelty_curve(spark, d).collect()}
+    assert out[0].new_ngrams == 2 and out[0].novelty_rate == 1.0
+    assert out[1].new_ngrams == 0 and out[1].novelty_rate == 0.0
+    assert out[2].new_ngrams == 1
+    assert out[3].new_ngrams == 0, "substring re-uses doc 0's shingle"
+    cums = [out[b].cum_ngrams for b in sorted(out)]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(out[b].new_ngrams for b in sorted(out))

@@ -178,6 +178,13 @@ def test_rotation_never_orphans_a_capability_tag():
         "QE1",  # encoding-damage audit: per-row-predicate QC family proven
         "TX19",  # iterative BPE training loop: TX10 kernel + IT-family loop proven
         "SIM12",  # 1-bit sign Hamming top-k: ANN family (SIM2/SIM11) proven
+        # round-7 batch 2, queued in GRADE_QUEUE for the round-8 window
+        "SK7",  # mergeable Misra-Gries heavy hitters: sketch family
+        # (SK1/SK3/SK4 driver-green) proven; queued for round 8
+        "CP5",  # temperature source-mixing weights: mix family (CP1
+        # driver-green r6, CP2 token rebalance driver-green r6) proven
+        "CP6",  # cumulative n-gram novelty curve: shingle-index family
+        # (DD2 driver-green) + bucket-rollup proven; queued for round 8
     }
     orphaned = {
         t

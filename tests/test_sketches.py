@@ -278,3 +278,62 @@ def test_cms_and_kmv_states_are_mergeable_across_shards(spark):
         | set(kmins(distinct.filter("NOT shard_a")))
     )[:_KMV_K]
     assert merged_k == full_k
+
+
+def test_mg_planted_undercount_is_exactly_the_reduction_offset(spark):
+    """Misra-Gries one-sided error, planted sharply: a shard holding one
+    heavy token plus 200 singleton fillers has its (K+1)-th largest count
+    equal to 1, so the heavy token's estimate must undercount by EXACTLY
+    that reduction offset (err_bound = 1); a second shard with fewer than
+    K distinct tokens must come through exact. Never overestimates,
+    anywhere."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        _MG_SHARDS,
+        sketch_mg_heavyhitters,
+    )
+
+    fillers = " ".join(f"filler{i:03d}" for i in range(200))
+    rows = [
+        (0, ("heavy " * 100) + fillers, "en", "s", 0),        # shard 0
+        (1, "medium " * 50, "en", "s", 0),                    # shard 1
+    ]
+    assert rows[1][0] % _MG_SHARDS != rows[0][0] % _MG_SHARDS
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.token: r for r in sketch_mg_heavyhitters(spark, d).collect()}
+    assert all(r.undercount >= 0 for r in out.values()), out      # never over
+    assert all(r.within_bound for r in out.values()), out
+    heavy = out["heavy"]
+    # shard 0 rank-65 count is 1 (a filler), so delta_0 = 1; only two tokens
+    # survive the merge, so delta2 = 0 and err_bound = delta_0 = 1
+    assert heavy.true_cnt == 100 and heavy.mg_est == 99, heavy
+    assert heavy.err_bound == 1 and heavy.undercount == 1, heavy
+    medium = out["medium"]                                        # < K distinct
+    assert medium.true_cnt == 50 and medium.mg_est == 50, medium
+    assert medium.undercount == 0, medium
+
+
+def test_mg_summaries_merge_across_shards_without_breaking_the_bound(spark):
+    """Mergeable-summaries algebra on the real table: the exported bound
+    must hold for every row, the estimates must be positive and sorted, and
+    any token whose true count exceeds err_bound must appear in the summary
+    (the classic MG heavy-hitter guarantee)."""
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_mg_heavyhitters,
+    )
+
+    rows = sketch_mg_heavyhitters(spark, SF_SMALL).collect()
+    assert rows, "no heavy hitters"
+    ests = [r.mg_est for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    bound = rows[0].err_bound
+    for r in rows:
+        assert r.err_bound == bound            # one global constant
+        assert 0 <= r.undercount <= bound, r
+        assert r.mg_est > 0 and r.within_bound, r

@@ -2053,3 +2053,238 @@ register_local(
         doc="Gopher-style quality-rule ledger: per-rule removal counts in one pass",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_temperature_mix — temperature-scaled source sampling weights, the
+# multilingual-curriculum primitive (mT5 / XLM-R style): sampling share
+# p_s ∝ n_s^alpha with alpha = 0.5, which upsamples low-resource sources
+# relative to their raw token share without letting any source dominate.
+# Complements corpus_token_rebalance (equal shares, alpha = 0): the
+# exported `boost` column is the up/down-sampling multiplier a mixing
+# dataloader applies per source.
+#
+# Determinism: n_s^0.5 is IEEE sqrt — correctly rounded, bit-identical on
+# both engines per value — but the NORMALIZING sum of doubles is
+# order-dependent, so each weight is first fixed to 6 dp as a scaled
+# BIGINT (the parity.py exact-sum idiom) and the denominator is an exact
+# integer sum; every exported ratio is then a single division of two
+# engine-identical exact values, rounded once.
+#
+# Scale shape: one groupBy(source) over the corpus (|sources| keys), a
+# broadcast 1-row total, and arithmetic on the tiny per-source table —
+# nothing downstream of the first aggregate scales with the corpus.
+# ---------------------------------------------------------------------------
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    per_src = docs.select(
+        "source", F.size(tok).cast("long").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("src_tokens"),
+    )
+    # weight fixed to 6 dp as a scaled BIGINT so the normalizing sum is exact
+    per_src = per_src.withColumn(
+        "w6",
+        F.round(F.sqrt(F.col("src_tokens").cast("double")) * 1e6, 0)
+        .cast("long"),
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("w6").alias("w6_sum"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round(
+                F.col("src_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("raw_share"),
+            F.round(
+                F.col("w6").cast("double") / F.col("w6_sum"), 6
+            ).alias("temp_share"),
+            F.round(
+                (F.col("w6").cast("double") / F.col("w6_sum"))
+                / (
+                    F.col("src_tokens").cast("double")
+                    / F.col("total_tokens")
+                ),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH d AS (
+  SELECT source, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS src_tokens
+  FROM d GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, src_tokens,
+    CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6
+  FROM per_src
+),
+tot AS (
+  SELECT SUM(src_tokens) AS total_tokens, SUM(w6) AS w6_sum FROM w
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(src_tokens AS BIGINT) AS src_tokens,
+  CAST(ROUND(CAST(src_tokens AS DOUBLE) / total_tokens, 6) AS DOUBLE)
+    AS raw_share,
+  CAST(ROUND(CAST(w6 AS DOUBLE) / w6_sum, 6) AS DOUBLE) AS temp_share,
+  CAST(ROUND((CAST(w6 AS DOUBLE) / w6_sum)
+             / (CAST(src_tokens AS DOUBLE) / total_tokens), 6) AS DOUBLE)
+    AS boost
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_temperature_mix",
+        corpus_temperature_mix,
+        TEMPERATURE_MIX_SQL,
+        ("CP5",),
+        doc="alpha=0.5 temperature source-mixing weights with exact-sum normalizer",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_novelty_curve — cumulative 3-gram novelty by ingestion order: how
+# much genuinely NEW text each slice of the corpus contributes. Docs are
+# split into 10 equal doc_id ranges (ingestion-order deciles); a shingle
+# "belongs" to the bucket of the FIRST doc that contains it, so per bucket
+#   new_ngrams   = shingles first seen in this bucket,
+#   occurrences  = all (doc, shingle) incidences in the bucket,
+#   novelty_rate = new / occurrences
+# and the cumulative sum is the corpus's Heaps-law vocabulary-growth curve.
+# A flattening curve is the data-curation signal that additional crawl
+# volume is mostly duplication — the "is more data still worth ingesting"
+# dashboard for a 100 TB pipeline.
+#
+# Plan: distinct (doc, shingle) incidences -> groupBy(shingle) MIN(doc_id)
+# (the shingle-index shuffle shape, vocabulary-bounded like
+# corpus_shingle_index) -> two tiny bucket-level aggregates + one running
+# sum over 10 rows. Integer math everywhere except the final rounded rate.
+# ---------------------------------------------------------------------------
+_NOVELTY_BUCKETS = 10
+
+
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    inc = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(text.word_shingles(tok, 3))
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    hi = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    bucketed = inc.crossJoin(F.broadcast(hi)).select(
+        "doc_id",
+        "shingle",
+        # FLOOR on both engines: DuckDB CAST(double AS BIGINT) rounds while
+        # Spark truncates, so the division must be floored before the cast
+        F.least(
+            F.lit(_NOVELTY_BUCKETS - 1),
+            F.floor(
+                F.col("doc_id") * _NOVELTY_BUCKETS / F.col("n_ids")
+            ).cast("long"),
+        ).alias("bucket"),
+    )
+    occ = bucketed.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("occurrences"),
+    )
+    first = (
+        bucketed.groupBy("shingle")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_ngrams"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        occ.join(first, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "occurrences",
+            F.coalesce("new_ngrams", F.lit(0)).alias("new_ngrams"),
+        )
+        .withColumn("cum_ngrams", F.sum("new_ngrams").over(w))
+        .select(
+            "bucket",
+            "n_docs",
+            "occurrences",
+            "new_ngrams",
+            "cum_ngrams",
+            F.round(
+                F.col("new_ngrams").cast("double") / F.col("occurrences"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+NOVELTY_CURVE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+inc AS (
+  SELECT DISTINCT doc_id, unnest({text.word_shingles_sql('tok', 3)}) AS shingle
+  FROM tk
+),
+hi AS (
+  SELECT MAX(doc_id) + 1 AS n_ids FROM documents
+),
+bucketed AS (
+  SELECT doc_id, shingle,
+    least({_NOVELTY_BUCKETS - 1},
+          CAST(FLOOR(doc_id * {_NOVELTY_BUCKETS} / n_ids) AS BIGINT)) AS bucket
+  FROM inc CROSS JOIN hi
+),
+occ AS (
+  SELECT bucket, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS occurrences
+  FROM bucketed GROUP BY bucket
+),
+first AS (
+  SELECT bucket, COUNT(*) AS new_ngrams FROM (
+    SELECT shingle, MIN(bucket) AS bucket FROM bucketed GROUP BY shingle
+  ) GROUP BY bucket
+)
+SELECT CAST(o.bucket AS BIGINT) AS bucket,
+  CAST(o.n_docs AS BIGINT) AS n_docs,
+  CAST(o.occurrences AS BIGINT) AS occurrences,
+  CAST(COALESCE(f.new_ngrams, 0) AS BIGINT) AS new_ngrams,
+  CAST(SUM(COALESCE(f.new_ngrams, 0))
+         OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_ngrams,
+  CAST(ROUND(CAST(COALESCE(f.new_ngrams, 0) AS DOUBLE) / o.occurrences, 6)
+       AS DOUBLE) AS novelty_rate
+FROM occ o LEFT JOIN first f ON o.bucket = f.bucket
+ORDER BY bucket
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_novelty_curve",
+        corpus_novelty_curve,
+        NOVELTY_CURVE_SQL,
+        ("CP6",),
+        doc="cumulative 3-gram novelty by ingestion decile (Heaps-law growth curve)",
+    )
+)

@@ -183,6 +183,9 @@ GRADE_QUEUE: dict[str, int] = {
     "events_cusum_changepoint": 8,
     "ann_mips_topk": 8,
     "corpus_gopher_rules": 8,
+    "sketch_mg_heavyhitters": 8,
+    "corpus_temperature_mix": 8,
+    "corpus_novelty_curve": 8,
 }
 
 

@@ -966,3 +966,214 @@ register_local(
         doc="KMV/theta sketches with set ops: union/intersection/Jaccard estimation",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch_mg_heavyhitters — deterministic Misra–Gries heavy-hitter summary,
+# the LOWER-bound companion to sketch_cms_manual's upper-bound estimates
+# (CMS never underestimates; MG never OVERestimates, and its undercount is
+# bounded by a value the query itself exports). Built from scratch as the
+# MERGEABLE formulation (Agarwal, Cormode, Huang, Phillips, Wei, Yi —
+# "Mergeable Summaries", PODS'12): MG summaries of disjoint sub-streams
+# combine by adding counters and re-reducing to k entries, losing at most
+# the subtracted reduction offsets — the shape a 1000-executor deployment
+# needs, because each executor can summarize its shard locally and ship k
+# counters instead of a vocabulary-sized map.
+#
+# The classic MG is a sequential counter automaton whose output depends on
+# stream ORDER — useless for cross-engine parity. The order-free equivalent
+# used here (and in the mergeability proof of the paper) summarizes a BAG:
+#   reduce_k(counts) = keep the k largest counters, each decremented by the
+#                      (k+1)-th largest counter value delta (0 if fewer
+#                      than k+1 entries); drop what hits zero.
+# Every dropped token had count <= delta, and every kept token undercounts
+# by exactly delta, so for the two-level pipeline below
+#   true(t) - (sum_s delta_s + delta2)  <=  est(t)  <=  true(t)
+# with ties at the cut broken by token ASC on both engines — fully
+# deterministic integers end to end.
+#
+# Pipeline: shard tokens by doc_id % MG_SHARDS (a stand-in for "executor
+# partition" that both engines compute identically) -> exact per-shard
+# counts -> per-shard reduce_K (window rank + delta subtraction) -> merge
+# by summing surviving counters -> global reduce_K2 -> export the top
+# MG_TOPK by estimate. err_bound = sum of all per-shard deltas + the merge
+# delta is a COLUMN of the result, and the exported rows carry the exact
+# count (evaluation-only broadcast semi-join, same role as in the CMS/HLL
+# queries) plus the two checked invariants: undercount >= 0 (never
+# overestimates) and undercount <= err_bound.
+#
+# Scale shape: the per-shard count is a groupBy(shard, token) whose state
+# is vocabulary-bounded (Heaps-law sub-linear, same note as the CMS
+# candidate pass); everything downstream of reduce_K touches at most
+# MG_SHARDS * MG_K rows, and the merge ships MG_K counters per shard
+# regardless of corpus size. At 100 TB the per-shard count itself would be
+# MG'd inside executor memory (the summarize step IS the map-side
+# combiner); the summarize -> merge -> re-reduce algebra proved here is
+# exactly that combiner's merge path.
+# ---------------------------------------------------------------------------
+_MG_SHARDS = 8
+_MG_K = 64
+_MG_K2 = 32
+_MG_TOPK = 20
+
+
+def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % _MG_SHARDS).cast("int").alias("shard"),
+        F.explode(text.tokens(F.col("text"))).alias("token"),
+    )
+    counts = toks.groupBy("shard", "token").agg(F.count("*").alias("cnt"))
+
+    w1 = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rn", F.row_number().over(w1))
+    deltas = ranked.filter(F.col("rn") == _MG_K + 1).select(
+        "shard", F.col("cnt").alias("delta")
+    )
+    kept = (
+        ranked.filter(F.col("rn") <= _MG_K)
+        .join(F.broadcast(deltas), "shard", "left")
+        .select(
+            "token",
+            (F.col("cnt") - F.coalesce(F.col("delta"), F.lit(0))).alias("mg"),
+        )
+        .filter(F.col("mg") > 0)
+    )
+
+    merged = kept.groupBy("token").agg(F.sum("mg").alias("m"))
+    w2 = Window.orderBy(F.desc("m"), F.asc("token"))
+    ranked2 = merged.withColumn("rn2", F.row_number().over(w2))
+    # scalar reduction offsets -> one broadcast row
+    bound = (
+        deltas.agg(F.coalesce(F.sum("delta"), F.lit(0)).alias("shard_deltas"))
+        .crossJoin(
+            F.broadcast(ranked2.agg(
+                F.coalesce(
+                    F.max(F.when(F.col("rn2") == _MG_K2 + 1, F.col("m"))),
+                    F.lit(0),
+                ).alias("delta2")
+            ))
+        )
+        .select(
+            "delta2",
+            (F.col("shard_deltas") + F.col("delta2")).alias("err_bound"),
+        )
+    )
+    top = (
+        ranked2.filter(F.col("rn2") <= _MG_K2)
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "token",
+            (F.col("m") - F.col("delta2")).alias("mg_est"),
+            "err_bound",
+        )
+        .filter(F.col("mg_est") > 0)
+        .orderBy(F.desc("mg_est"), "token")
+        .limit(_MG_TOPK)
+    )
+    # evaluation-only exact pass on just the exported tokens
+    exact = (
+        toks.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return (
+        top.join(exact, "token")
+        .select(
+            "token",
+            F.col("mg_est").cast("bigint").alias("mg_est"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            (F.col("true_cnt") - F.col("mg_est"))
+            .cast("bigint")
+            .alias("undercount"),
+            F.col("err_bound").cast("bigint").alias("err_bound"),
+            (
+                (F.col("true_cnt") - F.col("mg_est") >= 0)
+                & (F.col("true_cnt") - F.col("mg_est") <= F.col("err_bound"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("mg_est"), "token")
+    )
+
+
+def _mg_sql() -> str:
+    from ..functions import text
+
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id % {_MG_SHARDS} AS INT) AS shard,
+         unnest({text.tokens_sql('text')}) AS token
+  FROM documents
+),
+counts AS (
+  SELECT shard, token, COUNT(*) AS cnt FROM toks GROUP BY shard, token
+),
+ranked AS (
+  SELECT shard, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY cnt DESC, token) AS rn
+  FROM counts
+),
+deltas AS (
+  SELECT shard, cnt AS delta FROM ranked WHERE rn = {_MG_K + 1}
+),
+kept AS (
+  SELECT r.token, r.cnt - COALESCE(d.delta, 0) AS mg
+  FROM ranked r LEFT JOIN deltas d USING (shard)
+  WHERE r.rn <= {_MG_K} AND r.cnt - COALESCE(d.delta, 0) > 0
+),
+merged AS (
+  SELECT token, SUM(mg) AS m FROM kept GROUP BY token
+),
+ranked2 AS (
+  SELECT token, m, ROW_NUMBER() OVER (ORDER BY m DESC, token) AS rn2
+  FROM merged
+),
+bound AS (
+  SELECT d2.delta2, sd.shard_deltas + d2.delta2 AS err_bound
+  FROM (SELECT COALESCE(SUM(delta), 0) AS shard_deltas FROM deltas) sd
+  CROSS JOIN (
+    SELECT COALESCE(MAX(CASE WHEN rn2 = {_MG_K2 + 1} THEN m END), 0) AS delta2
+    FROM ranked2
+  ) d2
+),
+top AS (
+  SELECT token, m - delta2 AS mg_est, err_bound
+  FROM ranked2 CROSS JOIN bound
+  WHERE rn2 <= {_MG_K2} AND m - delta2 > 0
+  ORDER BY mg_est DESC, token LIMIT {_MG_TOPK}
+),
+exact AS (
+  SELECT token, COUNT(*) AS true_cnt FROM toks
+  WHERE token IN (SELECT token FROM top)
+  GROUP BY token
+)
+SELECT token,
+  CAST(mg_est AS BIGINT) AS mg_est,
+  CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(true_cnt - mg_est AS BIGINT) AS undercount,
+  CAST(err_bound AS BIGINT) AS err_bound,
+  (true_cnt - mg_est >= 0 AND true_cnt - mg_est <= err_bound) AS within_bound
+FROM top JOIN exact USING (token)
+ORDER BY mg_est DESC, token
+"""
+
+
+SKETCH_MG_SQL = _mg_sql()
+
+
+register_local(
+    QuerySpec(
+        "sketch_mg_heavyhitters",
+        sketch_mg_heavyhitters,
+        SKETCH_MG_SQL,
+        ("SK7",),
+        doc=(
+            "mergeable Misra-Gries heavy hitters: never overestimates, "
+            "exported undercount bound"
+        ),
+    )
+)
