@@ -841,3 +841,41 @@ def test_audience_overlap_jaccard_on_planted_audiences(spark):
     assert set(pairs) == {("A", "B")}
     r = pairs[("A", "B")]
     assert (r.n_a, r.n_b, r.n_both, r.jaccard) == (3, 3, 2, 0.5)
+
+
+def test_wasserstein_point_mass_shift_is_the_price_gap(spark):
+    """Point masses 4 grid steps apart: W1 must equal the bucket-quantized
+    price gap exactly — which requires counting the EMPTY buckets between
+    them (the densification this query exists for; KS would report 1.0 and
+    say nothing about distance)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        _KS_BUCKET,
+        qc_drift_wasserstein,
+    )
+
+    rows = [_order_row(i, 10_000.0, 1994) for i in range(10)] + [
+        _order_row(100 + i, 30_000.0, 1997) for i in range(10)
+    ]
+    (r,) = _with_orders(
+        spark, rows, lambda d: qc_drift_wasserstein(spark, d).collect()
+    )
+    assert r.t_ref == 10 and r.t_cur == 10
+    # buckets 2..6 inclusive -> 5 grid rows, 4 of them with ECDF gap 1
+    assert r.grid_buckets == 5
+    assert r.w1_num == 4 * 10 * 10
+    assert r.w1_dollars == 4.0 * _KS_BUCKET == 20_000.0
+
+
+def test_wasserstein_identical_windows_is_zero(spark):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_drift_wasserstein,
+    )
+
+    same = [
+        _order_row(i, 1000.0 * (i % 5), 1994 if i % 2 else 1997)
+        for i in range(40)
+    ]
+    (r,) = _with_orders(
+        spark, same, lambda d: qc_drift_wasserstein(spark, d).collect()
+    )
+    assert r.w1_num == 0 and r.w1_dollars == 0.0

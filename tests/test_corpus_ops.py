@@ -688,3 +688,33 @@ def test_novelty_curve_planted_first_occurrence_attribution(spark):
     cums = [out[b].cum_ngrams for b in sorted(out)]
     assert cums == sorted(cums)
     assert cums[-1] == sum(out[b].new_ngrams for b in sorted(out))
+
+
+def test_clustering_coeff_triple_is_closed_and_pairs_are_filtered(spark):
+    """Three identical docs form a triangle in the near-dup graph: each
+    corner must report degree 2, one triangle, lcc exactly 1.0. An
+    identical PAIR has degree-1 endpoints, below the C(d,2) domain, and
+    must not appear at all; a singleton has no edges."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_clustering_coeff,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    t2 = "one two three four five six seven eight nine ten " * 3
+    t3 = "solitary document with no duplicate partner anywhere here " * 3
+    rows = (
+        [(i, t1, "en", "s", 0) for i in range(3)]
+        + [(10 + i, t2, "en", "s", 0) for i in range(2)]
+        + [(20, t3, "en", "s", 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = corpus_clustering_coeff(spark, d).collect()
+    assert [r.node for r in out] == [0, 1, 2]
+    for r in out:
+        assert r.degree == 2 and r.tri_cnt == 1 and r.lcc == 1.0, r

@@ -337,3 +337,79 @@ def test_mg_summaries_merge_across_shards_without_breaking_the_bound(spark):
         assert r.err_bound == bound            # one global constant
         assert 0 <= r.undercount <= bound, r
         assert r.mg_est > 0 and r.within_bound, r
+
+
+def test_ams_single_token_stream_is_exact(spark):
+    """A one-token stream makes every sign-sum S_r = ±k, so every estimator
+    is exactly k^2 = F2 — the median must equal the truth, rel_err 0."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_ams_f2,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "same " * 37, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        (r,) = sketch_ams_f2(spark, d).collect()
+    assert r.n_tokens == 37
+    assert r.f2_exact == 37 * 37
+    assert r.ams_est2x == 2 * 37 * 37          # both middles are exact
+    assert r.rel_err == 0.0 and r.band_ok
+
+
+def test_ams_error_is_replication_invariant(spark):
+    """Replicating every doc k times multiplies every token frequency by k,
+    hence every sign-sum by k and both F2 and the estimate by k^2 — the
+    relative error must be bit-identical. This is the argument that the
+    exported band holds on the 6M/60M-row scaling replicas by construction."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_ams_f2,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the five boxing wizards jump quickly over the fox",
+    ]
+    base = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    k = 3
+    repl = [
+        (i * k + j, t, "en", "s", 0)
+        for i, t in enumerate(texts)
+        for j in range(k)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    out = []
+    for rows in (base, repl):
+        df = spark.createDataFrame(rows, schema)
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            out.append(sketch_ams_f2(spark, d).collect()[0])
+    a, b = out
+    assert b.n_tokens == k * a.n_tokens
+    assert b.f2_exact == k * k * a.f2_exact
+    assert b.ams_est2x == k * k * a.ams_est2x
+    assert b.rel_err == a.rel_err
+
+
+def test_ams_band_holds_on_testdata(spark):
+    """The exported 0.35 band is deterministic (fixed hashes): it must hold
+    on the real documents table, and the error cell must be self-consistent
+    with its own exact integers."""
+    from tests.conftest import SF_SMALL
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        sketch_ams_f2,
+    )
+
+    (r,) = sketch_ams_f2(spark, SF_SMALL).collect()
+    assert r.band_ok and r.rel_err <= 0.35
+    assert r.f2_exact >= r.n_tokens            # sum c^2 >= sum c
+    assert r.rel_err == round(
+        abs(r.ams_est2x - 2 * r.f2_exact) / (2 * r.f2_exact), 6
+    )

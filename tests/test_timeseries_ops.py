@@ -94,3 +94,77 @@ def test_cusum_flags_planted_level_shift_and_stays_quiet_on_noise(spark):
     first_flag = min(r.day for r in shifted if r.is_shift)
     assert first_flag >= datetime.date(2025, 1, 31), first_flag
     assert not any(r.is_shift for r in steady), "noise-only series flagged"
+
+
+def test_seasonal_decompose_recovers_planted_weekday_effect(spark):
+    """28 consecutive days at $100/day except Mondays at $170: every full
+    centered window sums to $770, so the decomposition must report the
+    Monday effect as exactly +6000 cents and every other weekday as
+    exactly -1000 cents (effects sum to zero across the week), using only
+    the 22 interior days. Both engines must agree cell-for-cell."""
+    import duckdb as _duck
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        SEASONAL_DECOMPOSE_SQL,
+        events_seasonal_decompose,
+    )
+
+    rows = []
+    for i in range(28):
+        day = datetime.datetime(2025, 3, 3, 12) + datetime.timedelta(days=i)
+        # 2025-03-03 is a Monday; dow 0 in the query's epoch arithmetic
+        value = 170.0 if i % 7 == 0 else 100.0
+        rows.append((i, day, 1, "purchase", value, "{}"))
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = events_seasonal_decompose(spark, d).collect()
+        con = _duck.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        want = con.execute(SEASONAL_DECOMPOSE_SQL).fetchall()
+
+    assert [
+        (r.event_type, r.dow, r.n_days, r.det7, r.seasonal_cents) for r in got
+    ] == want
+    by_dow = {r.dow: r for r in got}
+    assert set(by_dow) == set(range(7))
+    # interior days: i in 3..24 -> 22 days; Mondays among them: i in {7,14,21}
+    assert by_dow[0].n_days == 3 and by_dow[0].seasonal_cents == 6000.0
+    for dow in range(1, 7):
+        assert by_dow[dow].seasonal_cents == -1000.0, by_dow[dow]
+    assert sum(r.n_days for r in got) == 22
+
+
+def test_seasonal_decompose_excludes_gapped_windows(spark):
+    """Remove one day from the middle of the series: every centered window
+    that TOUCHES the hole now spans more than 6 days and must be excluded
+    (rows-vs-days drift protection), shrinking n_days by exactly the 7
+    windows centered within +/-3 rows of the hole."""
+    import tempfile as _tmp
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_seasonal_decompose,
+    )
+
+    def run(skip_day):
+        rows = []
+        for i in range(28):
+            if i == skip_day:
+                continue
+            day = datetime.datetime(2025, 3, 3, 12) + datetime.timedelta(days=i)
+            rows.append((i, day, 1, "purchase", 100.0, "{}"))
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        with _tmp.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            return events_seasonal_decompose(spark, d).collect()
+
+    full = run(skip_day=None)
+    holed = run(skip_day=14)
+    assert sum(r.n_days for r in full) == 22
+    # day 14 is gone (1 window lost as a center) and days 11..17 minus the
+    # hole (6 surviving rows) have invalid windows -> 22 - 7 = 15 remain
+    assert sum(r.n_days for r in holed) == 15
+    assert all(r.seasonal_cents == 0.0 for r in holed), holed

@@ -2288,3 +2288,114 @@ register_local(
         doc="cumulative 3-gram novelty by ingestion decile (Heaps-law growth curve)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_clustering_coeff — LOCAL clustering coefficient per document over
+# the LSH near-dup graph: lcc(v) = triangles_at(v) / C(deg(v), 2). The
+# per-node refinement of corpus_triangles' single global transitivity: a
+# node with high degree but near-zero lcc is a TEMPLATE HUB (one boiler-
+# plate page near-duplicating many unrelated docs — its neighbors don't
+# resemble each other), while lcc ~ 1 marks a tight mirror cluster that
+# canonical-doc selection collapses to one representative. That hub-vs-
+# cluster split is the triage signal a dedup pipeline acts on: clusters
+# dedup safely, hubs need the shared template STRIPPED before dedup or
+# they chain unrelated docs into one giant component.
+#
+# Triangle attribution: the ordered pairs (doc_a < doc_b) enumerate each
+# triangle a<b<c exactly once as p1=(a,b), p2=(b,c), p3=(a,c); exploding
+# its three corners and counting per corner gives triangles_at(v)
+# exactly. Degrees come from the undirected incidence union. All
+# integers; the one division (2*tri / d*(d-1)) is a single exact-integer
+# division rounded once — the verify-recipe idiom.
+#
+# Scale: the edge set is the banded-LSH candidate graph (bucketed, never
+# all-pairs); the triangle join is the same bounded self-join
+# corpus_triangles already runs, and everything downstream (explode +
+# groupBy corner, degree join) is edge-bounded, not corpus-bounded.
+# ---------------------------------------------------------------------------
+def corpus_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    corners = (
+        p1.join(p2, F.col("p1.doc_b") == F.col("p2.doc_a"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.col("p1.doc_a"), F.col("p1.doc_b"), F.col("p2.doc_b")
+                )
+            ).alias("node")
+        )
+    )
+    tri = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("tri_cnt")
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "degree",
+            F.coalesce("tri_cnt", F.lit(0)).cast("bigint").alias("tri_cnt"),
+            F.expr(
+                "((2 * 2 * coalesce(tri_cnt, 0) * 1000000"
+                " + degree * (degree - 1))"
+                " DIV (2 * degree * (degree - 1)))"
+                " / CAST(1000000.0 AS DOUBLE)"
+            ).alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+{VERIFIED_PAIRS_CTES},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b AS node FROM pairs
+  ) GROUP BY node
+),
+corners AS (
+  SELECT unnest([p1.doc_a, p1.doc_b, p2.doc_b]) AS node
+  FROM pairs p1
+  JOIN pairs p2 ON p1.doc_b = p2.doc_a
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM corners GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS node, d.degree,
+  CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+  ((2 * 2 * COALESCE(t.tri_cnt, 0) * 1000000 + d.degree * (d.degree - 1))
+    // (2 * d.degree * (d.degree - 1))) / CAST(1000000.0 AS DOUBLE) AS lcc
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+WHERE d.degree >= 2
+ORDER BY d.node
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_clustering_coeff",
+        corpus_clustering_coeff,
+        CLUSTERING_COEFF_SQL,
+        ("IT6",),
+        doc="per-doc local clustering coefficient: template-hub vs mirror-cluster triage",
+    )
+)

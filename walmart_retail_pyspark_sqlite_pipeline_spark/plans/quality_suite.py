@@ -467,3 +467,144 @@ register_local(
         doc="join-key skew diagnostics: top-key share + per-key count percentiles",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# qc_drift_wasserstein — Wasserstein-1 (earth-mover) distance between the
+# same reference/current windows the chi²/KS/PSI monitors read, completing
+# the drift quartet with the one statistic that reports HOW FAR the
+# distribution moved in the metric of the value itself (dollars), not just
+# that it moved: for 1-D distributions W1 = integral |F_ref - F_cur| dx.
+# KS is the max ECDF gap (location-shift detector, magnitude-blind beyond
+# the sup); PSI/chi² are bucket-mass ratios (width-sensitive, blind to
+# WHERE mass moved). W1 is the number a pager threshold in dollars wants.
+#
+# Exactness: on the _KS_BUCKET-dollar grid the ECDFs are step functions,
+# so the integral is exactly  B * sum_over_grid |F_ref(b) - F_cur(b)|.
+# Each |gap| is the common-denominator integer |cum_ref*t_cur -
+# cum_cur*t_ref| (DECIMAL(37,0), the KS widths), and the grid sum is a
+# DECIMAL(38,0) — exact until window sizes reach ~1e18 rows. Only the
+# final  w1_num * B / (t_ref*t_cur)  is floating (correctly-rounded IEEE
+# ops on exact inputs — identical on both engines), rounded once.
+#
+# Unlike KS's max, the SUM must weight every grid step — including steps
+# with no rows, where the ECDF gap persists — so the sparse bucket counts
+# are densified onto the full [min_bucket, max_bucket] integer grid first
+# (Spark: explode(sequence(lo, hi)); DuckDB: unnest(range(..)) staged in
+# its own CTE). The grid is bounded by the VALUE DOMAIN (price range /
+# _KS_BUCKET), not by row count — the same boundedness argument as the KS
+# window — so the single-partition cumulative window stays ~100 rows at
+# any corpus size.
+# --------------------------------------------------------------------------
+def qc_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _drift_counts(spark, sf_dir, _KS_BUCKET)
+    bounds = counts.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket")
+    )
+    dense = grid.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense.select(
+        F.sum("n_ref").over(w).cast("decimal(19,0)").alias("cum_ref"),
+        F.sum("n_cur").over(w).cast("decimal(19,0)").alias("cum_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    gap = F.abs(
+        (F.col("cum_ref") * F.col("t_cur").cast("decimal(18,0)")).cast(
+            "decimal(37,0)"
+        )
+        - (F.col("cum_cur") * F.col("t_ref").cast("decimal(18,0)")).cast(
+            "decimal(37,0)"
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("t_ref").alias("t_ref"),
+            F.first("t_cur").alias("t_cur"),
+            F.count("*").cast("bigint").alias("grid_buckets"),
+            F.sum(gap).cast("decimal(38,0)").alias("w1_num"),
+        )
+        .select(
+            "t_ref",
+            "t_cur",
+            "grid_buckets",
+            F.col("w1_num").cast("bigint").alias("w1_num"),
+            F.round(
+                F.col("w1_num").cast("double")
+                * F.lit(float(_KS_BUCKET))
+                / (
+                    F.col("t_ref").cast("double")
+                    * F.col("t_cur").cast("double")
+                ),
+                6,
+            ).alias("w1_dollars"),
+        )
+    )
+
+
+QC_DRIFT_WASSERSTEIN_SQL = f"""
+WITH {_drift_counts_sql(_KS_BUCKET)},
+bounds AS (
+  SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM counts
+),
+grid AS (
+  SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds
+),
+dense AS (
+  SELECT g.bucket,
+    COALESCE(c.n_ref, 0) AS n_ref,
+    COALESCE(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN counts c ON g.bucket = c.bucket
+),
+cum AS (
+  SELECT
+    CAST(SUM(n_ref) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(19,0))
+      AS cum_ref,
+    CAST(SUM(n_cur) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(19,0))
+      AS cum_cur
+  FROM dense
+),
+totals AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT first(t_ref) AS t_ref, first(t_cur) AS t_cur,
+  CAST(COUNT(*) AS BIGINT) AS grid_buckets,
+  CAST(SUM(ABS(
+    CAST(cum_ref * CAST(t_cur AS DECIMAL(18,0)) AS DECIMAL(37,0))
+    - CAST(cum_cur * CAST(t_ref AS DECIMAL(18,0)) AS DECIMAL(37,0))))
+    AS BIGINT) AS w1_num,
+  ROUND(CAST(SUM(ABS(
+    CAST(cum_ref * CAST(t_cur AS DECIMAL(18,0)) AS DECIMAL(37,0))
+    - CAST(cum_cur * CAST(t_ref AS DECIMAL(18,0)) AS DECIMAL(37,0))))
+      AS DOUBLE) * {float(_KS_BUCKET)}
+        / (CAST(first(t_ref) AS DOUBLE) * CAST(first(t_cur) AS DOUBLE)), 6)
+    AS w1_dollars
+FROM cum, totals
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_drift_wasserstein",
+        qc_drift_wasserstein,
+        QC_DRIFT_WASSERSTEIN_SQL,
+        ("Q5",),
+        doc="Wasserstein-1 drift in dollars over the densified binned ECDF grid",
+    )
+)

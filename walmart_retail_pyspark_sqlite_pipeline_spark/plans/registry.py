@@ -186,6 +186,10 @@ GRADE_QUEUE: dict[str, int] = {
     "sketch_mg_heavyhitters": 8,
     "corpus_temperature_mix": 8,
     "corpus_novelty_curve": 8,
+    "sketch_ams_f2": 8,
+    "qc_drift_wasserstein": 8,
+    "corpus_clustering_coeff": 8,
+    "events_seasonal_decompose": 8,
 }
 
 

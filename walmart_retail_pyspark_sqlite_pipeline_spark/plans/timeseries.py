@@ -1803,3 +1803,116 @@ register_local(
         doc="CUSUM drawup change-point detection (sequential level-shift test)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_decompose — classical additive seasonal decomposition of
+# the daily revenue series, weekly period: trend = centered 7-day moving
+# average, seasonal(dow) = mean of the detrended series on that weekday.
+# The structural upgrade over events_seasonal_naive (which only SCORES a
+# lag-7 forecast): this exports the day-of-week effect itself — the
+# baseline a monitoring rule subtracts before calling something an
+# anomaly, and the additive model behind every "weekday-adjusted" metric.
+#
+# Exact arithmetic: a centered MA divides by 7 and a mean divides by n —
+# both divisions are DEFERRED by working in common-denominator integers:
+#   7*detrended_i = 7*cents_i − sum7_i          (exact BIGINT)
+#   seasonal(dow) = Σ(7*detrended) / (7*n)      (ONE exact-int division,
+#                                                sign-aware half-up DIV
+#                                                idiom, rounded at 6 dp)
+# so both engines hash bit-identical values with no floating
+# intermediates. Windows with a gap (fewer than 7 rows, or a 7-row span
+# wider than 6 days) are excluded from the seasonal mean on BOTH engines
+# — rows-vs-days drift around missing dates cannot skew the effect.
+#
+# Day-of-week is computed portably as (days_since_epoch + 3) mod 7 with
+# Monday = 0 (Spark dayofweek is Sunday-1, DuckDB dayofweek is Sunday-0 —
+# the raw builtins disagree, the epoch arithmetic cannot).
+#
+# Scale: state is bounded by date-domain × event_type (the daily grid),
+# never by event rows: one groupBy to the daily grain, per-type ordered
+# windows over ~date-range rows, and a 7-row-per-type final aggregate.
+# ---------------------------------------------------------------------------
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).select(
+        "event_type",
+        "cents",
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias("dd"),
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("dd")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        ((F.col("dd") + 3) % 7).alias("dow"),
+        "cents",
+        F.count("*").over(w7).alias("n7"),
+        F.sum("cents").over(w7).alias("sum7"),
+        (F.max("dd").over(w7) - F.min("dd").over(w7)).alias("span"),
+    ).filter((F.col("n7") == 7) & (F.col("span") == 6))
+    return (
+        trended.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.expr("7 * cents - sum7")).cast("bigint").alias("det7"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            "det7",
+            F.expr(
+                "((2 * det7 * 1000000"
+                " + (CASE WHEN det7 >= 0 THEN 7 * n_days"
+                "         ELSE -7 * n_days END))"
+                " DIV (2 * 7 * n_days)) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("seasonal_cents"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+trended AS (
+  SELECT event_type, (dd + 3) % 7 AS dow, cents,
+    COUNT(*) OVER w AS n7,
+    SUM(cents) OVER w AS sum7,
+    MAX(dd) OVER w - MIN(dd) OVER w AS span
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dd
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(7 * cents - sum7) AS BIGINT) AS det7,
+  ((2 * SUM(7 * cents - sum7) * 1000000
+    + (CASE WHEN SUM(7 * cents - sum7) >= 0 THEN 7 * COUNT(*)
+            ELSE -7 * COUNT(*) END))
+   // (2 * 7 * COUNT(*))) / CAST(1000000.0 AS DOUBLE) AS seasonal_cents
+FROM trended
+WHERE n7 = 7 AND span = 6
+GROUP BY event_type, dow
+ORDER BY event_type, dow
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_seasonal_decompose",
+        events_seasonal_decompose,
+        SEASONAL_DECOMPOSE_SQL,
+        ("TS25",),
+        doc="weekly additive decomposition: exact-integer day-of-week effects",
+    )
+)
