@@ -36,6 +36,7 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",  # Arrow mapInPandas 1->N expansion
     "multimodal_image_resize",  # Arrow mapInPandas resize planning
     "multimodal_image_features",  # Arrow mapInPandas feature vectors
+    "multimodal_image_features_vec",  # array-shaped local surface of same
     "multimodal_audio_meta",  # Arrow mapInPandas audio metadata
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }
@@ -74,3 +75,45 @@ def test_plan_has_no_scale_hazards(spark, name, spec):
             assert "BuildRight" in line or "BuildLeft" in line, (
                 f"{name}: non-broadcast nested loop\n{line}"
             )
+
+
+def _exported_specs():
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    return [
+        (name, spec)
+        for name, spec in sorted(REGISTRY.items())
+        if name not in STREAMING
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,spec", _exported_specs(), ids=[n for n, _ in _exported_specs()]
+)
+def test_exported_schema_is_driver_hashable(spark, name, spec):
+    """Every DRIVER-graded query must export only scalar top-level columns.
+
+    The driver's compare sorts a pandas frame by every column and hashes
+    the values; an array/map/struct column is unhashable there and the
+    grade errors out instead of passing (CORRECTNESS_r07:
+    multimodal_image_features, TypeError: unhashable type 'list').
+    Complex-shaped surfaces belong in LOCAL_REGISTRY with a COVERED_BY
+    annotation pointing at a scalar-shaped twin (VERDICT r7 next-round #5).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spec.fn(spark, SF_SMALL)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert complex_cols == [], (
+        f"{name}: exported query has driver-unhashable top-level columns "
+        f"{complex_cols}; explode/flatten them or park this surface under "
+        "COVERED_BY with a scalar twin"
+    )

@@ -185,6 +185,13 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green r6, CP2 token rebalance driver-green r6) proven
         "CP6",  # cumulative n-gram novelty curve: shingle-index family
         # (DD2 driver-green) + bucket-rollup proven; queued for round 8
+        # round-7 batch 3, queued in GRADE_QUEUE for the round-8 window
+        "IT6",  # per-node clustering coefficient: graph family (IT2
+        # triangles / IT3 pagerank driver-green) proven; queued for round 8
+        "SK8",  # AMS F2 second-moment sketch: sketch family
+        # (SK1/SK3/SK4 driver-green) proven; queued for round 8
+        "TS25",  # seasonal decomposition: calendar-window family
+        # (TS1/TS24 driver-green) proven; queued for round 8
     }
     orphaned = {
         t

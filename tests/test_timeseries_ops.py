@@ -72,6 +72,12 @@ def test_cusum_flags_planted_level_shift_and_stays_quiet_on_noise(spark):
         rows.append((eid, ts, 1, "shifted", level, "{}")); eid += 1
         noise = 100.0 + (7.0 if i % 2 else -7.0)  # zero-mean alternation
         rows.append((eid, ts, 1, "steady", noise, "{}")); eid += 1
+        # refund-dominated: negative total with mild alternation — under
+        # the unguarded 5*t_sum threshold (t_sum < 0) ANY positive drawup
+        # would have fired; with 5*GREATEST(ABS(t_sum),1) it must stay
+        # quiet (ADVICE r7 inversion guard)
+        refund = -100.0 + (7.0 if i % 2 else -7.0)
+        rows.append((eid, ts, 1, "refunds", refund, "{}")); eid += 1
     df = spark.createDataFrame(rows, EVENT_SCHEMA)
     with tempfile.TemporaryDirectory() as d:
         df.write.mode("overwrite").parquet(f"{d}/events.parquet")
@@ -94,6 +100,11 @@ def test_cusum_flags_planted_level_shift_and_stays_quiet_on_noise(spark):
     first_flag = min(r.day for r in shifted if r.is_shift)
     assert first_flag >= datetime.date(2025, 1, 31), first_flag
     assert not any(r.is_shift for r in steady), "noise-only series flagged"
+    refunds = [r for r in got if r.event_type == "refunds"]
+    assert refunds and not any(r.is_shift for r in refunds), (
+        "refund-dominated (negative-total) series must not flag on noise "
+        "drawups — the |t_sum| threshold guard failed"
+    )
 
 
 def test_seasonal_decompose_recovers_planted_weekday_effect(spark):

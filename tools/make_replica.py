@@ -19,8 +19,15 @@ Replication semantics (what a genuinely 10×-larger org looks like):
   real bigger corpus. (Un-perturbed copies would make every doc a 10-way
   near-duplicate and blow the pair count up quadratically — a workload no
   real corpus exhibits.)
-- embeddings: vec_id offset, vectors copied (ANN probes time distance math,
-  which doesn't care that densities repeat).
+- embeddings: vec_id offset, vectors ROTATED per replica (r=0 keeps the
+  originals): each replica applies one seeded orthogonal matrix Q_r to all
+  its vectors. Intra-replica geometry — every pairwise angle, every cluster
+  — is preserved EXACTLY, so the per-replica workload shape is unchanged,
+  while cross-replica cosines drop to ~N(0, 1/d): verbatim copies would
+  make every vector a 10-way semantic duplicate and hand SemDeDup /
+  embedding-dedup a degenerate quadratic workload no real corpus exhibits
+  (VERDICT r7 'Next round' #6 — the same reasoning as the per-replica word
+  suffix on documents).
 
 Usage: python tools/make_replica.py [src_sf_dir] [dst_dir] [n_replicas]
 Defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1_replica 10
@@ -103,6 +110,20 @@ def main() -> None:
                 # suffix every word token -> disjoint shingle sets per replica
                 rep["text"] = rep["text"].str.replace(
                     r"(\w+)", rf"\1q{r}", regex=True
+                )
+            if t == "embeddings" and r > 0:
+                # per-replica seeded random rotation: preserves intra-replica
+                # angles exactly, decorrelates cross-replica vectors (see
+                # module docstring)
+                import numpy as np
+
+                mat = np.stack(rep["embedding"].to_numpy())
+                d = mat.shape[1]
+                rng = np.random.default_rng(1_000_003 + r)
+                q, rr = np.linalg.qr(rng.standard_normal((d, d)))
+                q *= np.sign(np.diag(rr))  # unique, det-stable Q
+                rep["embedding"] = list(
+                    (mat @ q.T).astype(np.float32)
                 )
             reps.append(rep)
         out = pd.concat(reps, ignore_index=True)

@@ -85,7 +85,33 @@ def build_entries(
     return entries
 
 
+def restamp_algo() -> None:
+    """One-off migration after a spec_hash ALGORITHM change: recompute every
+    existing entry's hash with the current algorithm, keeping its recorded
+    round. HONEST ONLY when current source == graded source for every entry
+    — i.e. run it in the same commit as the algorithm change, at round
+    start, with tests/test_rotation.py green under the OLD algorithm
+    immediately before (so no source drifted since grading)."""
+    specs = all_specs(include_local=True)
+    doc = json.load(open(LEDGER))
+    kept, dropped = {}, []
+    for name, entry in doc["entries"].items():
+        if name in specs:
+            kept[name] = {**entry, "hash": spec_hash(specs[name])}
+        else:
+            dropped.append(name)
+    doc["entries"] = kept
+    LEDGER.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
+    print(
+        f"restamped {len(kept)} entries with the current spec_hash algorithm"
+        + (f"; dropped de-registered {dropped}" if dropped else "")
+    )
+
+
 def main() -> None:
+    if "--restamp-algo" in sys.argv:
+        restamp_algo()
+        return
     latest = latest_round(REPO)
     if latest is None:
         raise SystemExit("no CORRECTNESS_r*.json found")

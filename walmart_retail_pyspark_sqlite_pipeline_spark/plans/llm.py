@@ -1806,17 +1806,36 @@ FROM r ORDER BY doc_id
 """
 
 
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_image_features_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-ready shape: one ``array<double>`` column — the shape the
+    ``ann_*`` / ``dedup_embedding_*`` ops consume. Local-only (covered by
+    ``multimodal_image_features``): the driver's value hasher sorts a pandas
+    frame by every column, and a list column is unhashable there
+    (CORRECTNESS_r07 TypeError), so the DRIVER-graded export is the exploded
+    scalar twin below and this variant stays a covered-by local query."""
     from ..multimodal import image_features
 
     docs = read_table(spark, sf_dir, "documents")
     return image_features(attach_fake_payload(docs)).orderBy("doc_id")
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-safe export of the same kernel: posexplode the 16-bin
+    histogram to scalar ``(doc_id, bucket, frac)`` rows — every column
+    hash-sortable, identical numbers to the array variant."""
+    from ..multimodal import image_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    vec = image_features(attach_fake_payload(docs))
+    return vec.select(
+        "doc_id", F.posexplode("feat").alias("bucket", "frac")
+    ).orderBy("doc_id", "bucket")
+
+
 # documents text is ASCII in the testdata, so byte values == ascii(char);
 # the histogram oracle walks characters (a general blob-byte walk would go
 # through hex() slicing — unnecessary here and much slower)
-IMAGE_FEATURES_SQL = """
+IMAGE_FEATURES_GRID = """
 WITH chars AS (
   SELECT doc_id, ascii(c) % 16 AS bucket
   FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
@@ -1831,10 +1850,26 @@ grid AS (
   SELECT g.doc_id, g.bucket, g.n, COALESCE(c.k, 0) AS k
   FROM grid0 g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
 )
+"""
+
+IMAGE_FEATURES_VEC_SQL = (
+    IMAGE_FEATURES_GRID
+    + """
 SELECT doc_id,
        list(ROUND(CAST(k AS DOUBLE) / n, 6) ORDER BY bucket) AS feat
 FROM grid GROUP BY doc_id ORDER BY doc_id
 """
+)
+
+IMAGE_FEATURES_SQL = (
+    IMAGE_FEATURES_GRID
+    + """
+SELECT doc_id,
+       CAST(bucket AS INTEGER) AS bucket,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS frac
+FROM grid ORDER BY doc_id, bucket
+"""
+)
 
 
 for _spec in [
@@ -1849,6 +1884,13 @@ for _spec in [
         "multimodal_image_features",
         multimodal_image_features,
         IMAGE_FEATURES_SQL,
+        ("MM4",),
+        doc="byte-histogram features, exploded scalar rows (driver-hashable)",
+    ),
+    QuerySpec(
+        "multimodal_image_features_vec",
+        multimodal_image_features_vec,
+        IMAGE_FEATURES_VEC_SQL,
         ("MM4",),
         doc="byte-histogram feature vectors (CNN-embedding stand-in), ANN-ready",
     ),

@@ -70,19 +70,22 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-7 window (VERDICT r6 "Next round" #1 + ADVICE r6 medium item):
+# Round-8 window (VERDICT r7 "Next round" #1/#3):
 # - 12 bench headliners: every bench.py-timed query stays driver-graded;
-# - 22 queue drains: the entire round-6 GRADE_QUEUE rotates in — after this
-#   round every registry query has >=1 driver CORRECTNESS row and the
-#   rotation ledger is fully converged;
-# - 1 re-grade: events_anomaly_zscore — rewritten in round 6 (BIGINT →
-#   DECIMAL moments, new plan AND new oracle SQL) while parked on its r5
-#   green row, which graded the OLD implementation. The GRADED_HASHES.json
-#   ledger (tools/update_graded_hashes.py + tests/test_rotation.py) now
-#   makes this re-grade-on-rewrite mandatory instead of ad hoc;
-# - 15 evidence-deepeners: once-green parked queries rotate back in so the
-#   long tail accumulates a second independent driver round.
-# The 38 round-6 first-timers park (driver evidence exists).
+# - 12 queue drains: the entire round-7 GRADE_QUEUE (batches 2+3) rotates
+#   in — kmv/semdedup/cusum/mips/gopher/mg/temperature/novelty/ams_f2/
+#   wasserstein/clustering_coeff/seasonal_decompose;
+# - 1 re-grade: multimodal_image_features — driver-RED r7 on export shape
+#   (array<double> column defeats the driver's pandas hasher); re-exported
+#   this round as exploded scalar (doc_id, bucket, frac) rows, with the
+#   array-shaped variant parked under COVERED_BY;
+# - 25 evidence-deepeners: parked queries with exactly ONE green driver
+#   round rotate back in for a second independent round (the long tail of
+#   the convergence policy — deepest-need-first, i.e. all from the
+#   1-green-round tier).
+# No hash-drift re-grades: GRADED_HASHES.json was stamped at round start
+# (sources unchanged since the r7 grade) and tests/test_rotation.py was
+# green before any query edit.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -98,47 +101,47 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "dedup_minhash_lsh_pairs",
         "ann_topk_cosine",
         "corpus_shingle_index",
-        # --- re-grade: rewritten r6 while parked on an r5 green row ---
-        "events_anomaly_zscore",
-        # --- queue drains (the whole round-6 GRADE_QUEUE, never graded) ---
-        "ann_hamming_topk",
-        "ann_rrf_fusion",
-        "basket_part_pairs",
-        "corpus_encoding_audit",
-        "corpus_importance_weights",
-        "corpus_label_propagation",
-        "dedup_substring_ngrams",
-        "events_mad_anomaly",
-        "events_new_vs_returning",
-        "events_revenue_concentration",
-        "events_top_paths",
-        "events_wow_change",
-        "multimodal_audio_meta",
+        # --- re-grade: driver-RED r7 (export shape), now scalar-only ---
         "multimodal_image_features",
-        "multimodal_image_resize",
-        "sketch_cms_manual",
-        "sketch_quantile_manual",
-        "text_bpe_merge_candidates",
-        "text_bpe_train",
-        "text_char_entropy",
-        "text_lm_score",
-        "text_readability",
+        # --- queue drains (the whole round-7 GRADE_QUEUE, never graded) ---
+        "sketch_kmv_intersection",
+        "dedup_semantic_clusters",
+        "events_cusum_changepoint",
+        "ann_mips_topk",
+        "corpus_gopher_rules",
+        "sketch_mg_heavyhitters",
+        "corpus_temperature_mix",
+        "corpus_novelty_curve",
+        "sketch_ams_f2",
+        "qc_drift_wasserstein",
+        "corpus_clustering_coeff",
+        "events_seasonal_decompose",
         # --- evidence-deepeners (once-green parked, second driver round) ---
-        "ann_int8_topk",
-        "corpus_pagerank",
-        "corpus_canonical_docs",
-        "embeddings_kmeans",
-        "entity_match_customers",
-        "events_session_native",
-        "layout_zorder_clustering",
-        "q32_window_depth",
-        "q33_variant_props",
-        "q35_market_share",
-        "q36_pipe_syntax",
-        "q40_map_type",
-        "q41_rfm_segments",
-        "text_tfidf_topterms",
-        "text_sentiment",
+        "ann_pq_recall",
+        "ann_pq_topk",
+        "cdc_apply_changes",
+        "corpus_balanced_sample_topk",
+        "corpus_bloom_contamination",
+        "corpus_chunk_dedup",
+        "corpus_dup_rate_by_source",
+        "corpus_source_mix",
+        "corpus_split_leakage",
+        "corpus_token_rebalance",
+        "corpus_triangles",
+        "corpus_weighted_sample_topk",
+        "dedup_containment",
+        "dedup_winnowing_pairs",
+        "embeddings_top_component",
+        "events_activity_streaks",
+        "events_audience_overlap",
+        "events_autocorr",
+        "events_bounce_rate",
+        "events_dwell_time",
+        "events_ewma",
+        "events_funnel_windowed",
+        "events_markov_transitions",
+        "events_mutual_info",
+        "events_ohlc",
     }
 )
 
@@ -167,54 +170,141 @@ COVERED_BY: dict[str, str] = {
     # the graded query computes unpacked — every exported row carries both
     # distances and an agree flag, so the coverage is self-evidencing
     "ann_hamming_packed": "ann_hamming_topk",
+    # array<double>-shaped surface of the SAME byte-histogram kernel; the
+    # driver's pandas hasher can't sort a list column (CORRECTNESS_r07
+    # TypeError), so the exploded scalar twin is the driver-graded export
+    "multimodal_image_features_vec": "multimodal_image_features",
 }
 
 # Tier 4 — the must-grade queue: never driver-graded, genuinely distinct
 # capabilities, with the round each rotates into EXPORTED_NAMES. The queue
 # must shrink every round; tests/test_rotation.py fails if a registry query
-# is in no tier. Round 7 drained the whole round-6 queue (all 22 entries
-# rotated into EXPORTED_NAMES above) — the queue is empty; new queries
-# registered this round must either take an export slot, a COVERED_BY
-# annotation, or a GRADE_QUEUE entry targeting round 8.
-GRADE_QUEUE: dict[str, int] = {
-    # round-7 additions (registered this round, graded next)
-    "sketch_kmv_intersection": 8,
-    "dedup_semantic_clusters": 8,
-    "events_cusum_changepoint": 8,
-    "ann_mips_topk": 8,
-    "corpus_gopher_rules": 8,
-    "sketch_mg_heavyhitters": 8,
-    "corpus_temperature_mix": 8,
-    "corpus_novelty_curve": 8,
-    "sketch_ams_f2": 8,
-    "qc_drift_wasserstein": 8,
-    "corpus_clustering_coeff": 8,
-    "events_seasonal_decompose": 8,
-}
+# is in no tier. Round 8 drained the whole round-7 queue (all 12 entries
+# rotated into EXPORTED_NAMES above); new queries registered this round
+# must either take an export slot, a COVERED_BY annotation, or a
+# GRADE_QUEUE entry targeting round 9.
+GRADE_QUEUE: dict[str, int] = {}
+
+
+_PKG = __name__.split(".", 1)[0]  # top-level package name
+
+
+def _closure_payload(fn: Callable) -> str:
+    """Source of ``fn`` plus every in-package module-level helper, class,
+    and constant it transitively references.
+
+    ADVICE r7 (registry.py spec_hash scope): hashing only the registered
+    fn's own source let a rewrite of a shared helper (``_mean_centroids``,
+    ``vectors.dot``, hashing fns) silently preserve stale driver evidence
+    for every parked query that calls it. This walks the fn's code-object
+    ``co_names`` (including nested lambdas/comprehensions) against its
+    defining module — and against in-package modules referenced by name, so
+    intra-fn relative imports (``from ..multimodal import image_features``)
+    are followed too — and folds the resolved helpers' source and constant
+    reprs into the payload. Over-capture is safe (an unrelated-helper edit
+    forces a spurious re-grade); under-capture is the failure mode this
+    exists to close.
+    """
+    import inspect
+    import sys as _sys
+    import textwrap
+    import types
+
+    seen: set[tuple[str, str]] = set()
+    parts: list[str] = []
+
+    def code_names(code: types.CodeType) -> set[str]:
+        names: set[str] = set()
+        stack = [code]
+        while stack:
+            c = stack.pop()
+            names.update(c.co_names)
+            names.update(c.co_freevars)
+            for k in c.co_consts:
+                if isinstance(k, types.CodeType):
+                    stack.append(k)
+        return names
+
+    def visit(obj: object) -> None:
+        key = (
+            getattr(obj, "__module__", "") or "",
+            getattr(obj, "__qualname__", repr(obj)),
+        )
+        if key in seen:
+            return
+        seen.add(key)
+        try:
+            parts.append(textwrap.dedent(inspect.getsource(obj)))
+        except (OSError, TypeError):  # builtins / C-level callables
+            parts.append(f"<unreadable:{key}>")
+        code = getattr(obj, "__code__", None)
+        mod = _sys.modules.get(getattr(obj, "__module__", "") or "")
+        if code is None or mod is None:
+            return
+        names = sorted(code_names(code))
+        # Namespaces to resolve names in: the defining module first
+        # (mirrors Python's global lookup), then in-package modules the fn
+        # references by simple name (module-level OR intra-fn imports).
+        namespaces: list[types.ModuleType] = [mod]
+        for n in names:
+            bound = getattr(mod, n, None)
+            if isinstance(bound, types.ModuleType) and bound.__name__.startswith(
+                _PKG
+            ):
+                namespaces.append(bound)
+            else:
+                for cand in (
+                    f"{_PKG}.{n}",
+                    f"{_PKG}.plans.{n}",
+                    f"{_PKG}.functions.{n}",
+                    f"{_PKG}.operators.{n}",
+                ):
+                    m = _sys.modules.get(cand)
+                    if m is not None:
+                        namespaces.append(m)
+                        break
+        for n in names:
+            for m in namespaces:
+                target = getattr(m, n, None)
+                if target is None:
+                    continue
+                if isinstance(target, types.FunctionType) and (
+                    getattr(target, "__module__", "") or ""
+                ).startswith(_PKG):
+                    visit(target)
+                elif isinstance(target, type) and (
+                    getattr(target, "__module__", "") or ""
+                ).startswith(_PKG):
+                    visit(target)
+                elif m is mod and isinstance(
+                    target, (str, int, float, bool, tuple, frozenset)
+                ):
+                    parts.append(f"<const {n}={target!r}>")
+                break  # first resolution wins, mirroring name lookup
+    visit(fn)
+    return "\x00".join(parts)
 
 
 def spec_hash(spec: QuerySpec) -> str:
-    """Content hash of what a driver grade actually graded: the spec's own
-    plan-builder source plus its oracle SQL.
+    """Content hash of what a driver grade actually graded: the spec's
+    plan-builder source — including the transitive closure of in-package
+    helpers and constants it references (see :func:`_closure_payload`) —
+    plus its oracle SQL.
 
     Used by the re-grade-on-rewrite policy (ADVICE r6): a parked-green query
     keeps its driver evidence only while this hash matches the one recorded
-    in ``GRADED_HASHES.json`` at grading time; a rewrite flips the hash and
+    in ``GRADED_HASHES.json`` at grading time; a rewrite — of the fn, the
+    oracle, OR any helper the fn calls (ADVICE r7) — flips the hash and
     ``tests/test_rotation.py`` forces the query back into the export window.
-    Scope note: the hash covers the registered ``fn`` and ``oracle`` — a
-    rewrite buried in a helper the fn calls is caught only if the fn body or
-    the oracle SQL changes too, which held for every rewrite so far (the
-    r6 zscore rewrite changed both).
+    Algorithm migration note: the closure extension changed every hash at
+    the start of round 8; the ledger was restamped in the same commit
+    (``tools/update_graded_hashes.py --restamp-algo``) while current source
+    still equaled the r7-graded source (rotation test green under the old
+    algorithm immediately before the migration).
     """
     import hashlib
-    import inspect
-    import textwrap
 
-    try:
-        src = textwrap.dedent(inspect.getsource(spec.fn))
-    except (OSError, TypeError):  # builtins / C-level callables: oracle-only
-        src = f"<unreadable:{getattr(spec.fn, '__qualname__', repr(spec.fn))}>"
-    payload = src + "\x00" + (spec.oracle or "")
+    payload = _closure_payload(spec.fn) + "\x00" + (spec.oracle or "")
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 

@@ -1192,9 +1192,12 @@ register_local(
 # s_r in {-1,+1} is a 4-wise-independent sign (AMS's variance bound
 # Var(S^2) <= 2*F2^2 requires 4-wise; a pair-wise family is not enough).
 # E[S_r^2] = F2 exactly. The sign comes from a degree-3 polynomial over
-# Z_P (P = 2^31-1), evaluated with modular Horner steps so every
-# intermediate stays < 2^62: x2 = x*x mod P, x3 = x2*x mod P, h =
-# (c3*x3 + c2*x2 + c1*x + c0) mod P, sign = 1 - 2*(h mod 2). Coefficients
+# Z_P (P = 2^31-1), with each PRODUCT reduced mod P: x2 = x*x mod P,
+# x3 = x2*x mod P, h = (c3*x3 + c2*x2 + c1*x + c0) mod P, sign =
+# 1 - 2*(h mod 2). Bound (ADVICE r7 correction): each product is < 2^62,
+# but the un-reduced 4-term SUM can reach ~3*2^61 (≈ 2^62.6) — still
+# comfortably inside int64 (< 2^63), with no room for a fifth term
+# without reducing mod P after each addition. Coefficients
 # are drawn from the documented MINHASH_PERMS constants (estimator r takes
 # (c1,c0) from perm r and (c3,c2) from perm r+3 mod 8) so both engines
 # inline identical literals.

@@ -1715,8 +1715,15 @@ register_local(
 # Exactness: deviations are scaled by n (the day count) so the mean
 # never becomes a float — dev_t = cents_t·n − T is an exact BIGINT, and
 # cumsum/min/drawup stay exact; the shift flag compares drawup against
-# 5·T (i.e. five mean-days of excess, both sides integer). Magnitudes:
-# cents/day·n_days·n_days ≤ ~1e8·3e3·3e3 ≈ 1e15 — 3 orders inside int64.
+# 5·max(|T|, 1) (i.e. five mean-MAGNITUDE-days of excess, both sides
+# integer). The GREATEST(ABS(T), 1) guard (ADVICE r7): a
+# refund-dominated series can have T ≤ 0, which would make the raw 5·T
+# threshold non-positive and fire the flag on ANY positive drawup —
+# inverting the detector. |T| keeps the threshold scaled to the series'
+# mean magnitude on both domains (identical to 5·T whenever T > 0), and
+# the floor of 1 keeps it strictly positive for an all-zero series.
+# Magnitudes: cents/day·n_days·n_days ≤ ~1e8·3e3·3e3 ≈ 1e15 — 3 orders
+# inside int64.
 #
 # Scale shape: one shuffle to the (type, day) rollup, then per-type
 # ordered windows whose state is VALUE-DOMAIN-BOUNDED (days in the
@@ -1752,7 +1759,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drawup_scaled"),
             (
                 (F.col("cusum_scaled") - F.col("run_min"))
-                > F.lit(5) * F.col("t_sum")
+                > F.lit(5) * F.greatest(F.abs(F.col("t_sum")), F.lit(1))
             ).alias("is_shift"),
         )
         .orderBy("event_type", "day")
@@ -1788,7 +1795,7 @@ SELECT event_type, day,
     AS BIGINT) AS drawup_scaled,
   (cusum_scaled - MIN(cusum_scaled) OVER (PARTITION BY event_type
     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-    > 5 * t_sum AS is_shift
+    > 5 * GREATEST(ABS(t_sum), 1) AS is_shift
 FROM cs
 ORDER BY event_type, day
 """
