@@ -43,7 +43,7 @@ PYTHON_ALLOWED = {
 
 #: queries that legitimately execute a Structured Streaming job inside the
 #: query function; their batch plan is audited via their batch twins.
-STREAMING = {"stream_event_counts"}
+STREAMING = {"stream_event_counts", "stream_session_windows"}
 
 
 def _specs():

@@ -192,6 +192,13 @@ def test_rotation_never_orphans_a_capability_tag():
         # (SK1/SK3/SK4 driver-green) proven; queued for round 8
         "TS25",  # seasonal decomposition: calendar-window family
         # (TS1/TS24 driver-green) proven; queued for round 8
+        # round-8 additions, queued in GRADE_QUEUE for the round-9 window
+        "TX20",  # BM25 top-k retrieval: tf/df/length-norm families (TX9
+        # tfidf driver-green) proven; queued for round 9
+        "SIM15",  # JL sign projection + distortion audit: fixed-point
+        # vector families (SIM2/SIM12 driver-green) proven; queued for 9
+        "ST11",  # native session_window streaming sessionization: ST2
+        # streaming agg + ST1 batch sessionize driver-green; queued for 9
     }
     orphaned = {
         t

@@ -1,0 +1,82 @@
+"""Planted-data behavioral tests for the retrieval / projection operators
+added in round 8: BM25 top-k and the JL sign projection."""
+
+from __future__ import annotations
+
+import tempfile
+
+from tests.conftest import SF_SMALL
+from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+    JL_K,
+    embeddings_jl_projection,
+    text_bm25_topk,
+)
+
+
+def _write_docs(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def test_bm25_ranks_tf_saturation_and_length_norm(spark):
+    """A short doc with tf=3 of a query term must outrank a long doc with
+    tf=1; docs with no query terms are absent; multi-term matches report
+    n_terms correctly. (Query terms: spark, join, window.)"""
+    filler = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, "spark spark spark scan", "en", "src0", 0),
+        (2, "spark " + filler, "en", "src0", 0),
+        (3, "completely unrelated filler text here", "en", "src0", 0),
+        (4, "join window merge", "en", "src0", 0),
+        (5, filler, "en", "src0", 0),
+        (6, filler + " omega", "en", "src0", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = {r.doc_id: r for r in text_bm25_topk(spark, d).collect()}
+    assert set(got) == {1, 2, 4}, got  # 3/5/6 match no query term
+    assert got[1].n_terms == 1 and got[2].n_terms == 1 and got[4].n_terms == 2
+    # tf saturation + length normalization: doc 1 far above doc 2
+    assert got[1].score_micro > got[2].score_micro > 0
+    # ranks are dense 1..3 ordered by score desc
+    by_rank = sorted(got.values(), key=lambda r: r.rk)
+    assert [r.rk for r in by_rank] == [1, 2, 3]
+    scores = [r.score_micro for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_jl_projection_exact_on_planted_axes(spark):
+    """v2 = 2*v1 along one axis: the projection is linear, so the (v1, v2)
+    pair distorts by EXACTLY 1.0 (ratio_ppm == 1_000_000); the (v1, v3)
+    cross-axis pair must equal the hand-computed sign-disagreement count."""
+    e0 = [1.0] + [0.0] * 63
+    e0x2 = [2.0] + [0.0] * 63
+    e1 = [0.0, 1.0] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(0, e0, 0), (1, e0x2, 0), (2, e1, 0)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {(r.va, r.vb): r for r in embeddings_jl_projection(spark, d).collect()}
+    m = 1_000_000
+    r01 = got[(0, 1)]
+    assert r01.d2_orig == m * m
+    assert r01.d2_proj == JL_K * m * m
+    assert r01.ratio_ppm == 1_000_000
+    # cross-axis pair: d2_proj = 4 * m^2 * (# j where s(0,j) != s(1,j))
+    def sign(i, j):
+        return 1 - 2 * (((i * 1103 + j * 907 + i * j * 751) % 97) % 2)
+
+    disagree = sum(1 for j in range(JL_K) if sign(0, j) != sign(1, j))
+    r02 = got[(0, 2)]
+    assert r02.d2_orig == 2 * m * m
+    assert r02.d2_proj == 4 * m * m * disagree
+    # ratio_ppm is the sign-safe DIV-round of d2_proj*1e6 / (k*d2_orig)
+    assert r02.ratio_ppm == (2_000_000 * r02.d2_proj + JL_K * r02.d2_orig) // (
+        2 * JL_K * r02.d2_orig
+    )
+    # = disagree/8 in ppm: 4m^2*disagree / (16 * 2m^2), exact at 125000/step
+    assert r02.ratio_ppm == disagree * 1_000_000 // (JL_K // 2)

@@ -674,3 +674,51 @@ def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_session_window_boundary_and_batch_equality(spark, tmp_path):
+    """The streaming session_window query must (a) MERGE at exactly the
+    1800 s gap (closed boundary) and split at one microsecond past it,
+    including sub-second timestamps, and (b) export floor-second
+    session_start/session_end of the first/last event."""
+    import pandas as pd
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.events import (
+        session_window_stream,
+    )
+
+    base = 1_700_000_000
+    b_us = base * 1_000_000
+    us = [
+        # user 1: +1799.999999s -> same session; exactly +1800.000000s
+        # after that -> STILL same session (closed boundary merges);
+        # +1800.000001s after that -> NEW session
+        b_us,
+        b_us + 1_799_999_999,
+        b_us + 1_799_999_999 + 1_800_000_000,
+        b_us + 1_799_999_999 + 1_800_000_000 + 1_800_000_001,
+        # user 2: single event
+        (base + 10) * 1_000_000,
+    ]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(us, unit="us"),
+        }
+    )
+    # single FILE (like the testdata layout session_window_stream globs for)
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+    got = sorted(
+        session_window_stream(spark, path).collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 3), (1, 1), (2, 1)]
+    s1, s2, s3 = got
+    # floor-second of first/last event in each session
+    assert s1.session_start == base
+    assert s1.session_end == (us[2] - b_us) // 1_000_000 + base
+    assert s2.session_start == (us[3] - b_us) // 1_000_000 + base
+    assert s2.session_end == s2.session_start
+    assert s3.session_start == base + 10 and s3.n_events == 1

@@ -66,3 +66,37 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z", "alo", "ahi", "blo", "bhi")
     )
+
+
+def bucketed_tables(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int = 8,
+    prefix: str = "bkt",
+) -> tuple[str, str]:
+    """Write both join sides BUCKETED by the join key (same bucket count,
+    sorted within buckets) into the session catalog and return the two
+    table names.
+
+    This is the layout that makes a repeated big-big join shuffle-FREE:
+    Spark's bucketed scan exposes the hash-partitioning of the files, so a
+    subsequent equi-join on the bucket key plans with NO Exchange on either
+    side (asserted by tests/test_layout.py) — at 100 TB this converts every
+    recurring fact-fact join on the key into a local per-bucket merge,
+    paying the shuffle once at write time instead of per query. The same
+    trick underlies Hive bucketing and Iceberg's bucket partition
+    transform.
+    """
+    lname, rname = f"{prefix}_left", f"{prefix}_right"
+    for name, df in ((lname, left), (rname, right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return lname, rname

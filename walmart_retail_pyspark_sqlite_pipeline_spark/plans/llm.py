@@ -3941,19 +3941,33 @@ register_local(
 # Scale shape: the centroid table is broadcast (bounded by n_clusters);
 # the pair search is an equi-join on cell — candidate pairs are bounded
 # per-cluster exactly like the label/LSH/IVF blocked variants, never
-# all-pairs. At 100 TB the cluster count scales with the corpus (SemDeDup
-# uses ~100k clusters for billions of docs) keeping per-cluster candidate
-# sets tiny; the plan shape is unchanged.
+# all-pairs. The cluster count SCALES WITH THE CORPUS — C = max(8,
+# n_vectors DIV 250), the SemDeDup recipe (~100k clusters for billions of
+# docs) — because a FIXED C makes intra-cluster pairs quadratic in n
+# (n²/C): the round-8 rotated-replica probe caught exactly that at 200k
+# vectors before this fix. Per-cluster candidate sets stay ~250²/2
+# regardless of scale; assignment cost is n·C distance evals, the
+# (hierarchically shardable) linear term.
 # ---------------------------------------------------------------------------
-_SEMDEDUP_C = 8  # seed count: vectors with vec_id < C seed the clustering
+_SEMDEDUP_TARGET = 250  # target vectors per learned cluster
+_SEMDEDUP_C_MIN = 8  # cluster-count floor at tiny scales
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # repartition BEFORE the n·C distance evaluation: the assignment stage
+    # is compute-bound (n·C·d flops), and a single-file parquet source
+    # would otherwise run it on one partition — one O(n·d) round-robin
+    # shuffle buys full-cluster parallelism on the dominant term (the
+    # round-8 200k-vector probe ran single-threaded without this)
+    e = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # cluster count from the data (same formula as the oracle's cfg CTE)
+    n_clusters = max(_SEMDEDUP_C_MIN, e.count() // _SEMDEDUP_TARGET)
     # label-free learned clustering: data-vector seeds -> assign ->
     # mean-centroid update -> final assignment (one Lloyd refinement)
-    seeds = e.filter(F.col("vec_id") < _SEMDEDUP_C).select(
+    seeds = e.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     a1 = _assign_nearest(e, seeds).select("vec_id", F.col("cell").alias("c1"))
@@ -4006,7 +4020,13 @@ _L2_FOLD = """list_reduce(
 
 DEDUP_SEMANTIC_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seed AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_C}),
+cfg AS (
+  SELECT GREATEST({_SEMDEDUP_C_MIN}, COUNT(*) // {_SEMDEDUP_TARGET}) AS c
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT c FROM cfg)
+),
 dist0 AS (
   SELECT e.vec_id, seed.cell, {_L2_FOLD} AS d2 FROM e, seed
 ),
@@ -4212,5 +4232,315 @@ register_local(
         ANN_MIPS_SQL,
         ("SIM14",),
         doc="inner-product top-k with the MIPS-to-cosine reduction proven per row",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 retrieval: top-K documents for a fixed query term
+# set, the scoring kernel of retrieval-augmented data curation (hard-negative
+# mining, near-query sampling). Reference has no retrieval op — this is part
+# of the LLM-pipeline surface (SURVEY §7).
+#
+# Exactness (the ledger idiom): each term's idf = ln((N-df+0.5)/(df+0.5)) is
+# fixed-pointed at 1e-6 into a BIGINT immediately (libm ln agrees on
+# identical doubles; the ln argument is ONE division of two exact integers,
+# (2N-2df+1)/(2df+1)). The tf saturation k1=1.2, b=0.75 becomes an exact
+# integer ratio by multiplying through by 10·L (L = total corpus tokens):
+#   tf_component = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
+# and each per-term contribution is ONE sign-safe DIV-round of exact
+# integers, (2·idf_micro·num ± den) DIV (2·den), carried in DECIMAL(38,0) /
+# HUGEINT so the interior product never overflows at any corpus size (22·
+# tf·L·idf_micro passes int64 around 1e9 tokens — decimal is the 100 TB
+# interior). Per-doc score = exact SUM of per-term BIGINT contributions.
+#
+# Scale shape: one explode+filter pass (predicate on the term BEFORE the
+# groupBy — only query-term postings shuffle), tf/df/dl aggregates, df and
+# the 1-row corpus stats broadcast, TakeOrderedAndProject for the top-K.
+# The postings list for |Q| fixed terms is O(matching docs), never O(corpus
+# vocabulary).
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("spark", "join", "window")
+BM25_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("l_tot")
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_micro = F.round(
+        F.log(
+            (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    num = (F.lit(22).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot"))
+    den = (
+        F.lit(10).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot")
+        + F.lit(3).cast("decimal(38,0)") * F.col("l_tot")
+        + F.lit(9).cast("decimal(38,0)") * F.col("dl") * F.col("n_docs")
+    )
+    half = F.when(F.col("idf_micro") >= 0, F.col("den")).otherwise(-F.col("den"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", idf_micro)
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .withColumn("half", half)
+        # `div` (not `/` + cast): decimal `/` rounds half-up at the cast,
+        # DuckDB HUGEINT `//` truncates toward zero — div matches //
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(CAST(2 AS DECIMAL(38,0)) * idf_micro * num + half) div "
+                "(CAST(2 AS DECIMAL(38,0)) * den)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_K)
+        .select("rk", "doc_id", "n_terms", "score_micro")
+        .orderBy("rk")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS l_tot FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                  / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      AS idf_micro,
+    CAST(22 AS HUGEINT) * tf.tf * s.l_tot AS num,
+    CAST(10 AS HUGEINT) * tf.tf * s.l_tot
+      + CAST(3 AS HUGEINT) * s.l_tot
+      + CAST(9 AS HUGEINT) * dl.dl * s.n_docs AS den
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+contrib AS (
+  SELECT doc_id,
+    (CAST(2 AS HUGEINT) * idf_micro * num
+      + CASE WHEN idf_micro >= 0 THEN den ELSE -den END)
+    // (CAST(2 AS HUGEINT) * den) AS contrib
+  FROM scored
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro,
+         COUNT(*) AS n_terms
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms, score_micro,
+    ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+  FROM per_doc
+)
+SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_micro
+FROM ranked WHERE rk <= {BM25_K} ORDER BY rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_bm25_topk",
+        text_bm25_topk,
+        BM25_SQL,
+        ("TX20",),
+        doc="BM25 top-k retrieval with exact-integer saturation and micro-nat idf",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings_jl_projection — Johnson–Lindenstrauss random-sign projection
+# (d=64 -> k=16) with a per-pair distortion audit: the dimensionality-
+# reduction stage a 100 TB ANN pipeline runs BEFORE bucketing/LSH (4x fewer
+# bytes per vector, distances preserved within ~sqrt(2/k)). The projection
+# runs over ALL vectors (the real O(n·d·k) job, one groupBy(vec_id, j)
+# shuffle after a broadcast of the 16 output axes); the audit compares
+# original vs projected squared distances on the bounded 40-vector sample
+# (780 pairs) — never all-pairs over the corpus.
+#
+# Exactness: components are fixed-pointed to micro-units (BIGINT) before
+# any arithmetic, so sums/differences/squares are exact integers on both
+# engines; the deterministic sign is s(i,j) = 1-2·(((i·1103 + j·907 +
+# i·j·751) mod 97) mod 2) — the mod-97 carry mixing breaks the parity
+# structure a plain odd-multiplier parity hash would have (measured col
+# balance |Σs| ≈ 3.5/64, pair-ratio mean 0.955 ± 0.30 ≈ the sqrt(2/k) JL
+# bound). ratio_ppm is ONE truncating division with HUGEINT/DECIMAL(38,0)
+# interior (2e6·d2_proj overflows int64 at |p| ~ 6e7).
+# ---------------------------------------------------------------------------
+JL_K = 16
+JL_SAMPLE = 40
+
+
+def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("v").cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    js = spark.range(JL_K).select(F.col("id").cast("int").alias("j"))
+    sgn = F.lit(1) - 2 * (
+        (
+            (
+                F.col("i") * 1103
+                + F.col("j") * 907
+                + F.col("i") * F.col("j") * 751
+            )
+            % 97
+        )
+        % 2
+    )
+    proj = (
+        comp.crossJoin(F.broadcast(js))
+        .select("vec_id", "j", (F.col("vm") * sgn).alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("t").alias("p"))
+    )
+    samp = comp.filter(F.col("vec_id") < JL_SAMPLE)
+    d2o = (
+        samp.alias("a")
+        .join(
+            samp.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.vm") - F.col("b.vm")) * (F.col("a.vm") - F.col("b.vm"))
+            ).alias("d2_orig")
+        )
+    )
+    psamp = proj.filter(F.col("vec_id") < JL_SAMPLE)
+    d2p = (
+        psamp.alias("a")
+        .join(
+            psamp.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.p") - F.col("b.p")) * (F.col("a.p") - F.col("b.p"))
+            ).alias("d2_proj")
+        )
+    )
+    return (
+        d2o.join(d2p, ["va", "vb"])
+        .filter(F.col("d2_orig") > 0)
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * d2_proj"
+                f"  + CAST({JL_K} AS DECIMAL(38,0)) * d2_orig) div "
+                f" (CAST(2 AS DECIMAL(38,0)) * {JL_K} * d2_orig) AS BIGINT)"
+            ),
+        )
+        .select("va", "vb", "d2_orig", "d2_proj", "ratio_ppm")
+        .orderBy("va", "vb")
+    )
+
+
+JL_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, i - 1 AS i,
+    CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS vm
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+),
+proj AS (
+  SELECT vec_id, j, SUM(vm * (1 - 2 * (((i*1103 + j*907 + i*j*751) % 97) % 2)))
+    AS p
+  FROM comp CROSS JOIN (SELECT unnest(range(0, {JL_K})) AS j) js
+  GROUP BY vec_id, j
+),
+d2o AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    SUM((a.vm - b.vm) * (a.vm - b.vm)) AS d2_orig
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  WHERE a.vec_id < {JL_SAMPLE} AND b.vec_id < {JL_SAMPLE}
+  GROUP BY va, vb
+),
+d2p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    SUM((a.p - b.p) * (a.p - b.p)) AS d2_proj
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  WHERE a.vec_id < {JL_SAMPLE} AND b.vec_id < {JL_SAMPLE}
+  GROUP BY va, vb
+)
+SELECT va, vb,
+  CAST(d2_orig AS BIGINT) AS d2_orig,
+  CAST(d2_proj AS BIGINT) AS d2_proj,
+  CAST((CAST(2000000 AS HUGEINT) * d2_proj + {JL_K} * d2_orig)
+       // (CAST(2 AS HUGEINT) * {JL_K} * d2_orig) AS BIGINT) AS ratio_ppm
+FROM d2o JOIN d2p USING (va, vb)
+WHERE d2_orig > 0
+ORDER BY va, vb
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_jl_projection",
+        embeddings_jl_projection,
+        JL_SQL,
+        ("SIM15",),
+        doc="JL sign projection 64->16 over all vectors + exact pair distortion audit",
     )
 )

@@ -181,9 +181,13 @@ COVERED_BY: dict[str, str] = {
 # must shrink every round; tests/test_rotation.py fails if a registry query
 # is in no tier. Round 8 drained the whole round-7 queue (all 12 entries
 # rotated into EXPORTED_NAMES above); new queries registered this round
-# must either take an export slot, a COVERED_BY annotation, or a
-# GRADE_QUEUE entry targeting round 9.
-GRADE_QUEUE: dict[str, int] = {}
+# take a GRADE_QUEUE entry targeting round 9.
+GRADE_QUEUE: dict[str, int] = {
+    # round-8 additions (registered this round, graded next)
+    "text_bm25_topk": 9,
+    "embeddings_jl_projection": 9,
+    "stream_session_windows": 9,
+}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name

@@ -353,3 +353,61 @@ register_local(
         doc="streaming dropDuplicates ingest dedup == batch COUNT(DISTINCT) proof",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_windows — Spark-NATIVE streaming sessionization via
+# F.session_window (gap 30 min), the streaming twin of
+# events_sessionization's lag+running-sum islands. CLOSED-boundary
+# semantics (verified by the planted boundary test in
+# tests/test_streaming.py): an event at EXACTLY prev_ts + gap MERGES into
+# the session — the island split is strictly `diff > 1800e6 µs`,
+# micro-second exact (events carry sub-second timestamps, so the split
+# must compare epoch_us, not floored seconds). session_end is exported as
+# the LAST EVENT's second (window.end minus the gap), making row content
+# gap-invariant and equal to the batch convention.
+# ---------------------------------------------------------------------------
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import session_window_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return session_window_stream(spark, path).orderBy(
+        "user_id", "session_start"
+    )
+
+
+STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+  CAST(MAX(us) // 1000000 AS BIGINT) AS session_end,
+  COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+register_local(
+    QuerySpec(
+        "stream_session_windows",
+        stream_session_windows,
+        STREAM_SESSION_SQL,
+        ("ST11",),
+        doc="native session_window streaming sessionization == batch islands proof",
+    )
+)

@@ -323,3 +323,64 @@ def dedup_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
         q.stop()
         raise TimeoutError("dedup_counts_stream did not finish within 120 s")
     return spark.table(name)
+
+
+def session_window_stream(
+    spark: SparkSession, events_path: str, gap_s: int = 1800
+) -> DataFrame:
+    """Spark-NATIVE streaming sessionization: ``F.session_window`` merges
+    events into per-user sessions whose window extends ``gap_s`` past each
+    event; the merge boundary is CLOSED — an event exactly ``gap_s`` after
+    the previous one still MERGES, so the batch twin is islands with
+    ``diff > gap`` as the split (verified at the exact boundary by
+    tests/test_streaming.py).
+
+    Update mode + availableNow + memory sink: session aggregation requires
+    a watermark to merge/evict state; with the finite snapshot in one
+    micro-batch, update mode emits every finalized-or-open session exactly
+    once, which equals the batch result. Exported session_end is the LAST
+    EVENT's timestamp (window.end minus the gap), so the row content is
+    gap-invariant and matches the batch sessionize() convention.
+
+    At scale: state is per-(user, open-session) in the state store,
+    partitioned by user_id; the watermark evicts closed sessions, so state
+    is O(open sessions), not O(history) — the canonical streaming
+    sessionization shape.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_path).schema
+    base_dir = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            (F.col("w.end").cast("long") - F.lit(gap_s)).alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"session_windows_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=120):
+        q.stop()
+        raise TimeoutError("session_window_stream did not finish within 120 s")
+    return spark.table(name)
