@@ -199,6 +199,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # vector families (SIM2/SIM12 driver-green) proven; queued for 9
         "ST11",  # native session_window streaming sessionization: ST2
         # streaming agg + ST1 batch sessionize driver-green; queued for 9
+        "DD22",  # IVF two-level SemDeDup: DD21 semdedup (graded r8) +
+        # SIM3 ivf machinery families proven; queued for round 9
     }
     orphaned = {
         t

@@ -4544,3 +4544,237 @@ register_local(
         doc="JL sign projection 64->16 over all vectors + exact pair distortion audit",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_ivf — the 100 TB-shaped SemDeDup: identical keep-rule and
+# export to dedup_semantic_clusters, but the LEARNED clustering uses
+# TWO-LEVEL (IVF-style) assignment, replacing the flat n·C distance term —
+# which with the SemDeDup recipe C ∝ n is quadratic, the asymptote the
+# round-8 probe documented — with coarse-then-refine:
+#   C1 = max(2, isqrt(C)) coarse seeds -> assign every vector (n·C1);
+#   C2 = ceil(C/C1) fine seeds PER coarse cell (its lowest vec_ids) ->
+#   assign only against the own cell's seeds (n·C2 via an equi-join on the
+#   coarse cell); one Lloyd refinement of the fine centroids, reassignment
+#   again within the coarse cell.
+# Total distance work n·(C1 + 2·C2) ≈ n·3·sqrt(C) — the ann_ivf_topk
+# machinery applied to the dedup blocking problem. Per-fine-cluster pair
+# candidates stay ~(n/C)²/2 = 250²/2 regardless of scale.
+#
+# Exactness: the same idioms as dedup_semantic_clusters throughout —
+# ordered zip_with L2 folds (bit-identical doubles), micro-scaled BIGINT
+# centroid sums, ROW_NUMBER (d2, id) tie-breaks, 6-dp-rounded cosines,
+# integer-only export. Cluster ids are the fine-seed vec_ids (globally
+# unique), so the export needs no synthetic numbering.
+# ---------------------------------------------------------------------------
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    n = e.count()
+    c_total = max(_SEMDEDUP_C_MIN, n // _SEMDEDUP_TARGET)
+    c1 = max(2, math.isqrt(c_total))
+    c2 = (c_total + c1 - 1) // c1
+
+    # level 1: coarse seeds + full assignment (n·C1)
+    coarse = e.filter(F.col("vec_id") < c1).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    a_coarse = _assign_nearest(e, coarse).select(
+        "vec_id", F.col("cell").alias("ccell")
+    )
+    ev1 = e.join(a_coarse, "vec_id")
+
+    # level 2: per-cell fine seeds (the C2 lowest vec_ids of each cell)
+    wseed = Window.partitionBy("ccell").orderBy("vec_id")
+    fine_seeds = (
+        ev1.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= c2)
+        .select("ccell", F.col("vec_id").alias("fcell"), F.col("v").alias("cv"))
+    )
+
+    def assign_grouped(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+        d = vecs.join(F.broadcast(cent), "ccell").select(
+            "vec_id",
+            "ccell",
+            "fcell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "fcell")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "ccell", "fcell")
+        )
+
+    a1 = assign_grouped(ev1, fine_seeds)
+
+    # one Lloyd refinement: exact micro-scaled mean per fine cluster,
+    # then reassignment within the coarse cell
+    ex = (
+        ev1.join(a1.select("vec_id", "fcell"), "vec_id")
+        .select("ccell", "fcell", F.posexplode("v").alias("d", "x"))
+    )
+    centdim = ex.groupBy("ccell", "fcell", "d").agg(
+        (
+            (F.sum(F.round(F.col("x") * 1000000.0, 0).cast("long")) / 1000000.0)
+            / F.count("*")
+        ).alias("c")
+    )
+    cent = centdim.groupBy("ccell", "fcell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "c"))
+        ).getField("c").alias("cv")
+    )
+    a2 = assign_grouped(ev1, cent)
+
+    ev = ev1.join(a2.select("vec_id", "ccell", "fcell"), ["vec_id", "ccell"])
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fcell") == F.col("b.fcell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.fcell").alias("fcell"),
+            F.col("b.vec_id").alias("pruned_id"),
+            F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+    per_pairs = pairs.groupBy("fcell").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("pruned_id").alias("n_pruned"),
+    )
+    return (
+        ev.groupBy("ccell", "fcell")
+        .agg(F.count("*").alias("n_vecs"))
+        .join(per_pairs, "fcell", "left")
+        .select(
+            F.col("fcell").cast("bigint").alias("cluster"),
+            F.col("ccell").cast("bigint").alias("coarse_cell"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce("n_pruned", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+DEDUP_SEMANTIC_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cfg AS (
+  SELECT GREATEST({_SEMDEDUP_C_MIN}, COUNT(*) // {_SEMDEDUP_TARGET}) AS c
+  FROM embeddings
+),
+cfg2 AS (
+  SELECT c, GREATEST(2, CAST(FLOOR(SQRT(c)) AS BIGINT)) AS c1 FROM cfg
+),
+cfg3 AS (SELECT c, c1, (c + c1 - 1) // c1 AS c2 FROM cfg2),
+coarse AS (
+  SELECT vec_id AS cell, v AS cv FROM e
+  WHERE vec_id < (SELECT c1 FROM cfg3)
+),
+dc AS (
+  SELECT e.vec_id, coarse.cell, {_L2_FOLD} AS d2 FROM e, coarse
+),
+ac AS (
+  SELECT vec_id, cell AS ccell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dc
+  ) WHERE rn = 1
+),
+ev1 AS (SELECT ac.ccell, e.vec_id, e.v FROM e JOIN ac USING (vec_id)),
+fine_seeds AS (
+  SELECT ccell, vec_id AS fcell, v AS cv FROM (
+    SELECT ccell, vec_id, v,
+      ROW_NUMBER() OVER (PARTITION BY ccell ORDER BY vec_id) AS rn
+    FROM ev1
+  ) WHERE rn <= (SELECT c2 FROM cfg3)
+),
+d1 AS (
+  SELECT ev1.vec_id, ev1.ccell, s.fcell, {_L2_FOLD} AS d2
+  FROM (SELECT vec_id, ccell, v FROM ev1) ev1
+  JOIN fine_seeds s USING (ccell)
+),
+a1 AS (
+  SELECT vec_id, ccell, fcell FROM (
+    SELECT vec_id, ccell, fcell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, fcell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT a1.ccell, a1.fcell, t.d AS d, ev1.v[t.d + 1] AS x
+  FROM ev1 JOIN a1 USING (vec_id), range(0, 64) t(d)
+),
+centdim AS (
+  SELECT ccell, fcell, d,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex GROUP BY ccell, fcell, d
+),
+cent AS (
+  SELECT ccell, fcell, list(c ORDER BY d) AS cv
+  FROM centdim GROUP BY ccell, fcell
+),
+d2t AS (
+  SELECT ev1.vec_id, ev1.ccell, cent.fcell, {_L2_FOLD} AS d2
+  FROM ev1 JOIN cent USING (ccell)
+),
+a2 AS (
+  SELECT vec_id, ccell, fcell FROM (
+    SELECT vec_id, ccell, fcell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, fcell) AS rn
+    FROM d2t
+  ) WHERE rn = 1
+),
+ev AS (
+  SELECT a2.ccell, a2.fcell, e.vec_id, e.v
+  FROM e JOIN a2 USING (vec_id)
+),
+pairs AS (
+  SELECT a.fcell, b.vec_id AS pruned_id,
+         ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
+  FROM ev a JOIN ev b ON a.fcell = b.fcell AND a.vec_id < b.vec_id
+  WHERE ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+),
+per_pairs AS (
+  SELECT fcell, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT pruned_id) AS n_pruned
+  FROM pairs GROUP BY fcell
+)
+SELECT CAST(ev.fcell AS BIGINT) AS cluster,
+  CAST(ANY_VALUE(ev.ccell) AS BIGINT) AS coarse_cell,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COALESCE(ANY_VALUE(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+  CAST(COALESCE(ANY_VALUE(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+  CAST(COUNT(*) - COALESCE(ANY_VALUE(p.n_pruned), 0) AS BIGINT) AS n_kept
+FROM ev LEFT JOIN per_pairs p ON ev.fcell = p.fcell
+GROUP BY ev.fcell
+ORDER BY cluster
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_semantic_ivf",
+        dedup_semantic_ivf,
+        DEDUP_SEMANTIC_IVF_SQL,
+        ("DD22",),
+        doc="SemDeDup with IVF two-level assignment: n·3·sqrt(C) distance work",
+    )
+)

@@ -187,6 +187,7 @@ GRADE_QUEUE: dict[str, int] = {
     "text_bm25_topk": 9,
     "embeddings_jl_projection": 9,
     "stream_session_windows": 9,
+    "dedup_semantic_ivf": 9,
 }
 
 
