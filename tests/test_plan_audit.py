@@ -37,6 +37,7 @@ PYTHON_ALLOWED = {
     "multimodal_image_resize",  # Arrow mapInPandas resize planning
     "multimodal_image_features",  # Arrow mapInPandas feature vectors
     "multimodal_image_features_vec",  # array-shaped local surface of same
+    "multimodal_image_ann",  # Arrow feature pass feeding the cosine top-k
     "multimodal_audio_meta",  # Arrow mapInPandas audio metadata
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }

@@ -201,6 +201,10 @@ def test_rotation_never_orphans_a_capability_tag():
         # streaming agg + ST1 batch sessionize driver-green; queued for 9
         "DD22",  # IVF two-level SemDeDup: DD21 semdedup (graded r8) +
         # SIM3 ivf machinery families proven; queued for round 9
+        "SIM16",  # int8-propose + exact-rerank cascade: SIM2/SIM7 int8
+        # families driver-green; queued for round 9
+        "MM6",  # decode->embed->ANN composition: MM4 features (graded
+        # r8) + SIM2 cosine top-k driver-green; queued for round 9
     }
     orphaned = {
         t

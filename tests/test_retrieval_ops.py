@@ -124,3 +124,60 @@ def test_semantic_ivf_separates_planted_groups_and_prunes_dups(spark):
     # the two verbatim dups (cosine exactly 1.0 with a smaller-id twin in
     # the same tight group) must be pruned somewhere
     assert sum(r.n_pruned for r in out) >= 2
+
+
+def test_rerank_cascade_equals_exact_when_pool_covers_corpus(spark):
+    """With corpus size <= RERANK_POOL the candidate pool is the whole
+    corpus, so the cascade MUST equal the direct exact top-k: every row
+    in_exact_topk=True and ranks dense in descending rounded-cosine
+    order. (The int8 stage can only lose candidates when the pool
+    truncates — this pins the no-truncation contract.)"""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_rerank_two_stage,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = ann_rerank_two_stage(spark, d).collect()
+    assert [r.rk for r in got] == list(range(1, 11))
+    assert all(r.in_exact_topk for r in got), got
+    cosines = [r.cos for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_image_ann_exact_dup_ranks_first_and_zero_norm_excluded(spark):
+    """An identical-text document (identical stub payload -> identical
+    histogram) must rank first with cosine exactly 1.0; an empty-text
+    document (all-zero histogram) must be excluded by the zero-norm
+    guard, not ranked with a NaN cosine."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        multimodal_image_ann,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "src0", 0),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "src0", 0),
+        (2, "", "en", "src0", 0),
+        (3, "zzzzzzzz 00000000 !!!!!!!!", "en", "src0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = multimodal_image_ann(spark, d).collect()
+    ids = [r.doc_id for r in got]
+    assert 2 not in ids, "zero-norm (empty payload) doc must be excluded"
+    assert got[0].doc_id == 1 and got[0].cos == 1.0

@@ -4778,3 +4778,203 @@ register_local(
         doc="SemDeDup with IVF two-level assignment: n·3·sqrt(C) distance work",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_rerank_two_stage — the production retrieval CASCADE: a cheap int8
+# dot-product scan proposes a candidate pool (RERANK_POOL = 100), an exact
+# float cosine reranks only that pool to the final top-K, and each exported
+# row carries an `in_exact_topk` flag comparing the cascade's pick against
+# the DIRECT full-corpus exact top-K — per-row recall evidence in the same
+# result. This is the two-tower serving shape at 100 TB: stage 1 reads 4x
+# fewer bytes per vector (int8) and is the only full scan; stage 2 touches
+# 100 rows; the verification leg (direct exact top-K) exists here for the
+# oracle gate and is dropped in production.
+#
+# Exactness: stage-1 scores are exact BIGINT int8 dots (ann_int8_topk's
+# idiom); stage-2 cosines are 6-dp-rounded ordered-fold doubles
+# (ann_topk_cosine's idiom); all orderings tie-break on vec_id.
+# ---------------------------------------------------------------------------
+RERANK_POOL = 100
+
+
+def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.floor(x * scale)).alias("q"),
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("q").alias("qq")
+    )
+    corpus = base.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        corpus.select("vec_id", "v", "qv", idot.alias("idot"))
+        .orderBy(F.col("idot").desc(), F.col("vec_id"))
+        .limit(RERANK_POOL)
+    )
+    reranked = (
+        pool.select(
+            "vec_id",
+            "idot",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+            ),
+        )
+    )
+    exact = (
+        corpus.select(
+            "vec_id", F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("xcos")
+        )
+        .orderBy(F.col("xcos").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id")
+        .withColumn("in_exact", F.lit(True))
+    )
+    return (
+        reranked.join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "vec_id",
+            "idot",
+            "cos",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("rk")
+    )
+
+
+ANN_RERANK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+base AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS q
+  FROM sc
+),
+qrow AS (SELECT v AS qv, q AS qq FROM base WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, v, qv,
+    CAST(list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2]))
+         AS BIGINT) AS idot
+  FROM base, qrow WHERE vec_id <> 0
+),
+pool AS (
+  SELECT vec_id, v, qv, idot FROM corpus
+  ORDER BY idot DESC, vec_id LIMIT {RERANK_POOL}
+),
+reranked AS (
+  SELECT vec_id, idot, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+  FROM pool ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+),
+rk AS (
+  SELECT vec_id, idot, cos,
+    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
+  FROM reranked
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS xcos
+    FROM corpus ORDER BY xcos DESC, vec_id LIMIT {ANN_K}
+  )
+)
+SELECT CAST(rk.rk AS BIGINT) AS rk, rk.vec_id, rk.idot, rk.cos,
+  (exact.vec_id IS NOT NULL) AS in_exact_topk
+FROM rk LEFT JOIN exact ON rk.vec_id = exact.vec_id
+ORDER BY rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_rerank_two_stage",
+        ann_rerank_two_stage,
+        ANN_RERANK_SQL,
+        ("SIM16",),
+        doc="int8-propose + exact-cosine-rerank cascade with per-row recall flags",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_ann — image near-duplicate retrieval over the multimodal
+# feature pipeline: the 16-bin byte-histogram feature vectors (the STUB
+# stand-in for CLIP embeddings, produced by the SAME Arrow mapInPandas
+# kernel the driver grades via multimodal_image_features) feed the generic
+# cosine top-k — the composition a multimodal dedup/retrieval pipeline
+# actually runs: decode -> embed -> ANN. Query image = doc_id 0; exports
+# the top-K most-similar images with 6-dp cosines, ties on doc_id.
+#
+# Scale shape: one Arrow-batched feature pass over the corpus (the real
+# cost at 100 TB, Arrow-vectorized), then the broadcast-query scan +
+# TakeOrderedAndProject skeleton shared with ann_topk_cosine. Zero-norm
+# guard: a histogram is all-zero only for an empty payload, and a zero
+# denominator would make the cosine NaN with engine-specific NaN
+# ordering — both engines filter zero-norm rows explicitly
+# (list_dot_product(v,v) > 0) before ranking.
+# ---------------------------------------------------------------------------
+def multimodal_image_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import image_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = image_features(attach_fake_payload(docs)).select(
+        "doc_id", vectors.as_double(F.col("feat")).alias("v")
+    )
+    q = feats.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        feats.filter(F.col("doc_id") != 0)
+        .filter(vectors.dot(F.col("v"), F.col("v")) > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(ANN_K)
+    )
+
+
+MULTIMODAL_IMAGE_ANN_SQL = (
+    IMAGE_FEATURES_GRID
+    + f""",
+feats AS (
+  SELECT doc_id,
+         list(CAST(ROUND(CAST(k AS DOUBLE) / n, 6) AS DOUBLE) ORDER BY bucket)
+           AS v
+  FROM grid GROUP BY doc_id
+),
+q AS (SELECT v AS qv FROM feats WHERE doc_id = 0)
+SELECT doc_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+FROM feats, q WHERE doc_id <> 0 AND list_dot_product(v, v) > 0
+ORDER BY cos DESC, doc_id
+LIMIT {ANN_K}
+"""
+)
+
+
+register_local(
+    QuerySpec(
+        "multimodal_image_ann",
+        multimodal_image_ann,
+        MULTIMODAL_IMAGE_ANN_SQL,
+        ("MM6",),
+        doc="decode->embed->ANN composition: image near-dup top-k over stub features",
+    )
+)

@@ -188,6 +188,8 @@ GRADE_QUEUE: dict[str, int] = {
     "embeddings_jl_projection": 9,
     "stream_session_windows": 9,
     "dedup_semantic_ivf": 9,
+    "ann_rerank_two_stage": 9,
+    "multimodal_image_ann": 9,
 }
 
 
