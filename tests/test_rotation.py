@@ -169,3 +169,37 @@ def test_ledger_stamping_rules():
         "stable": {"hash": "H_stable_graded", "round": 5},
         "seedme": {"hash": "H_seed_now", "round": 4, "seeded_at_round": 8},
     }
+
+
+# module-level constants for test_closure_payload_captures_container_constants
+_CLOSURE_LIST = ["a", "b"]
+_CLOSURE_DICT = {"k": 1, "j": 2}
+_CLOSURE_SET = {3, 1, 2}
+
+
+def _uses_container_constants():
+    return _CLOSURE_LIST, _CLOSURE_DICT, _CLOSURE_SET
+
+
+def test_closure_payload_captures_container_constants(monkeypatch):
+    """Round-8 review finding: the original scalar-only constant capture
+    skipped list/dict/set module constants (CURATED_COLUMNS, TRAIN_RENAME,
+    ...), so editing one changed query behavior without flipping the
+    spec_hash — the exact under-capture the closure policy exists to close.
+    Container constants must appear in the payload with a canonical repr
+    (dict key-sorted, set order-canonical), and editing one must change it.
+    """
+    import sys as _sys
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+        _closure_payload,
+    )
+
+    p1 = _closure_payload(_uses_container_constants)
+    assert "<const _CLOSURE_LIST=['a', 'b']>" in p1
+    assert "<const _CLOSURE_DICT={'j': 2, 'k': 1}>" in p1  # key-sorted
+    assert "<const _CLOSURE_SET={1, 2, 3}>" in p1  # iteration-order-free
+    monkeypatch.setattr(
+        _sys.modules[__name__], "_CLOSURE_LIST", ["a", "b", "c"]
+    )
+    assert _closure_payload(_uses_container_constants) != p1

@@ -213,12 +213,39 @@ def _closure_payload(fn: Callable) -> str:
     exists to close.
     """
     import inspect
+    import re as _re
     import sys as _sys
     import textwrap
     import types
 
     seen: set[tuple[str, str]] = set()
     parts: list[str] = []
+
+    def const_repr(v: object, depth: int = 0) -> str:
+        """Deterministic repr for module-level constants, including the
+        container types ``repr`` alone can't canonicalize (set iteration
+        order) or that the original scalar-only capture skipped entirely
+        (list/dict — e.g. ``CURATED_COLUMNS``, ``TRAIN_RENAME``: editing
+        them changes every curated-derived query's output, so they MUST
+        flip the hash)."""
+        if depth > 6:
+            return "<depth-capped>"
+        if isinstance(v, dict):
+            items = sorted(
+                (const_repr(k, depth + 1), const_repr(x, depth + 1))
+                for k, x in v.items()
+            )
+            return "{" + ", ".join(f"{k}: {x}" for k, x in items) + "}"
+        if isinstance(v, (set, frozenset)):
+            return "{" + ", ".join(sorted(const_repr(x, depth + 1) for x in v)) + "}"
+        if isinstance(v, (list, tuple)):
+            inner = ", ".join(const_repr(x, depth + 1) for x in v)
+            return ("[%s]" if isinstance(v, list) else "(%s)") % inner
+        if isinstance(v, _re.Pattern):
+            return f"re.compile({v.pattern!r}, {v.flags})"
+        if isinstance(v, (str, bytes, int, float, bool, type(None))):
+            return repr(v)
+        return f"<opaque:{type(v).__name__}>"
 
     def code_names(code: types.CodeType) -> set[str]:
         names: set[str] = set()
@@ -283,10 +310,16 @@ def _closure_payload(fn: Callable) -> str:
                     getattr(target, "__module__", "") or ""
                 ).startswith(_PKG):
                     visit(target)
-                elif m is mod and isinstance(
-                    target, (str, int, float, bool, tuple, frozenset)
+                elif isinstance(
+                    target,
+                    (str, bytes, int, float, bool, tuple, frozenset,
+                     list, dict, set, _re.Pattern),
                 ):
-                    parts.append(f"<const {n}={target!r}>")
+                    # Any namespace in the list is in-package (the defining
+                    # module or an in-package module the fn references), so
+                    # constant capture is safe from either — restricting to
+                    # the defining module was the round-8 under-capture gap.
+                    parts.append(f"<const {n}={const_repr(target)}>")
                 break  # first resolution wins, mirroring name lookup
     visit(fn)
     return "\x00".join(parts)
@@ -304,10 +337,13 @@ def spec_hash(spec: QuerySpec) -> str:
     oracle, OR any helper the fn calls (ADVICE r7) — flips the hash and
     ``tests/test_rotation.py`` forces the query back into the export window.
     Algorithm migration note: the closure extension changed every hash at
-    the start of round 8; the ledger was restamped in the same commit
+    the start of round 8, and the constant capture was widened mid-round-8
+    to container constants (list/dict/set, via a canonical repr) after a
+    review found ``CURATED_COLUMNS``/``TRAIN_RENAME``-class edits would
+    slip through; each time the ledger was restamped in the same commit
     (``tools/update_graded_hashes.py --restamp-algo``) while current source
-    still equaled the r7-graded source (rotation test green under the old
-    algorithm immediately before the migration).
+    still equaled the graded source (rotation test green under the old
+    algorithm immediately before each migration).
     """
     import hashlib
 
