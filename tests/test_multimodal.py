@@ -101,3 +101,58 @@ def test_image_meta_decodes_real_payloads(spark):
     assert (rows[4].width, rows[4].height) == (16 + n % 64, 16 + (n * 7) % 64)
     assert rows[4].n_frames == 1 + n % 8
     assert all(rows[i].byte_len == len(p) for i, p in [(1, png), (2, gif), (3, jpg)])
+
+
+def test_image_features_drops_empty_and_null_payloads(spark):
+    """Round-8 review finding: an empty-text doc made the Spark kernel emit
+    16 frac=0.0 rows while the oracle's per-character CTEs dropped the doc
+    (row-count mismatch at the driver gate), and a NULL payload crashed
+    np.frombuffer outright. The kernel now drops both — matching what the
+    DuckDB oracle computes for free — and NULL survives the batch without
+    raising."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.multimodal.binary import (
+        image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b""), (3, None), (4, b"x")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.feat for r in image_features(df).collect()}
+    assert set(rows) == {1, 4}, "empty (2) and NULL (3) payloads must drop"
+    assert len(rows[1]) == 16 and abs(sum(rows[1]) - 1.0) < 1e-4
+    # single byte 'x' = 120 -> bucket 120 % 16 = 8 gets the whole mass
+    assert rows[4][8] == 1.0 and sum(rows[4]) == 1.0
+
+
+def test_image_features_export_matches_oracle_on_empty_docs(spark, tmp_path):
+    """Cross-engine parity on the planted edge the gate data lacks: a
+    documents table containing an empty-text and a NULL-text doc must give
+    identical (doc_id, bucket, frac) rows from the Spark export and the
+    DuckDB oracle — the empty/NULL docs absent from BOTH."""
+    import duckdb
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        IMAGE_FEATURES_SQL,
+        multimodal_image_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "query doc"), (1, ""), (2, None), (3, "abcabc")],
+        "doc_id long, text string",
+    )
+    sf_dir = tmp_path / "sf"
+    docs.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+
+    got = [
+        (r.doc_id, r.bucket, r.frac)
+        for r in multimodal_image_features(spark, str(sf_dir)).collect()
+    ]
+    con = duckdb.connect()
+    glob = str(sf_dir / "documents.parquet" / "*.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+    )
+    want = [tuple(t) for t in con.execute(IMAGE_FEATURES_SQL).fetchall()]
+    assert sorted(got) == sorted(want)
+    assert {d for d, _, _ in got} == {0, 3}, "docs 1 (empty) and 2 (NULL) drop"

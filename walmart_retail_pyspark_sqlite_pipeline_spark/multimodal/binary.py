@@ -234,23 +234,37 @@ def image_features(df_with_payload: DataFrame) -> DataFrame:
     The output column is ``array<double>`` — exactly the shape the ANN /
     dedup operators consume, so ``image_features`` output pipes straight
     into ``ann_*`` / ``dedup_embedding_*``.
+
+    Empty or NULL payloads produce NO row (a real decoder quarantines an
+    undecodable blob rather than emitting a degenerate all-zero
+    embedding) — the same semantics the DuckDB oracles get for free from
+    their per-character histogram CTEs, which contain no rows for an
+    empty document.
     """
     import numpy as np
 
     def run(batches):
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue  # undecodable -> dropped, matching the oracle
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                if arr.size:
-                    hist = np.bincount(arr % FEATURES_DIM, minlength=FEATURES_DIM)
-                    # round half-AWAY like SQL ROUND (np.round is
-                    # half-even: 0.0390625 would flip the oracle hash)
-                    frac = np.floor(hist / arr.size * 1e6 + 0.5) / 1e6
-                    feats.append(frac.tolist())
-                else:
-                    feats.append([0.0] * FEATURES_DIM)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+                hist = np.bincount(arr % FEATURES_DIM, minlength=FEATURES_DIM)
+                # round half-AWAY like SQL ROUND (np.round is
+                # half-even: 0.0390625 would flip the oracle hash)
+                frac = np.floor(hist / arr.size * 1e6 + 0.5) / 1e6
+                ids.append(doc_id)
+                feats.append(frac.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    # object dtype even when the batch dropped every row —
+                    # an empty float64 column breaks Arrow's list<double>
+                    # conversion
+                    "feat": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         run, schema=FEATURES_SCHEMA

@@ -4925,10 +4925,11 @@ register_local(
 # Scale shape: one Arrow-batched feature pass over the corpus (the real
 # cost at 100 TB, Arrow-vectorized), then the broadcast-query scan +
 # TakeOrderedAndProject skeleton shared with ann_topk_cosine. Zero-norm
-# guard: a histogram is all-zero only for an empty payload, and a zero
-# denominator would make the cosine NaN with engine-specific NaN
-# ordering — both engines filter zero-norm rows explicitly
-# (list_dot_product(v,v) > 0) before ranking.
+# rows cannot occur — the feature kernel drops empty/NULL payloads
+# outright (matching the oracle's per-character CTEs, which have no rows
+# for an empty doc), so an empty query image yields 0 result rows on BOTH
+# engines; the explicit list_dot_product(v,v) > 0 filter stays as
+# belt-and-braces against any future kernel emitting a zero vector.
 # ---------------------------------------------------------------------------
 def multimodal_image_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import image_features
