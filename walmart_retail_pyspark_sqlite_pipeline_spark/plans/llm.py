@@ -4318,10 +4318,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib").cast("long").alias("score_micro"),
         F.count("*").alias("n_terms"),
     )
+    # orderBy+limit FIRST (plans as a distributed TakeOrderedAndProject
+    # over the O(matching docs) postings), then rank the K survivors —
+    # row_number over an unpartitioned window on per_doc would funnel
+    # every matching doc through one WindowExec partition at scale
+    topk = per_doc.orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    ).limit(BM25_K)
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return (
-        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= BM25_K)
+        topk.withColumn("rk", F.row_number().over(w).cast("long"))
         .select("rk", "doc_id", "n_terms", "score_micro")
         .orderBy("rk")
     )
