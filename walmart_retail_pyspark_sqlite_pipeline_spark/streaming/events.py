@@ -335,17 +335,27 @@ def session_window_stream(
     ``diff > gap`` as the split (verified at the exact boundary by
     tests/test_streaming.py).
 
-    Update mode + availableNow + memory sink: session aggregation requires
-    a watermark to merge/evict state; with the finite snapshot in one
-    micro-batch, update mode emits every finalized-or-open session exactly
-    once, which equals the batch result. Exported session_end is the LAST
-    EVENT's timestamp (window.end minus the gap), so the row content is
+    Complete mode + availableNow + memory sink: Spark does not support
+    UPDATE mode for session-window aggregations, and APPEND would withhold
+    every session still open when the snapshot ends (the batch twin and
+    the DuckDB oracle count those), so the finite-snapshot drive runs
+    COMPLETE — each finalized-or-open session appears exactly once, equal
+    to the batch result. Exported session_end is the LAST EVENT's
+    timestamp (window.end minus the gap), so the row content is
     gap-invariant and matches the batch sessionize() convention.
 
-    At scale: state is per-(user, open-session) in the state store,
-    partitioned by user_id; the watermark evicts closed sessions, so state
-    is O(open sessions), not O(history) — the canonical streaming
-    sessionization shape.
+    At scale, be precise about what COMPLETE mode costs: within the run
+    the state store merges events into per-(user, session) state
+    partitioned by user_id, but complete mode never evicts a finalized
+    session — output and retained state grow with TOTAL session count.
+    That is fine for the finite availableNow snapshot this function
+    drives and would NOT hold on an unbounded feed. The unbounded
+    production shape is APPEND mode with a real watermark delay — closed
+    sessions emit once the watermark passes them and their state is
+    evicted, keeping state O(open sessions) at the cost of never
+    surfacing a still-open session; that path (a semantics change, not a
+    config tweak) is exercised separately by
+    tests/test_streaming.py::test_streaming_session_window_emits_closed_sessions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
