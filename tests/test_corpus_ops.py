@@ -718,3 +718,52 @@ def test_clustering_coeff_triple_is_closed_and_pairs_are_filtered(spark):
     assert [r.node for r in out] == [0, 1, 2]
     for r in out:
         assert r.degree == 2 and r.tri_cnt == 1 and r.lcc == 1.0, r
+
+
+def test_kl_divergence_hand_computed_micro_nats(spark):
+    """Two planted sources with 4 tokens each: A = {x:3, y:1}, B = {y:4},
+    corpus = {x:3, y:5}, N=8. Hand-carried micro-nat arithmetic (ln rounded
+    once to BIGINT micro-nats, exact integer weighted sum, one sign-safe
+    DIV-round):
+      KL(A) = (3*693147 + 1*-916291) / 4 -> 0.290788
+      KL(B) = (4*470004) / 4           -> 0.470004
+    Both nonnegative, and the per-source token/term totals must match the
+    planted counts exactly."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_kl_divergence,
+    )
+
+    rows = [
+        (1, "x x x y", "en", "A", 0),
+        (2, "y y y y", "en", "B", 0),
+    ]
+    out = {
+        r.source: r
+        for r in _with_docs(
+            spark, rows, lambda d: corpus_kl_divergence(spark, d).collect()
+        )
+    }
+    a, b = out["A"], out["B"]
+    assert (a.n_tokens, a.n_terms) == (4, 2)
+    assert (b.n_tokens, b.n_terms) == (4, 1)
+    assert a.kl_nats == 0.290788
+    assert b.kl_nats == 0.470004
+    assert a.kl_nats >= 0 and b.kl_nats >= 0
+
+
+def test_kl_divergence_identical_sources_are_zero(spark):
+    """Two sources with the SAME unigram distribution as the corpus mix:
+    every per-term ratio is exactly 1, ln is exactly 0 on both engines, and
+    both KLs export as 0.0 — the no-drift fixed point."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_kl_divergence,
+    )
+
+    rows = [
+        (1, "x x y", "en", "A", 0),
+        (2, "x x y", "en", "B", 0),
+    ]
+    out = _with_docs(
+        spark, rows, lambda d: corpus_kl_divergence(spark, d).collect()
+    )
+    assert [r.kl_nats for r in out] == [0.0, 0.0]

@@ -96,3 +96,45 @@ def test_run_quality_checks_end_to_end(spark):
     assert report.null_fractions["MarkDown2"] == 0.75
     assert any("MarkDown2" in i for i in report.issues)
     assert spark.table("typed_unit").count() == 3
+
+
+def test_k_anonymity_counts_planted_group_sizes(spark, tmp_path):
+    """Planted QI groups of sizes {1, 3, 6, 30} (40 rows): each threshold
+    must count exactly the groups and rows strictly below it, shares are
+    exact DIV-rounded fractions of 40, and the global columns report the
+    full partition (4 groups, min size 1)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_k_anonymity,
+    )
+
+    rows = []
+    ck = 0
+
+    def add(n, nat, seg, bal):
+        nonlocal ck
+        for _ in range(n):
+            ck += 1
+            rows.append((ck, f"c{ck}", nat, bal, seg))
+
+    add(1, 0, "A", 500.0)     # band 0
+    add(3, 0, "A", 1500.0)    # band 1 (same nation/segment, new band)
+    add(6, 1, "B", 500.0)
+    add(30, 2, "C", 500.0)
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    df.write.parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.k: r for r in qc_k_anonymity(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 5, 10, 25}
+    assert (got[2].groups_below, got[2].rows_at_risk) == (1, 1)
+    assert (got[5].groups_below, got[5].rows_at_risk) == (2, 4)
+    assert (got[10].groups_below, got[10].rows_at_risk) == (3, 10)
+    assert (got[25].groups_below, got[25].rows_at_risk) == (3, 10)
+    assert got[2].at_risk_share == 0.025
+    assert got[25].at_risk_share == 0.25
+    for r in got.values():
+        assert (r.n_groups, r.n_rows, r.min_group_size) == (4, 40, 1)

@@ -205,6 +205,11 @@ def test_rotation_never_orphans_a_capability_tag():
         # families driver-green; queued for round 9
         "MM6",  # decode->embed->ANN composition: MM4 features (graded
         # r8) + SIM2 cosine top-k driver-green; queued for round 9
+        # round-8 batch 4 (post-review), queued for the round-9 window
+        "QA1",  # k-anonymity QI audit: groupBy/conditional-agg families
+        # (Q7 key-skew, A1-A8) driver-green; queued for round 9
+        "CP7",  # per-source KL divergence: fixed-point-ln (TX13/TX9) +
+        # source-mix (CP1) families driver-green; queued for round 9
     }
     orphaned = {
         t

@@ -2399,3 +2399,134 @@ register_local(
         doc="per-doc local clustering coefficient: template-hub vs mirror-cluster triage",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_kl_divergence — per-source token-distribution divergence: for each
+# source s, KL(p_s || p_corpus) = Σ_t (k/n_s)·ln((k·N)/(n_s·m_t)) over its
+# unigram distribution vs the whole-corpus distribution — the source-mix
+# drift diagnostic a pretraining pipeline watches when a crawl slice or
+# vendor drop starts looking unlike the corpus it feeds (cf. DoReMi/DSIR
+# domain-weighting, which consume exactly these divergences).
+#
+# Exact-arithmetic recipe (the BM25/lm_score idiom): the ONLY transcendental
+# is ln() of a ratio of exact integer products, rounded once to BIGINT
+# micro-nats on both engines; per-term contributions k·lnmicro accumulate
+# in DECIMAL(38,0)/HUGEINT (k·N interior passes int64 around 1e9 tokens —
+# decimal is the 100 TB interior), and the final per-source value is ONE
+# sign-safe DIV-round of exact integers exported at 6 dp.
+#
+# Scale shape: one explode pass over the corpus, (source, term) partial
+# counts shuffle once on the compound key; the vocabulary join (k_st ⋈ m_t)
+# is left DECLARATIVE on term — no forced broadcast (vocabulary is
+# unbounded; Catalyst broadcasts it below the threshold at test SFs and
+# falls back to a term-partitioned shuffled join beyond it, both sides
+# already term-keyed). The per-source totals ARE force-broadcast
+# (O(sources) rows). No window, no cartesian beyond two 1-row/broadcast
+# combines.
+# ---------------------------------------------------------------------------
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kst = (
+        docs.select(
+            "source", F.explode(text.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    mt = kst.groupBy("term").agg(F.sum("k").cast("long").alias("m"))
+    ns = kst.groupBy("source").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    ntot = kst.agg(F.sum("k").cast("long").alias("n_tot"))
+    lnmicro = F.round(
+        F.log(
+            (F.col("k").cast("decimal(38,0)") * F.col("n_tot")).cast("double")
+            / (F.col("n_tokens").cast("decimal(38,0)") * F.col("m")).cast(
+                "double"
+            )
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    contrib = (
+        kst.join(mt, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("lnmicro", lnmicro)
+        .withColumn(
+            "w", F.col("k").cast("decimal(38,0)") * F.col("lnmicro")
+        )
+    )
+    per_source = contrib.groupBy("source").agg(
+        F.sum("w").alias("s_micro"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_terms").alias("n_terms"),
+    )
+    return (
+        per_source.withColumn(
+            "half",
+            F.when(
+                F.col("s_micro") >= 0, F.col("n_tokens")
+            ).otherwise(-F.col("n_tokens")),
+        )
+        .withColumn(
+            "kl_nats",
+            F.expr(
+                "CAST((CAST(2 AS DECIMAL(38,0)) * s_micro + half) div "
+                "(CAST(2 AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+            )
+            / F.lit(1000000.0).cast("double"),
+        )
+        .select("source", "n_tokens", "n_terms", "kl_nats")
+        .orderBy("source")
+    )
+
+
+CORPUS_KL_DIVERGENCE_SQL = f"""
+WITH kst AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT source, unnest({_TOK_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+mt AS (SELECT term, CAST(SUM(k) AS BIGINT) AS m FROM kst GROUP BY term),
+ns AS (
+  SELECT source, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM kst GROUP BY source
+),
+ntot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_tot FROM kst),
+contrib AS (
+  SELECT kst.source,
+    CAST(kst.k AS HUGEINT)
+      * CAST(ROUND(ln(CAST(CAST(kst.k AS HUGEINT) * t.n_tot AS DOUBLE)
+                      / CAST(CAST(ns.n_tokens AS HUGEINT) * mt.m AS DOUBLE))
+                   * 1000000.0, 0) AS BIGINT) AS w
+  FROM kst
+  JOIN mt USING (term)
+  JOIN ns USING (source)
+  CROSS JOIN ntot t
+),
+per_source AS (
+  SELECT source, SUM(w) AS s_micro FROM contrib GROUP BY source
+)
+SELECT ns.source, ns.n_tokens, ns.n_terms,
+  CAST((CAST(2 AS HUGEINT) * p.s_micro
+        + CASE WHEN p.s_micro >= 0 THEN ns.n_tokens ELSE -ns.n_tokens END)
+       // (CAST(2 AS HUGEINT) * ns.n_tokens) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS kl_nats
+FROM per_source p JOIN ns USING (source)
+ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_kl_divergence",
+        corpus_kl_divergence,
+        CORPUS_KL_DIVERGENCE_SQL,
+        ("CP7",),
+        doc="per-source unigram KL divergence vs corpus in exact micro-nats",
+    )
+)

@@ -608,3 +608,134 @@ register_local(
         doc="Wasserstein-1 drift in dollars over the densified binned ECDF grid",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# qc_k_anonymity — quasi-identifier re-identification audit (Sweeney's
+# k-anonymity): group the customer table by the QI tuple
+# (nation, market segment, account-balance band), then report, for each
+# policy threshold k, how many QI groups and how many ROWS sit in groups
+# smaller than k — the rows an adversary joining on the same QI tuple
+# could narrow below a k-person anonymity set. A training-data governance
+# gate runs exactly this before releasing joined/“anonymized” extracts.
+#
+# Scale shape: ONE shuffle on the QI tuple (hash-partitioned groupBy with
+# map-side partial counts), then a single 1-row aggregate holding the
+# 4-threshold conditional sums, unpivoted driver-side-free via stack() —
+# no join, no window, no second pass over the fact table. At 100 TB the
+# QI-group count is bounded by the QI-domain cardinality, not row count.
+# Share export uses the sign-free exact idiom
+# (2·rows·1e6 + n) DIV (2·n) / 1e6 — no float accumulation.
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLDS = (2, 5, 10, 25)
+K_ANON_BAND = 1000.0  # acctbal band width (dollars) in the QI tuple
+
+
+def qc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    sizes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(K_ANON_BAND))
+            .cast("bigint")
+            .alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("cnt"))
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.min("cnt").cast("bigint").alias("min_group_size"),
+    ]
+    for k in K_ANON_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("cnt") < k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("cnt") < k, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{k}")
+        )
+    stats = sizes.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), g{k}, r{k}" for k in K_ANON_THRESHOLDS
+    )
+    return (
+        stats.select(
+            F.expr(
+                f"stack({len(K_ANON_THRESHOLDS)}, {stack_args}) "
+                "AS (k, groups_below, rows_at_risk)"
+            ),
+            "n_groups",
+            "n_rows",
+            "min_group_size",
+        )
+        .withColumn(
+            "at_risk_share",
+            F.expr(
+                "(2 * rows_at_risk * 1000000 + n_rows) DIV (2 * n_rows)"
+            ).cast("bigint")
+            / F.lit(1000000.0).cast("double"),
+        )
+        .select(
+            "k",
+            "groups_below",
+            "rows_at_risk",
+            "at_risk_share",
+            "n_groups",
+            "n_rows",
+            "min_group_size",
+        )
+        .orderBy("k")
+    )
+
+
+_K_ANON_G = ", ".join(
+    f"CAST(SUM(CASE WHEN cnt < {k} THEN 1 ELSE 0 END) AS BIGINT) AS g{k},\n"
+    f"    CAST(SUM(CASE WHEN cnt < {k} THEN cnt ELSE 0 END) AS BIGINT) AS r{k}"
+    for k in K_ANON_THRESHOLDS
+)
+_K_ANON_T = "\n  UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS k, g{k} AS groups_below, "
+    f"r{k} AS rows_at_risk, n_groups, n_rows, min_group_size FROM s"
+    for k in K_ANON_THRESHOLDS
+)
+
+QC_K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / {K_ANON_BAND}) AS BIGINT) AS band,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+    {_K_ANON_G}
+  FROM g
+),
+t AS (
+  {_K_ANON_T}
+)
+SELECT k, groups_below, rows_at_risk,
+  CAST((2 * rows_at_risk * 1000000 + n_rows) // (2 * n_rows) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS at_risk_share,
+  n_groups, n_rows, min_group_size
+FROM t ORDER BY k
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_k_anonymity",
+        qc_k_anonymity,
+        QC_K_ANONYMITY_SQL,
+        ("QA1",),
+        doc="k-anonymity QI audit: rows/groups below each anonymity threshold",
+    )
+)

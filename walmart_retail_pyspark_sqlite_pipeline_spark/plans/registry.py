@@ -190,6 +190,9 @@ GRADE_QUEUE: dict[str, int] = {
     "dedup_semantic_ivf": 9,
     "ann_rerank_two_stage": 9,
     "multimodal_image_ann": 9,
+    # round-8 batch 4 (post-review additions)
+    "qc_k_anonymity": 9,
+    "corpus_kl_divergence": 9,
 }
 
 
