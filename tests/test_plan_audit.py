@@ -44,7 +44,11 @@ PYTHON_ALLOWED = {
 
 #: queries that legitimately execute a Structured Streaming job inside the
 #: query function; their batch plan is audited via their batch twins.
-STREAMING = {"stream_event_counts", "stream_session_windows"}
+STREAMING = {
+    "stream_event_counts",
+    "stream_session_windows",
+    "stream_static_enrich",
+}
 
 
 def _specs():

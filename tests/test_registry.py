@@ -210,6 +210,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # (Q7 key-skew, A1-A8) driver-green; queued for round 9
         "CP7",  # per-source KL divergence: fixed-point-ln (TX13/TX9) +
         # source-mix (CP1) families driver-green; queued for round 9
+        "ST12",  # stream-static broadcast enrichment join: ST2 streaming
+        # agg + J1/J2 join families driver-green; queued for round 9
     }
     orphaned = {
         t

@@ -722,3 +722,52 @@ def test_stream_session_window_boundary_and_batch_equality(spark, tmp_path):
     assert s2.session_start == (us[3] - b_us) // 1_000_000 + base
     assert s2.session_end == s2.session_start
     assert s3.session_start == base + 10 and s3.n_events == 1
+
+
+def test_stream_static_enrich_equals_batch_join(spark, tmp_path):
+    """Stream-static join surface: planted events joined to a planted
+    customer dim inside the streaming job must equal the batch join+group
+    exactly — including a user with NO dim row (inner join drops it) and
+    exact cents (0.335 dollars rounds half-away to 34 cents, summed as
+    BIGINT, never floats)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.streaming.events import (
+        static_enrich_stream,
+    )
+
+    from datetime import datetime
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 1), 10, "click", 0.335, "{}"),
+            (2, datetime(2024, 1, 1, 0, 10), 10, "click", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 1, 0), 11, "purchase", 2.5, "{}"),
+            (4, datetime(2024, 1, 1, 2, 0), 99, "click", 9.99, "{}"),
+            # ^ user 99 has no dim row
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    customers = spark.createDataFrame(
+        [(10, "c10", 0, 100.0, "BUILDING"), (11, "c11", 1, 50.0, "AUTOMOBILE")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single FILES named <table>.parquet (the testdata layout): the stream
+    # source lists base_dir with pathGlobFilter=events.parquet, which
+    # matches file names, not directory names
+    epath = str(tmp_path / "events.parquet")
+    cpath = str(tmp_path / "customer.parquet")
+    pq.write_table(pa.Table.from_pandas(events.toPandas()), epath)
+    pq.write_table(pa.Table.from_pandas(customers.toPandas()), cpath)
+
+    got = sorted(
+        (r.segment, r.event_type, r.n_events, r.revenue_cents)
+        for r in static_enrich_stream(spark, epath, cpath).collect()
+    )
+    assert got == [
+        ("AUTOMOBILE", "purchase", 1, 250),
+        ("BUILDING", "click", 2, 134),  # 33.5 -> 34 half-away + 100
+    ]

@@ -193,6 +193,7 @@ GRADE_QUEUE: dict[str, int] = {
     # round-8 batch 4 (post-review additions)
     "qc_k_anonymity": 9,
     "corpus_kl_divergence": 9,
+    "stream_static_enrich": 9,
 }
 
 

@@ -411,3 +411,44 @@ register_local(
         doc="native session_window streaming sessionization == batch islands proof",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_static_enrich — the stream-STATIC join surface: an unbounded event
+# stream enriched against a bounded customer dimension inside the streaming
+# job (broadcast hash join re-planned into every micro-batch, stateless —
+# no join state store, no watermark), then aggregated per (segment,
+# event_type) with the exact-cents revenue idiom. Completes the streaming
+# join matrix: stream-stream (click->purchase), stream-vs-state (dedup
+# store), stream-static (this). Oracle is the plain batch join+group —
+# streaming == batch == DuckDB to the last cent.
+# ---------------------------------------------------------------------------
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import static_enrich_stream
+
+    return static_enrich_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+    ).orderBy("segment", "event_type")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment AS segment, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY segment, event_type
+"""
+
+
+register_local(
+    QuerySpec(
+        "stream_static_enrich",
+        stream_static_enrich,
+        STREAM_STATIC_ENRICH_SQL,
+        ("ST12",),
+        doc="stream-static broadcast enrichment join + exact-cents aggregation",
+    )
+)

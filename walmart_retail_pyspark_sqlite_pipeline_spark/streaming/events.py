@@ -394,3 +394,63 @@ def session_window_stream(
         q.stop()
         raise TimeoutError("session_window_stream did not finish within 120 s")
     return spark.table(name)
+
+
+def static_enrich_stream(
+    spark: SparkSession, events_path: str, customer_path: str
+) -> DataFrame:
+    """STREAM-STATIC enrichment join — the third Structured Streaming join
+    surface next to stream-stream (:func:`click_purchase_stream_join`) and
+    stream-vs-state (dedup): an unbounded event stream inner-joined to a
+    bounded dimension table, then aggregated per (segment, event_type).
+
+    The join itself is STATELESS: Spark re-plans the static side into each
+    micro-batch (a broadcast hash join when the dim fits the threshold —
+    forced here, since a customer dim is the canonical broadcastable side),
+    so unlike a stream-stream join there is no join state store and no
+    watermark requirement; only the downstream aggregation carries state.
+    At 100 TB/day of events the dim broadcast is per-micro-batch overhead,
+    which is why production keeps dims compact or pre-broadcasts via a
+    foreachBatch-cached map-side structure — the aggregation state stays
+    O(segments x event types) regardless.
+
+    Revenue follows the repo's exact-sum idiom (cents as BIGINT), so
+    streaming == batch == DuckDB to the last cent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_path).schema
+    base_dir = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    stream = normalize_event_ts(stream)
+    dim = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    name = f"static_enrich_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=120):
+        q.stop()
+        raise TimeoutError("static_enrich_stream did not finish within 120 s")
+    return spark.table(name)
