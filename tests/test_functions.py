@@ -326,3 +326,44 @@ def test_grouped_agg_pandas_udaf_matches_builtin(spark):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-6 * max(1.0, abs(want[k]))
+
+
+def test_edge_helpers_are_total_on_null_and_empty(spark):
+    """Round-8 edge-hardening invariants, pinned cross-engine:
+    poly_hash(NULL) == poly_hash('') == 0 (a NULL bucket used to fall to
+    'test' on Spark but 'train' on DuckDB), stopword_hits is 0 for both
+    the empty token list (DuckDB list_sum([]) is NULL) and the NULL one,
+    and quality_score is 0.0 for empty and NULL text (bare division was
+    ANSI DIVIDE_BY_ZERO on Spark, NULL on DuckDB)."""
+    import duckdb
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the fox")], "id long, s string"
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            hashing.poly_hash(F.col("s")).alias("h"),
+            text.stopword_hits(
+                text.tokens(F.col("s")), ("the", "a")
+            ).alias("stops"),
+            text.quality_score(F.col("s")).alias("q"),
+        ).collect()
+    }
+    assert rows[1].h == 0 and rows[2].h == 0
+    assert rows[1].stops == 0 and rows[2].stops == 0 and rows[3].stops == 1
+    assert rows[1].q == 0.0 and rows[2].q == 0.0 and rows[3].q > 0.0
+
+    con = duckdb.connect()
+    for sval, want_h in [("NULL", 0), ("''", 0)]:
+        got = con.execute(
+            f"SELECT {hashing.poly_hash_sql('s')} AS h, "
+            f"{text.stopword_hits_sql(text.tokens_sql('s'), ('the', 'a'))} "
+            "AS stops, "
+            f"{text.quality_score_sql('s', text.tokens_sql('s'))} AS q "
+            f"FROM (SELECT CAST({sval} AS VARCHAR) AS s)"
+        ).fetchone()
+        assert got == (want_h, 0, 0.0), (sval, got)

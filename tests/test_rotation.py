@@ -85,12 +85,28 @@ def test_queue_names_are_registered_and_targets_sane():
         assert isinstance(rnd, int) and rnd >= 6, (name, rnd)
 
 
-def test_queue_only_holds_never_graded_queries():
-    # once a query earns a green driver row it moves to parked-green; a
-    # stale queue entry would double-count the backlog
+def test_queue_only_holds_never_graded_or_drifted_queries():
+    """A queue entry represents real grading backlog. For a never-graded
+    query that's automatic. A driver-GREEN query may hold a queue entry in
+    exactly one state: its current spec_hash no longer matches the hash
+    its evidence graded (a rewrite awaiting re-grade that did not fit the
+    current 50-slot window — the round-8 edge-hardening case). A green
+    query whose hash still matches would double-count the backlog."""
     green = _driver_green_names()
-    stale = sorted(set(GRADE_QUEUE) & green)
-    assert stale == [], f"queued queries already driver-green: {stale}"
+    overlap = sorted(set(GRADE_QUEUE) & green)
+    if not overlap:
+        return
+    ledger = json.load(open(REPO / "GRADED_HASHES.json"))["entries"]
+    specs = all_specs(include_local=True)
+    stale = [
+        n
+        for n in overlap
+        if n in ledger and spec_hash(specs[n]) == ledger[n]["hash"]
+    ]
+    assert stale == [], (
+        f"queued queries already driver-green with UNCHANGED source: {stale}"
+        " — their evidence is current, the queue entry double-counts"
+    )
 
 
 def test_parked_queries_unchanged_since_their_driver_grade():

@@ -1,0 +1,69 @@
+"""Build an EDGE-CASE scale-factor directory for the oracle gate.
+
+Copies every table from a source SF dir and appends pathological rows to
+``documents.parquet`` that the driver-generated testdata never contains:
+
+- empty text (``''``)           — zero length, zero tokens;
+- NULL text                     — the undecodable/missing-doc case;
+- whitespace-only (``'   '``)   — nonzero length, zero tokens;
+- punctuation-only              — nonzero length/symbols, zero tokens.
+
+Running the FULL registry against this dir (``python tools/oracle_check.py
+/tmp/edge_sf``) is the mechanical form of the empty-edge spot check the
+verification norms call for. The round-8 sweep found 16 queries that
+crashed (ANSI DIVIDE_BY_ZERO, NULL-payload TypeError in Arrow kernels) or
+silently diverged from their DuckDB twins (NULL-vs-0 hash buckets flipping
+train/val/test membership, NULL-vs-'' array joins, list_sum([]) = NULL) on
+exactly these rows — every one a real defect class at 100 TB, where a
+crawl slice always contains empty and null documents.
+
+Usage:
+    python tools/make_edge_sf.py [src_sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.001 -> /tmp/edge_sf
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def build(src: str, out: str) -> None:
+    src_p, out_p = Path(src), Path(out)
+    out_p.mkdir(parents=True, exist_ok=True)
+    for f in src_p.glob("*.parquet"):
+        shutil.copy(f, out_p / f.name)
+
+    t = pq.read_table(src_p / "documents.parquet")
+    df = t.to_pandas()
+    mx = int(df.doc_id.max())
+    extra = pd.DataFrame(
+        {
+            "doc_id": [mx + 1, mx + 2, mx + 3, mx + 4],
+            "text": ["", None, "   ", "!!!??? ..."],
+            "lang": ["en"] * 4,
+            "source": [df.source.iloc[0]] * 4,
+            "n_chars": [0, 0, 3, 10],
+        }
+    )
+    merged = pd.concat([df, extra], ignore_index=True)
+    merged["doc_id"] = merged["doc_id"].astype("int64")
+    merged["n_chars"] = merged["n_chars"].astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(merged, schema=t.schema, preserve_index=False),
+        out_p / "documents.parquet",
+    )
+    print(f"wrote {out_p} ({len(merged)} documents incl. 4 edge rows)")
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    build(
+        argv[0] if argv else "/root/testdata/sf0.001",
+        argv[1] if len(argv) > 1 else "/tmp/edge_sf",
+    )

@@ -48,10 +48,17 @@ def lsh_plane_component(j: int, d: int) -> int:
 def poly_hash(col: Column) -> Column:
     """31-polynomial rolling hash of a string column, mod 2^31-1.
 
+    TOTAL function: NULL hashes like the empty string (0). Without the
+    coalesce the engines split on NULL text — Spark's aggregate over a
+    NULL array is NULL (and a NULL bucket falls through every split
+    CASE arm to 'test'), while the DuckDB twin's list_prepend(0, NULL)
+    reduces to 0 and lands in 'train' — found by the edge-sf sweep on
+    corpus_split_train_val_test / text_fingerprint.
+
     Spark side of the pair; SQL twin in :func:`poly_hash_sql`.
     """
     return F.aggregate(
-        F.split(col, ""),
+        F.split(F.coalesce(col, F.lit("")), ""),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(MERSENNE_P),
     )
@@ -61,7 +68,8 @@ def poly_hash_sql(expr: str) -> str:
     """DuckDB SQL computing exactly :func:`poly_hash` for ``expr``."""
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"list_transform(string_split(COALESCE({expr}, ''), ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
         f"(acc, c) -> (acc * 31 + c) % {MERSENNE_P})"
     )
 

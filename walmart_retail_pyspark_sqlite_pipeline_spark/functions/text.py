@@ -59,29 +59,38 @@ def quality_score(text_col: Column, tok: Column | None = None) -> Column:
     silently desynchronize. SQL twin: :func:`quality_score_sql`."""
     if tok is None:
         tok = tokens(text_col)
-    return F.round(
-        F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
-        * (
-            1.0
-            - (
-                F.length(text_col)
-                - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
-            ).cast("double")
-            / F.length(text_col)
+    # empty or NULL text scores 0.0 (no content == no quality), guarding
+    # the alnum-ratio division: length 0 is DIVIDE_BY_ZERO under ANSI
+    # Spark but NULL under DuckDB — without the branch the engines
+    # diverge on the empty-doc edge (found by the /tmp edge-sf sweep)
+    return F.when(
+        F.length(text_col) > 0,
+        F.round(
+            F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
+            * (
+                1.0
+                - (
+                    F.length(text_col)
+                    - F.length(
+                        F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", "")
+                    )
+                ).cast("double")
+                / F.length(text_col)
+            ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(0.0))
 
 
 def quality_score_sql(text_expr: str = "text", tok_expr: str = "tok") -> str:
     """DuckDB twin of :func:`quality_score` (expects ``tok_expr`` bound to
     ``tokens_sql(text_expr)`` in an enclosing CTE)."""
     return (
-        "CAST(ROUND("
+        f"CASE WHEN length({text_expr}) > 0 THEN CAST(ROUND("
         f"least(CAST(len({tok_expr}) AS DOUBLE) / 50.0, 1.0) * "
         f"(1.0 - CAST(length({text_expr}) - length(regexp_replace({text_expr}, "
         f"'[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length({text_expr})), "
-        "6) AS DOUBLE)"
+        "6) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
     )
 
 
@@ -109,17 +118,27 @@ def word_shingles_sql(tok_col: str, n: int = 3) -> str:
 
 
 def stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:
-    """Number of tokens (with multiplicity) that are in ``words``."""
-    return F.aggregate(
-        F.transform(tok, lambda t: F.when(t.isin(*words), 1).otherwise(0)),
+    """Number of tokens (with multiplicity) that are in ``words``.
+
+    TOTAL function: 0 for an empty token list AND for a NULL one (NULL
+    text) — without the coalesce the engines disagree on the edges:
+    Spark's aggregate over [] is the 0 seed but DuckDB's list_sum([]) is
+    NULL, and a NULL list is NULL on Spark but the twin's CASE arms flip
+    it differently inside rule predicates (edge-sf sweep, gopher
+    stopword rule off by one on each engine)."""
+    return F.coalesce(
+        F.aggregate(
+            F.transform(tok, lambda t: F.when(t.isin(*words), 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
         F.lit(0),
-        lambda acc, x: acc + x,
     )
 
 
 def stopword_hits_sql(tok_expr: str, words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return (
-        f"list_sum(list_transform({tok_expr}, "
-        f"t -> CASE WHEN t IN ({inlist}) THEN 1 ELSE 0 END))"
+        f"COALESCE(list_sum(list_transform({tok_expr}, "
+        f"t -> CASE WHEN t IN ({inlist}) THEN 1 ELSE 0 END)), 0)"
     )

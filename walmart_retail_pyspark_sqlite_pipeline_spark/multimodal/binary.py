@@ -99,8 +99,13 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     Real image payloads (PNG/GIF/JPEG) get true dimensions and
     ``n_frames=1``; unrecognized payloads get the deterministic
-    pseudo-dims the oracle reproduces from the byte length.
+    pseudo-dims the oracle reproduces from the byte length. NULL payloads
+    produce NO row (nothing to decode — quarantine, like the feature
+    kernel; the oracles filter ``text IS NOT NULL`` to match). An EMPTY
+    payload is different: byte_len 0 metadata is meaningful, so it keeps
+    its row via the pseudo path.
     """
+    pdf = pdf[pdf["payload"].notna()]
     blen = pdf["payload"].map(len).astype("int64")
     widths, heights, frames = [], [], []
     for b, n in zip(pdf["payload"], blen):
@@ -139,6 +144,9 @@ def frame_sample(df_with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sig": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # nothing to decode -> no frames (oracle twin
+                    # filters text IS NOT NULL)
                 blen = len(payload)
                 n = 1 + blen % 8
                 for i in range(n):
@@ -206,7 +214,9 @@ def image_resize(
             out_h = np.where(width_binding, (h * target_w) // w, target_h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    # meta's doc_id, not pdf's: _decode_batch drops
+                    # NULL-payload rows, so the frames must stay aligned
+                    "doc_id": meta["doc_id"],
                     "width": meta["width"],
                     "height": meta["height"],
                     "out_w": out_w.astype("int32"),
@@ -286,6 +296,9 @@ def audio_meta(df_with_payload: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload -> no row (quarantine; oracle filters
+            # text IS NOT NULL). Empty payload keeps its 0-length row.
+            pdf = pdf[pdf["payload"].notna()]
             blen = pdf["payload"].map(len).astype("int64")
             rate = (8000 * (1 + blen % 3)).astype("int64")  # 8/16/24 kHz
             n_samples = blen // 2  # 16-bit mono PCM

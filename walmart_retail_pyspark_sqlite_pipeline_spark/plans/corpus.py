@@ -1911,17 +1911,22 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = d.select(
         (F.col("nw") < _GR_MIN_WORDS).cast("long").alias("f_min_words"),
         (F.col("nw") > _GR_MAX_WORDS).cast("long").alias("f_max_words"),
+        # GREATEST(nw,1)/GREATEST(nchars,1): Spark's |/& do NOT
+        # short-circuit, so the DIV evaluates even when the zero-guard
+        # disjunct already decides the rule — under ANSI that's a
+        # DIVIDE_BY_ZERO crash on a zero-token/empty doc (edge-sf sweep);
+        # the clamp never changes the value when the guard passes
         (
             (F.col("nw") == 0)
-            | (F.expr("wchars * 1000000 DIV nw") < _GR_MEAN_LO_PPM)
-            | (F.expr("wchars * 1000000 DIV nw") > _GR_MEAN_HI_PPM)
+            | (F.expr("wchars * 1000000 DIV GREATEST(nw, 1)") < _GR_MEAN_LO_PPM)
+            | (F.expr("wchars * 1000000 DIV GREATEST(nw, 1)") > _GR_MEAN_HI_PPM)
         )
         .cast("long")
         .alias("f_mean_word_len"),
         (F.col("maxwl") > _GR_MAX_WORD_LEN).cast("long").alias("f_max_word_len"),
         (
             (F.col("nchars") > 0)
-            & (F.expr("nsym * 1000000 DIV nchars") > _GR_SYM_PPM)
+            & (F.expr("nsym * 1000000 DIV GREATEST(nchars, 1)") > _GR_SYM_PPM)
         )
         .cast("long")
         .alias("f_symbol_ratio"),

@@ -728,12 +728,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(tok).alias("n_tokens"),
-        (
+        # NULL for empty/NULL text (the ratio is undefined, and a bare
+        # division is DIVIDE_BY_ZERO under ANSI Spark but NULL under
+        # DuckDB — the branch makes both engines export the same NULL)
+        F.when(
+            F.length("text") > 0,
             (
                 F.length("text")
-                - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+                - F.length(
+                    F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+                )
             ).cast("double")
-            / F.length("text")
+            / F.length("text"),
         ).alias("punct_ratio_raw"),
         (
             text.stopword_hits(tok, text.QUALITY_STOPWORDS).cast("double")
@@ -742,7 +748,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # composite score: same one rule as every sampler (functions.text.
     # quality_score); recomputed here from components only because this
-    # query REPORTS the components — tests pin the equality
+    # query REPORTS the components — tests pin the equality (including the
+    # contentless-doc branch: empty/NULL text scores 0.0, like the fn)
     score = (
         F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
         * (1.0 - F.col("punct_ratio_raw"))
@@ -753,7 +760,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("punct_ratio_raw"), 6).alias("punct_ratio"),
         F.round(F.col("stop_ratio_raw"), 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.when(F.col("n_chars") > 0, F.round(score, 6))
+        .otherwise(F.lit(0.0))
+        .alias("quality_score"),
     ).orderBy("doc_id")
 
 
@@ -767,15 +776,19 @@ feat AS (
   SELECT doc_id,
     CAST(length(text) AS INTEGER) AS n_chars,
     CAST(len(tok) AS INTEGER) AS n_tokens,
-    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-      / length(text) AS punct_ratio_raw,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text)
+    END AS punct_ratio_raw,
     CAST({_STOP_HITS} AS DOUBLE) / greatest(len(tok), 1) AS stop_ratio_raw
   FROM tk
 )
 SELECT doc_id, n_chars, n_tokens,
   CAST(ROUND(punct_ratio_raw, 6) AS DOUBLE) AS punct_ratio,
   CAST(ROUND(stop_ratio_raw, 6) AS DOUBLE) AS stopword_ratio,
-  CAST(ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - punct_ratio_raw), 6) AS DOUBLE) AS quality_score
+  CASE WHEN n_chars > 0 THEN
+    CAST(ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - punct_ratio_raw), 6) AS DOUBLE)
+  ELSE CAST(0.0 AS DOUBLE) END AS quality_score
 FROM feat ORDER BY doc_id
 """
 
@@ -872,7 +885,7 @@ SELECT doc_id,
   CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
   CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
   CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -890,7 +903,7 @@ FRAME_SAMPLE_SQL = """
 WITH d AS (
   SELECT doc_id, octet_length(encode(text)) AS blen,
          1 + octet_length(encode(text)) % 8 AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
   CAST(t.i AS INTEGER) AS frame_idx,
@@ -1678,8 +1691,11 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_sql(words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
+    # COALESCE: len(list_filter(NULL)) is NULL for a NULL-text doc, but
+    # the Spark side's stopword_hits is total (0) — zero lexicon hits is
+    # the portable semantics for a missing doc (edge-sf sweep)
     return (
-        f"len(list_filter(tok, t -> t IN ({inlist})))"
+        f"COALESCE(len(list_filter(tok, t -> t IN ({inlist}))), 0)"
     )
 
 
@@ -1788,7 +1804,7 @@ WITH d AS (
   SELECT doc_id,
          16 + octet_length(encode(text)) % 64 AS w,
          16 + (octet_length(encode(text)) * 7) % 64 AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 r AS (
   SELECT doc_id, w, h, (w * {RESIZE_TH}) >= (h * {RESIZE_TW}) AS width_binding
@@ -1913,7 +1929,8 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIO_META_SQL = """
 WITH d AS (
-  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+  SELECT doc_id, octet_length(encode(text)) AS blen
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
   CAST(blen AS INTEGER) AS byte_len,

@@ -921,8 +921,18 @@ def q26_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_uniq = F.array_sort(F.array_distinct(tok))
     return docs.select(
         "doc_id",
-        F.array_join(F.slice(sorted_uniq, 1, 3), ",").alias("first3_sorted"),
-        F.array_contains(tok, "the").cast("int").alias("has_the"),
+        # NULL (not '') when the doc has no tokens: DuckDB's
+        # array_to_string([]) is NULL while Spark's array_join([]) is ''
+        # — pin the portable semantics explicitly (edge-sf sweep)
+        F.when(
+            F.size(sorted_uniq) > 0,
+            F.array_join(F.slice(sorted_uniq, 1, 3), ","),
+        ).alias("first3_sorted"),
+        # 0 for NULL text: a missing doc contains nothing — matches the
+        # twin's CASE, where NULL falls to the ELSE 0 arm
+        F.coalesce(
+            F.array_contains(tok, "the").cast("int"), F.lit(0)
+        ).alias("has_the"),
         F.get(tok, 0).alias("tok_first"),
         F.levenshtein(F.get(tok, 0), F.get(tok, 1)).alias("lev_first_two"),
         F.size(sorted_uniq).alias("n_uniq"),
