@@ -367,3 +367,32 @@ def test_edge_helpers_are_total_on_null_and_empty(spark):
             f"FROM (SELECT CAST({sval} AS VARCHAR) AS s)"
         ).fetchone()
         assert got == (want_h, 0, 0.0), (sval, got)
+
+
+def test_read_embeddings_source_contract(spark, tmp_path):
+    """The embeddings source quarantines invalid vectors at ingestion:
+    NULL rows, vectors containing a NULL element, and all-zero vectors
+    never reach a consumer — the one shared gate that keeps ~20 ANN/
+    dedup/clustering queries and their DuckDB twins on one semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import (
+        read_embeddings,
+    )
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], None, [0.0, 0.0], [0.5, None], [0.0, -2.0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    kept = sorted(
+        r.vec_id for r in read_embeddings(spark, str(tmp_path)).collect()
+    )
+    assert kept == [1, 5], "NULL (2), all-zero (3), NULL-element (4) drop"

@@ -58,7 +58,57 @@ def build(src: str, out: str) -> None:
         pa.Table.from_pandas(merged, schema=t.schema, preserve_index=False),
         out_p / "documents.parquet",
     )
-    print(f"wrote {out_p} ({len(merged)} documents incl. 4 edge rows)")
+
+    # embeddings: a ZERO vector (padding/failed-embed artifact — the
+    # zero-norm case every cosine guard exists for) and a NULL embedding
+    # (failed embed job). vec_id appended past the max so ANN query
+    # anchors (vec_id 0) stay untouched.
+    te = pq.read_table(src_p / "embeddings.parquet")
+    de = te.to_pandas()
+    dim = len(de.embedding.iloc[0])
+    vmx = int(de.vec_id.max())
+    ee = pd.DataFrame(
+        {
+            "vec_id": pd.Series([vmx + 1, vmx + 2], dtype="int64"),
+            "embedding": pd.Series([[0.0] * dim, None], dtype="object"),
+            "label": pd.Series(
+                [int(de.label.iloc[0])] * 2, dtype=de.label.dtype
+            ),
+        }
+    )
+    me = pd.concat([de, ee], ignore_index=True)
+    me["vec_id"] = me["vec_id"].astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(me, schema=te.schema, preserve_index=False),
+        out_p / "embeddings.parquet",
+    )
+
+    # events: a NULL-value event (non-revenue action) and a NULL-user
+    # event (anonymous session) at fresh event_ids, timestamps inside the
+    # existing range so window/watermark logic sees nothing special.
+    tv = pq.read_table(src_p / "events.parquet")
+    dv = tv.to_pandas()
+    emx = int(dv.event_id.max())
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.Series([emx + 1, emx + 2], dtype="int64"),
+            "ts": [dv.ts.iloc[0], dv.ts.iloc[len(dv) // 2]],
+            "user_id": pd.Series([int(dv.user_id.iloc[0]), None], dtype="object"),
+            "event_type": ["click", "click"],
+            "value": pd.Series([None, 1.25], dtype="object"),
+            "props": ["{}", "{}"],
+        }
+    )
+    mv = pd.concat([dv, ev], ignore_index=True)
+    mv["event_id"] = mv["event_id"].astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(mv, schema=tv.schema, preserve_index=False),
+        out_p / "events.parquet",
+    )
+    print(
+        f"wrote {out_p}: {len(merged)} documents (4 edge), "
+        f"{len(me)} embeddings (2 edge), {len(mv)} events (2 edge)"
+    )
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from ..functions import hashing, text, vectors
 from ..multimodal import attach_fake_payload, frame_sample, image_meta
-from ..sources import read_table
+from ..sources import read_embeddings, read_table
 from .registry import QuerySpec, register, register_local
 
 P = hashing.MERSENNE_P
@@ -406,7 +406,7 @@ FROM votes ORDER BY doc_id
 # bucket — see ann_lsh_buckets — or an IVF cell).
 # ---------------------------------------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -428,7 +428,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMB_COS_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -447,7 +447,7 @@ ANN_K = 10
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
@@ -463,7 +463,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
 FROM e, q WHERE vec_id <> 0
@@ -487,7 +487,7 @@ def _plane_lit(j: int):
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     bucket = sum(
         [
@@ -514,7 +514,7 @@ _BUCKET_SQL = " + ".join(
 )
 
 ANN_LSH_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
 FROM e ORDER BY vec_id
 """
@@ -579,7 +579,7 @@ def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -592,7 +592,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELLS_CTE = """
-e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 ex AS (
   SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
   FROM e, range(0, 64) t(d)
@@ -626,7 +626,7 @@ ANN_IVF_CELLS_SQL = f"WITH {_IVF_CELLS_CTE} SELECT vec_id, cell FROM cells ORDER
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -1253,7 +1253,7 @@ for _spec in [
 # quantization cost.
 # ---------------------------------------------------------------------------
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
     scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
     quant = emb.select(
@@ -1279,7 +1279,7 @@ ANN_INT8_SQL = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 sc AS (
   SELECT vec_id, v,
@@ -1323,7 +1323,7 @@ register_local(
 # so this query's self-join is Exchange-free.
 # ---------------------------------------------------------------------------
 def dedup_embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v")).join(
         _ivf_cells(spark, sf_dir), "vec_id"
     )
@@ -1611,7 +1611,7 @@ KNN_K = 5
 
 
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     q = e.filter(F.col("vec_id") < KNN_Q).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -1633,7 +1633,7 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_KNN_JOIN_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {KNN_Q}),
 scored AS (
   SELECT q_id, vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
@@ -2013,7 +2013,7 @@ register(
 # total is independent of summation order; assignment ties break by cell.
 # ---------------------------------------------------------------------------
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -2253,7 +2253,7 @@ register_local(
 # in dimension order. Output loadings rounded to 9 dp.
 # ---------------------------------------------------------------------------
 def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
 
     vcur = spark.range(1).select(
@@ -2323,7 +2323,7 @@ def _pc_iter_sql(prev: str, name: str) -> str:
 
 
 EMB_TOP_COMPONENT_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 r0 AS (
   SELECT list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS pc
 ),
@@ -2730,7 +2730,7 @@ RRF_K0 = 60
 
 
 def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos_list = (
@@ -2798,7 +2798,7 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_RRF_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 cos_list AS (
   SELECT vec_id, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
@@ -3034,7 +3034,7 @@ PQ_N_QUERIES = 5  # vec_id 1..5 are the query vectors (ids start at 0)
 def _pq_subspace_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, s, code, d2i): exact scaled-int distance of every vector's
     subspace-s slice to every codeword of subspace s."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -3102,7 +3102,7 @@ ANN_PQ_BODY = f"""
 WITH e AS (
   SELECT vec_id, label,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 ex AS (
   SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
@@ -3347,7 +3347,7 @@ register_local(
 # engines), ranked by (rounded d2, vec_id) for a total order.
 # ---------------------------------------------------------------------------
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     q = e.filter(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
@@ -3391,7 +3391,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_PQ_RECALL_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 q AS (
   SELECT vec_id AS q_id, v AS qv FROM e
@@ -3775,7 +3775,7 @@ register_local(
 # cross-checks its word distances against these unpacked ones row-by-row.
 # ---------------------------------------------------------------------------
 def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
     sig = emb.select("vec_id", v.alias("v"))
     qv = sig.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
@@ -3802,7 +3802,7 @@ ANN_HAMMING_SQL = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id,
@@ -3854,7 +3854,7 @@ _HAM_WEIGHTS = [2**i for i in range(63)] + [_HAM_MINLONG]
 
 
 def ann_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
     w = F.array(*[F.lit(x).cast("long") for x in _HAM_WEIGHTS])
     pack = F.aggregate(
@@ -3895,7 +3895,7 @@ ANN_HAMMING_PACKED_SQL = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 p AS (
   SELECT vec_id, v,
@@ -3971,7 +3971,7 @@ _SEMDEDUP_C_MIN = 8  # cluster-count floor at tiny scales
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     # repartition BEFORE the n·C distance evaluation: the assignment stage
     # is compute-bound (n·C·d flops), and a single-file parquet source
     # would otherwise run it on one partition — one O(n·d) round-robin
@@ -4036,10 +4036,10 @@ _L2_FOLD = """list_reduce(
       (acc, x) -> acc + x)"""
 
 DEDUP_SEMANTIC_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 cfg AS (
   SELECT GREATEST({_SEMDEDUP_C_MIN}, COUNT(*) // {_SEMDEDUP_TARGET}) AS c
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 seed AS (
   SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT c FROM cfg)
@@ -4150,7 +4150,7 @@ register_local(
 def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
     m = e.agg(
         F.max(F.sqrt(vectors.dot(F.col("v"), F.col("v")))).alias("m")
@@ -4207,7 +4207,7 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_MIPS_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 m AS (SELECT MAX(sqrt(list_dot_product(v, v))) AS m FROM e),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 aug AS (
@@ -4439,7 +4439,7 @@ JL_SAMPLE = 40
 
 
 def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).select(
@@ -4524,7 +4524,7 @@ WITH comp AS (
   FROM (
     SELECT vec_id, unnest(embedding) AS v,
            generate_subscripts(embedding, 1) AS i
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
   )
 ),
 proj AS (
@@ -4593,7 +4593,7 @@ register_local(
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", vectors.as_double(F.col("embedding")).alias("v")
     ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
@@ -4698,10 +4698,10 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SEMANTIC_IVF_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 cfg AS (
   SELECT GREATEST({_SEMDEDUP_C_MIN}, COUNT(*) // {_SEMDEDUP_TARGET}) AS c
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cfg2 AS (
   SELECT c, GREATEST(2, CAST(FLOOR(SQRT(c)) AS BIGINT)) AS c1 FROM cfg
@@ -4822,7 +4822,7 @@ RERANK_POOL = 100
 
 
 def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
     scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
     base = emb.select(
@@ -4882,7 +4882,7 @@ def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_RERANK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 sc AS (
   SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
   FROM e

@@ -214,6 +214,25 @@ GRADE_QUEUE: dict[str, int] = {
     "dedup_substring_ngrams": 9,
     "corpus_label_propagation": 9,
     "sketch_cms_manual": 9,
+    # hash-drift re-grades, batch 2: the embeddings SOURCE contract
+    # (sources.read_embeddings quarantines NULL / NULL-element /
+    # all-zero vectors; oracles gained the matching WHERE) is in the
+    # closure of every embedding consumer. On the driver's clean data
+    # the filter passes every row — outputs unchanged, re-grade is the
+    # convergence formality.
+    "ann_hamming_topk": 9,
+    "ann_int8_topk": 9,
+    "ann_ivf_recall": 9,
+    "ann_ivf_topk": 9,
+    "ann_knn_join": 9,
+    "ann_lsh_buckets": 9,
+    "ann_pq_recall": 9,
+    "ann_pq_topk": 9,
+    "ann_rrf_fusion": 9,
+    "dedup_embedding_cosine": 9,
+    "dedup_embedding_ivf_pairs": 9,
+    "embeddings_kmeans": 9,
+    "embeddings_top_component": 9,
 }
 
 
