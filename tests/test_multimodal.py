@@ -156,3 +156,44 @@ def test_image_features_export_matches_oracle_on_empty_docs(spark, tmp_path):
     want = [tuple(t) for t in con.execute(IMAGE_FEATURES_SQL).fetchall()]
     assert sorted(got) == sorted(want)
     assert {d for d, _, _ in got} == {0, 3}, "docs 1 (empty) and 2 (NULL) drop"
+
+
+def test_image_features_oracle_walks_bytes_on_unicode(spark, tmp_path):
+    """'héllo wörld' is 11 chars but 13 UTF-8 bytes: the kernel histograms
+    BYTES (np.frombuffer of the encoded payload), so the DuckDB oracle
+    must walk encoded bytes too — the original ascii(char) walk agreed
+    only on pure-ASCII text. Pin exact cross-engine parity on multi-byte
+    docs, and pin the Spark fractions against a hand-encoded truth."""
+    import duckdb
+    import numpy as np
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        IMAGE_FEATURES_SQL,
+        multimodal_image_features,
+    )
+
+    texts = {0: "héllo wörld", 1: "日本語 and ascii", 2: "plain ascii"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    sf_dir = tmp_path / "sf"
+    docs.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+
+    got = [
+        (r.doc_id, r.bucket, r.frac)
+        for r in multimodal_image_features(spark, str(sf_dir)).collect()
+    ]
+    con = duckdb.connect()
+    glob = str(sf_dir / "documents.parquet" / "*.parquet").replace("'", "''")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(t) for t in con.execute(IMAGE_FEATURES_SQL).fetchall()]
+    assert sorted(got) == sorted(want)
+
+    # hand truth for doc 0: byte histogram of the UTF-8 encoding
+    raw = np.frombuffer(texts[0].encode(), dtype=np.uint8)
+    hist = np.bincount(raw % 16, minlength=16)
+    truth = np.floor(hist / raw.size * 1e6 + 0.5) / 1e6
+    spark_d0 = {b: f for d, b, f in got if d == 0}
+    assert raw.size == 13  # 11 chars, 13 bytes
+    for b in range(16):
+        assert spark_d0[b] == truth[b]

@@ -6,16 +6,23 @@ Copies every table from a source SF dir and appends pathological rows to
 - empty text (``''``)           — zero length, zero tokens;
 - NULL text                     — the undecodable/missing-doc case;
 - whitespace-only (``'   '``)   — nonzero length, zero tokens;
-- punctuation-only              — nonzero length/symbols, zero tokens.
+- punctuation-only              — nonzero length/symbols, zero tokens;
+- multi-byte UTF-8 text         — byte-walk vs char-walk divergence;
+
+plus embeddings edges (all-zero vector, NULL vector — quarantined by the
+sources.read_embeddings ingestion contract) and events edges (NULL value,
+NULL user_id).
 
 Running the FULL registry against this dir (``python tools/oracle_check.py
 /tmp/edge_sf``) is the mechanical form of the empty-edge spot check the
-verification norms call for. The round-8 sweep found 16 queries that
-crashed (ANSI DIVIDE_BY_ZERO, NULL-payload TypeError in Arrow kernels) or
+verification norms call for. Across its round-8 iterations the sweep found 36 divergent queries:
+ones that crashed (ANSI DIVIDE_BY_ZERO, NULL-payload TypeError in Arrow kernels) or
 silently diverged from their DuckDB twins (NULL-vs-0 hash buckets flipping
 train/val/test membership, NULL-vs-'' array joins, list_sum([]) = NULL) on
-exactly these rows — every one a real defect class at 100 TB, where a
-crawl slice always contains empty and null documents.
+exactly these rows, plus byte-vs-char histogram drift on multi-byte
+UTF-8 and the whole embedding family on zero/NULL vectors — every one
+a real defect class at 100 TB, where a crawl slice always contains
+empty, null, and non-ASCII documents and failed embed jobs.
 
 Usage:
     python tools/make_edge_sf.py [src_sf_dir] [out_dir]
@@ -42,13 +49,23 @@ def build(src: str, out: str) -> None:
     t = pq.read_table(src_p / "documents.parquet")
     df = t.to_pandas()
     mx = int(df.doc_id.max())
+    texts = [
+        "",  # zero length, zero tokens
+        None,  # missing doc
+        "   ",  # nonzero length, zero tokens
+        "!!!??? ...",  # symbols only, zero tokens
+        # multi-byte UTF-8: byte-walking kernels vs char-walking oracles
+        # diverge on these unless the oracle walks encoded bytes too
+        "héllo wörld naïve café résumé",
+        "日本語のテキスト and some ascii 123",
+    ]
     extra = pd.DataFrame(
         {
-            "doc_id": [mx + 1, mx + 2, mx + 3, mx + 4],
-            "text": ["", None, "   ", "!!!??? ..."],
-            "lang": ["en"] * 4,
-            "source": [df.source.iloc[0]] * 4,
-            "n_chars": [0, 0, 3, 10],
+            "doc_id": [mx + 1 + i for i in range(len(texts))],
+            "text": texts,
+            "lang": ["en", "en", "en", "en", "fr", "ja"],
+            "source": [df.source.iloc[0]] * len(texts),
+            "n_chars": [0 if t is None else len(t) for t in texts],
         }
     )
     merged = pd.concat([df, extra], ignore_index=True)
@@ -106,7 +123,7 @@ def build(src: str, out: str) -> None:
         out_p / "events.parquet",
     )
     print(
-        f"wrote {out_p}: {len(merged)} documents (4 edge), "
+        f"wrote {out_p}: {len(merged)} documents (6 edge), "
         f"{len(me)} embeddings (2 edge), {len(mv)} events (2 edge)"
     )
 

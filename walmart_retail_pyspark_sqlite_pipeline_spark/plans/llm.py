@@ -1848,14 +1848,24 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "bucket")
 
 
-# documents text is ASCII in the testdata, so byte values == ascii(char);
-# the histogram oracle walks characters (a general blob-byte walk would go
-# through hex() slicing — unnecessary here and much slower)
+# The oracle walks the UTF-8 BYTES of the payload, exactly like the
+# kernel's np.frombuffer: bucket = byte % 16 = the LOW HEX NIBBLE of the
+# blob's hex() dump, so one strpos per byte reproduces the kernel on any
+# unicode text. (The original char-walk via ascii(c) agreed only on pure
+# ASCII — a planted 'héllo wörld' doc diverged 0.1379 vs 0.1143 because
+# é is two bytes; found by the unicode edge sweep.) Empty/NULL docs have
+# no bytes CTE rows, matching the kernel's quarantine drop.
 IMAGE_FEATURES_GRID = """
-WITH chars AS (
-  SELECT doc_id, ascii(c) % 16 AS bucket
-  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
-  WHERE c <> ''
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+),
+u AS (SELECT doc_id, h, unnest(range(0, length(h) // 2)) AS i FROM hx),
+chars AS (
+  SELECT doc_id,
+    strpos('0123456789ABCDEF', substr(h, 2 * CAST(i AS INTEGER) + 2, 1)) - 1
+      AS bucket
+  FROM u
 ),
 tot AS (SELECT doc_id, COUNT(*) AS n FROM chars GROUP BY doc_id),
 cnt AS (SELECT doc_id, bucket, COUNT(*) AS k FROM chars GROUP BY doc_id, bucket),
