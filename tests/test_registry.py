@@ -226,3 +226,34 @@ def test_rotation_never_orphans_a_capability_tag():
         "query carries them, no parked owner has >=2 green driver rounds, "
         "and they are not in the covered-elsewhere list"
     )
+
+
+def test_embedding_oracles_use_the_canonical_source_contract():
+    """Every DuckDB oracle touching the embeddings table must gate it
+    through EXACTLY the canonical validity subquery derived from
+    sources.tables.EMB_VALID_SQL (the SQL twin of the read_embeddings
+    ingestion contract). A future contract change edits the constant and
+    mechanically re-syncs the oracle strings; this test turns a missed
+    site — which would silently desync Spark from DuckDB for that one
+    query — into a loud failure."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+        all_specs,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources.tables import (
+        EMB_VALID_SQL,
+    )
+
+    canonical = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL}) embeddings"
+    gated, problems = 0, []
+    for name, spec in sorted(all_specs(include_local=True).items()):
+        sql = spec.oracle or ""
+        if "embeddings" not in sql:
+            continue
+        gated += sql.count(canonical)
+        if "FROM embeddings" in sql.replace(canonical, ""):
+            problems.append(name)
+    assert problems == [], (
+        f"oracles reading embeddings WITHOUT the canonical validity gate: "
+        f"{problems}"
+    )
+    assert gated >= 19, f"expected >=19 gated sites, found {gated}"

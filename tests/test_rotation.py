@@ -98,11 +98,14 @@ def test_queue_only_holds_never_graded_or_drifted_queries():
         return
     ledger = json.load(open(REPO / "GRADED_HASHES.json"))["entries"]
     specs = all_specs(include_local=True)
-    stale = [
-        n
-        for n in overlap
-        if n in ledger and spec_hash(specs[n]) == ledger[n]["hash"]
-    ]
+    unstamped = [n for n in overlap if n not in ledger]
+    assert unstamped == [], (
+        f"queued driver-green queries with NO ledger entry: {unstamped} — "
+        "run tools/update_graded_hashes.py first; without a stamped hash "
+        "the 'awaiting re-grade' state can't be distinguished from a "
+        "double-counting stale entry"
+    )
+    stale = [n for n in overlap if spec_hash(specs[n]) == ledger[n]["hash"]]
     assert stale == [], (
         f"queued queries already driver-green with UNCHANGED source: {stale}"
         " — their evidence is current, the queue entry double-counts"

@@ -38,6 +38,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: DuckDB twin of the :func:`read_embeddings` ingestion contract. Every
+#: embedding oracle embeds EXACTLY the subquery
+#: ``(SELECT * FROM embeddings WHERE {EMB_VALID_SQL}) embeddings`` —
+#: tests/test_registry.py asserts each site matches this constant, so a
+#: contract change is one edit here + one mechanical sync of the oracle
+#: strings instead of 19 opportunities for silent engine drift.
+EMB_VALID_SQL = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
 def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings SOURCE contract: every yielded vector is non-NULL,
     has no NULL element, and has at least one nonzero component. A real
