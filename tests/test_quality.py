@@ -138,3 +138,42 @@ def test_k_anonymity_counts_planted_group_sizes(spark, tmp_path):
     assert got[25].at_risk_share == 0.25
     for r in got.values():
         assert (r.n_groups, r.n_rows, r.min_group_size) == (4, 40, 1)
+
+
+def test_l_diversity_flags_homogeneous_groups(spark, tmp_path):
+    """Homogeneity attack fixture: a LARGE QI group whose sensitive
+    attribute (acctbal band) is constant (ndv=1) must be flagged at every
+    l even though k-anonymity would pass it; a 2-band group clears l=2
+    but not l=3; a 5-band group clears all thresholds."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_l_diversity,
+    )
+
+    rows = []
+    ck = 0
+
+    def add(n, nat, seg, bal):
+        nonlocal ck
+        for _ in range(n):
+            ck += 1
+            rows.append((ck, f"c{ck}", nat, bal, seg))
+
+    add(10, 0, "A", 500.0)              # ndv=1, cnt=10 — homogeneous
+    add(2, 1, "B", 500.0)               # band 0
+    add(2, 1, "B", 1500.0)              # band 1 -> ndv=2, cnt=4
+    for b in range(5):                  # ndv=5, cnt=5 — diverse
+        add(1, 2, "C", 500.0 + 1000.0 * b)
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    df.write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r.l: r for r in qc_l_diversity(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 3, 5}
+    assert (got[2].groups_below, got[2].rows_at_risk) == (1, 10)
+    assert (got[3].groups_below, got[3].rows_at_risk) == (2, 14)
+    assert (got[5].groups_below, got[5].rows_at_risk) == (2, 14)
+    r = got[2]
+    assert (r.n_groups, r.n_rows, r.min_distinct_sensitive) == (3, 19, 1)
+    assert r.at_risk_share == round((2 * 10 * 1000000 + 19) // (2 * 19) / 1e6, 6)

@@ -212,6 +212,13 @@ def test_rotation_never_orphans_a_capability_tag():
         # source-mix (CP1) families driver-green; queued for round 9
         "ST12",  # stream-static broadcast enrichment join: ST2 streaming
         # agg + J1/J2 join families driver-green; queued for round 9
+        # round-9 additions, queued in GRADE_QUEUE for the round-10 window
+        "TX21",  # batched BM25 (query TABLE): TX20 scoring kernel exported
+        # r9 + the ann_knn_join per-key window idiom; queued for round 10
+        "SIM17",  # composed IVF-PQ (faiss IVFADC): SIM4 ivf + SIM11 pq,
+        # both driver-evidenced / in the r9 window; queued for round 10
+        "QA2",  # distinct l-diversity audit: QA1 k-anonymity frame (in the
+        # r9 window) + A2 countDistinct driver-green; queued for round 10
     }
     orphaned = {
         t

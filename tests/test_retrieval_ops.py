@@ -129,12 +129,15 @@ def test_semantic_ivf_separates_planted_groups_and_prunes_dups(spark):
 def test_rerank_cascade_equals_exact_when_pool_covers_corpus(spark):
     """With corpus size <= RERANK_POOL the candidate pool is the whole
     corpus, so the cascade MUST equal the direct exact top-k: every row
-    in_exact_topk=True and ranks dense in descending rounded-cosine
-    order. (The int8 stage can only lose candidates when the pool
-    truncates — this pins the no-truncation contract.)"""
+    in_exact_topk=True (on the audit surface) and ranks dense in
+    descending rounded-cosine order. (The int8 stage can only lose
+    candidates when the pool truncates — this pins the no-truncation
+    contract.) The exported production query must be the audit minus the
+    verification leg: identical (rk, vec_id, idot, cos) rows."""
     import tempfile
 
     from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_rerank_audit,
         ann_rerank_two_stage,
     )
 
@@ -148,11 +151,15 @@ def test_rerank_cascade_equals_exact_when_pool_covers_corpus(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
-        got = ann_rerank_two_stage(spark, d).collect()
-    assert [r.rk for r in got] == list(range(1, 11))
-    assert all(r.in_exact_topk for r in got), got
-    cosines = [r.cos for r in got]
+        audit = ann_rerank_audit(spark, d).collect()
+        prod = ann_rerank_two_stage(spark, d).collect()
+    assert [r.rk for r in audit] == list(range(1, 11))
+    assert all(r.in_exact_topk for r in audit), audit
+    cosines = [r.cos for r in audit]
     assert cosines == sorted(cosines, reverse=True)
+    assert [(r.rk, r.vec_id, r.idot, r.cos) for r in prod] == [
+        (r.rk, r.vec_id, r.idot, r.cos) for r in audit
+    ]
 
 
 def test_image_ann_exact_dup_ranks_first_and_zero_norm_excluded(spark):
@@ -181,3 +188,98 @@ def test_image_ann_exact_dup_ranks_first_and_zero_norm_excluded(spark):
     ids = [r.doc_id for r in got]
     assert 2 not in ids, "zero-norm (empty payload) doc must be excluded"
     assert got[0].doc_id == 1 and got[0].cos == 1.0
+
+
+def test_bm25_batch_per_query_topk_and_self_exclusion(spark):
+    """Queries are the doc_id < 8 docs' own top length>=4 terms. Planted:
+    query 0 = {albatross, kingfisher, pelican}, query 1 = {nebula,
+    quasar}; docs 2-7 have no length>=4 tokens so those queries vanish.
+    Per query: the query doc itself is excluded even when it would top
+    the ranking; tf-saturation beats a long weak match; n_terms counts
+    matched query terms; ranks are dense per query."""
+    filler = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (0, "albatross albatross albatross kingfisher pelican xy z", "en", "src0", 0),
+        (1, "quasar quasar nebula nebula nebula xy", "en", "src0", 0),
+        (2, "a bb cc", "en", "src0", 0),
+        (3, "a bb cc", "en", "src0", 0),
+        (4, "a bb cc", "en", "src0", 0),
+        (5, "a bb cc", "en", "src0", 0),
+        (6, "a bb cc", "en", "src0", 0),
+        (7, "a bb cc", "en", "src0", 0),
+        (10, "albatross albatross stuff", "en", "src0", 0),
+        (11, "albatross " + filler, "en", "src0", 0),
+        (12, "nebula quasar", "en", "src0", 0),
+        (13, "unrelated words only here", "en", "src0", 0),
+    ]
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        text_bm25_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = text_bm25_batch(spark, d).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # only queries 0 and 1 produce terms; 2-7 have no length>=4 tokens
+    assert set(by_q) == {0, 1}, sorted(by_q)
+    q0 = {r.doc_id: r for r in by_q[0]}
+    # self excluded despite tf=3; non-matching doc absent
+    assert 0 not in q0 and 13 not in q0
+    assert {10, 11} <= set(q0)
+    assert q0[10].score_micro > q0[11].score_micro  # saturation + len norm
+    # query 1: doc 12 matches both terms
+    q1 = {r.doc_id: r for r in by_q[1]}
+    assert q1[12].n_terms == 2
+    for rows_q in by_q.values():
+        rks = sorted(r.rk for r in rows_q)
+        assert rks == list(range(1, len(rks) + 1))
+        srt = sorted(rows_q, key=lambda r: r.rk)
+        scores = [r.score_micro for r in srt]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_prunes_unprobed_cell_and_adc_exact_zero(spark):
+    """Three label clusters: A (vec 1-8, all exactly 2*e0 — queries 1-5
+    live here), B (vec 20/21 at 4*e1, the second-nearest centroid), C
+    (vec 30/31 at 6*e2, beyond NPROBE=2). For every query: C members
+    must NEVER appear (probe pruning), and because every A member is
+    identical, the per-subspace codewords equal the A slices exactly, so
+    the ADC distance to other A members is EXACTLY 0.0 and the top-3 are
+    the lowest-id A members (tie-break by vec_id). B members score > 0
+    and stay out of the top-3."""
+    import tempfile
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_ivfpq_topk,
+    )
+
+    def vec(axis, mag):
+        v = [0.0] * 64
+        v[axis] = mag
+        return v
+
+    rows = [(i, vec(0, 2.0), 0) for i in range(1, 9)]
+    rows += [(20, vec(1, 4.0), 1), (21, vec(1, 4.0), 1)]
+    rows += [(30, vec(2, 6.0), 2), (31, vec(2, 6.0), 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = ann_ivfpq_topk(spark, d).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {1, 2, 3, 4, 5}
+    for q_id, rows_q in by_q.items():
+        ids = {r.vec_id for r in rows_q}
+        assert not ids & {30, 31}, f"unprobed cell leaked into q{q_id}"
+        assert q_id not in ids, "self not excluded"
+        assert sorted(r.rk for r in rows_q) == [1, 2, 3]
+    q1 = sorted(by_q[1], key=lambda r: r.rk)
+    assert [r.vec_id for r in q1] == [2, 3, 4]
+    assert all(r.approx_d2 == 0.0 for r in q1)

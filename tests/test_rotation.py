@@ -222,3 +222,63 @@ def test_closure_payload_captures_container_constants(monkeypatch):
         _sys.modules[__name__], "_CLOSURE_LIST", ["a", "b", "c"]
     )
     assert _closure_payload(_uses_container_constants) != p1
+
+
+def test_readme_counts_match_live_registry():
+    """VERDICT r8 #2: hand-written registry counts in README went stale
+    three rounds running. The 'Grading convergence' bullet is now
+    generated between markers by tools/rotation_report.py; this test
+    fails whenever the committed README block differs from what the live
+    registry would render — i.e. whenever a registry edit lands without
+    re-running the tool."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_report", REPO / "tools" / "rotation_report.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (
+        all_specs as _all_specs,
+    )
+
+    counts = mod.tier_counts(_all_specs(include_local=True), mod.driver_greens())
+    expected = mod.readme_counts_block(counts)
+    text = (REPO / "README.md").read_text()
+    assert mod.README_BEGIN in text and mod.README_END in text, (
+        "README.md lost the rotation-counts markers — restore them; the "
+        "convergence bullet must stay tool-generated"
+    )
+    begin = text.index(mod.README_BEGIN)
+    end = text.index(mod.README_END) + len(mod.README_END)
+    assert text[begin:end] == expected, (
+        "README.md rotation-counts block is stale vs the live registry — "
+        "run `python tools/rotation_report.py`"
+    )
+
+
+def test_closure_audit_reverse_index_finds_known_hubs():
+    """tools/closure_audit.py (VERDICT r8 #4) must attribute closure
+    membership from the SAME payload spec_hash uses: read_table is in
+    (nearly) every query's closure; functions.text.tokens is in the
+    BM25 family's closure; and a leaf query fn is nobody's helper."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "closure_audit", REPO / "tools" / "closure_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    consumers = mod.build_reverse_index()
+    by_suffix = {m.rsplit(".", 1)[-1]: qs for m, qs in consumers.items()}
+    assert len(by_suffix["read_table"]) > 100
+    assert "text_bm25_batch" in by_suffix["tokens"]
+    assert "text_bm25_topk" in by_suffix["tokens"]
+    # constants are tracked too (the round-8 container-capture class)
+    assert "<const TOKEN_SPLIT_RE>" in consumers
+    # a query fn is not a hub: nothing consumes q01 besides itself
+    assert by_suffix.get("q01_pricing_summary", {"q01_pricing_summary"}) == {
+        "q01_pricing_summary"
+    }

@@ -155,7 +155,7 @@ def main():
     # Asia/Tokyo, America/New_York) — the driver may run in ANY system
     # timezone, and epoch/date extraction that silently depends on the
     # session zone is a class of bug only a non-UTC drive exposes (two
-    # were found this way; see .claude/skills/verify/SKILL.md gotchas).
+    # were found this way).
     tz = ""
     if "--tz" in args:
         i = args.index("--tz")

@@ -1255,10 +1255,9 @@ for _spec in [
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
-    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
     quant = emb.select(
         "vec_id",
-        F.transform(v, lambda x: F.floor(x * scale)).alias("q"),
+        vectors.int8_quantize(v).alias("q"),
     )
     qv = quant.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
     idot = F.aggregate(
@@ -2753,9 +2752,8 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(FUSE_N)
     )
-    scale = F.lit(127.0) / F.array_max(F.transform(F.col("v"), F.abs))
     quant = e.select(
-        "vec_id", F.transform(F.col("v"), lambda x: F.floor(x * scale)).alias("q")
+        "vec_id", vectors.int8_quantize(F.col("v")).alias("q")
     )
     qq = quant.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
     idot = F.aggregate(
@@ -3166,6 +3164,194 @@ register_local(
         ANN_PQ_SQL,
         ("SIM11",),
         doc="product-quantization ANN: 4-subspace codes + broadcast-LUT ADC top-k",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_topk — the COMPOSED production billion-scale ANN shape (faiss
+# IVFADC / IVF-PQ): an IVF coarse quantizer prunes the scan to each query's
+# NPROBE nearest cells, and PQ asymmetric-distance computation scores only
+# those candidates via the broadcast (subspace, codeword) LUT. The two
+# stages exist separately as graded queries (ann_ivf_topk SIM4, ann_pq_topk
+# SIM11); this is their composition — what a real 100 TB vector store runs:
+# candidate set n·nprobe/C instead of n, 4 LUT adds instead of 64 double
+# mults per candidate, and the pruning artifact (a true neighbor hiding in
+# an unprobed cell is invisible) is exactly what ann_ivf_recall/
+# ann_pq_recall quantify.
+#
+# Plan shape: centroids and the LUT broadcast; the cell-membership join is
+# an equi-join on vec_id; the ADC join is (s, code) map-side vs the
+# broadcast LUT filtered to probed (q_id, cell) pairs BEFORE the per-query
+# aggregate — only probed-cell candidates shuffle. Per-query top-k is a
+# row_number window PARTITIONED BY q_id.
+#
+# Exactness: cell assignment d2 is the ordered zip_with fold (bit-identical
+# doubles), nprobe selection and codeword argmin are exact fixed-point
+# BIGINT comparisons, the ADC sum is exact integer arithmetic; ties break
+# by (cell), (code), (vec_id).
+# ---------------------------------------------------------------------------
+IVFPQ_NPROBE = 2
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    e = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    cent = _mean_centroids(e, "label")
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked_cells = dist.withColumn("rn", F.row_number().over(w_cell))
+    cells = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    qprobe = (
+        ranked_cells.filter(
+            (F.col("vec_id") >= 1)
+            & (F.col("vec_id") <= PQ_N_QUERIES)
+            & (F.col("rn") <= IVFPQ_NPROBE)
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    sub = _pq_subspace_dists(spark, sf_dir).localCheckpoint()
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2i", "code")
+    codes = (
+        sub.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = sub.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), "s", "code", "d2i")
+    # probe pruning BEFORE the ADC aggregate: candidates = vectors whose
+    # single home cell is among the query's NPROBE probed cells
+    cand = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    ad = (
+        cand.join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id", "cell")
+        .agg(F.sum("d2i").cast("bigint").alias("ad2i"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy("ad2i", "vec_id")
+    return (
+        ad.withColumn("rk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "q_id",
+            "rk",
+            "vec_id",
+            "cell",
+            (F.col("ad2i") / 1000000.0).alias("approx_d2"),
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+ex AS (
+  SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
+  FROM e, range(0, 64) t(d)
+),
+centdim AS (
+  SELECT label, d,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex GROUP BY label, d
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv FROM centdim GROUP BY label
+),
+dist AS (
+  SELECT vec_id, cell,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+      (acc, x) -> acc + x) AS d2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 65),
+                             i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+                         (acc, x) -> acc + x), cell) AS rn
+  FROM e, cent
+),
+cells AS (
+  SELECT vec_id, cell FROM dist WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, cell FROM dist
+  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES} AND rn <= {IVFPQ_NPROBE}
+),
+cb AS (
+  SELECT label AS code, d, d // {64 // PQ_SUBSPACES} AS s,
+    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
+  FROM ex GROUP BY label, d
+),
+sub AS (
+  SELECT ex.vec_id, cb.s, cb.code,
+    CAST(SUM(CAST(ROUND((ex.x - cb.c) * (ex.x - cb.c) * 1000000, 0)
+                  AS BIGINT)) AS BIGINT) AS d2i
+  FROM ex JOIN cb ON ex.d = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, s, code, d2i FROM sub
+  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
+),
+cand AS (
+  SELECT qprobe.q_id, codes.vec_id, cells.cell, codes.s, codes.code
+  FROM codes
+  JOIN cells ON codes.vec_id = cells.vec_id
+  JOIN qprobe ON cells.cell = qprobe.cell
+  WHERE codes.vec_id <> qprobe.q_id
+),
+ad AS (
+  SELECT cand.q_id, cand.vec_id, cand.cell,
+    CAST(SUM(lut.d2i) AS BIGINT) AS ad2i
+  FROM cand
+  JOIN lut ON cand.q_id = lut.q_id AND cand.s = lut.s AND cand.code = lut.code
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cell,
+       ad2i / 1000000.0 AS approx_d2
+FROM (
+  SELECT q_id, vec_id, cell, ad2i,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2i, vec_id) AS rk
+  FROM ad
+)
+WHERE rk <= {PQ_TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_ivfpq_topk",
+        ann_ivfpq_topk,
+        ANN_IVFPQ_SQL,
+        ("SIM17",),
+        doc="composed IVF-PQ (faiss IVFADC): nprobe cell pruning + broadcast-LUT ADC",
     )
 )
 
@@ -4426,6 +4612,190 @@ register_local(
 
 
 # ---------------------------------------------------------------------------
+# text_bm25_batch — BM25 retrieval with the queries as a TABLE (VERDICT r8
+# #6): the LLM-pipeline consumer (hard-negative mining, retrieval eval)
+# scores MILLIONS of queries, not one constant term set. Each of the
+# BM25_BATCH_NQ lowest doc_ids becomes a query whose terms are its own top
+# BM25_BATCH_QTERMS tokens (length >= 4, tf desc / term asc — the
+# "query = salient terms of a training doc" mining shape), and every query
+# retrieves its top BM25_BATCH_K corpus docs (self excluded).
+#
+# Scale shape: postings join the query-term table ON TERM — a plain
+# equi-join Catalyst broadcasts below the threshold and AQE term-partitions
+# above it (millions of queries = a shuffle-hash join on term, never a
+# loop); per-query top-k is a row_number window PARTITIONED BY query_id
+# (the ann_knn_join idiom — parallel over queries, O(|Q|) concurrency, no
+# global single-partition funnel). Scoring arithmetic is byte-identical to
+# text_bm25_topk: micro-nat BIGINT idf, exact-integer 10·L saturation,
+# DECIMAL(38,0) interior, sign-safe DIV-round.
+# ---------------------------------------------------------------------------
+BM25_BATCH_NQ = 8
+BM25_BATCH_QTERMS = 3
+BM25_BATCH_K = 5
+
+
+def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    # query table: per query doc, top QTERMS tokens (len>=4) by tf
+    qtf = (
+        toks.filter(
+            (F.col("doc_id") < BM25_BATCH_NQ) & (F.length("term") >= 4)
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    qw = Window.partitionBy("doc_id").orderBy(F.desc("qtf"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("qrk", F.row_number().over(qw))
+        .filter(F.col("qrk") <= BM25_BATCH_QTERMS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    dl = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("l_tot"))
+    # postings restricted to the query vocabulary BEFORE the tf groupBy —
+    # only matching postings shuffle (text_bm25_topk's predicate, as a join)
+    vocab = qterms.select("term").distinct()
+    tf = (
+        toks.join(vocab, "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_micro = F.round(
+        F.log(
+            (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    num = F.lit(22).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot")
+    den = (
+        F.lit(10).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot")
+        + F.lit(3).cast("decimal(38,0)") * F.col("l_tot")
+        + F.lit(9).cast("decimal(38,0)") * F.col("dl") * F.col("n_docs")
+    )
+    half = F.when(F.col("idf_micro") >= 0, F.col("den")).otherwise(-F.col("den"))
+    scored = (
+        tf.join(qterms, "term")  # attaches query_id; term-partitioned
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", idf_micro)
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .withColumn("half", half)
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(CAST(2 AS DECIMAL(38,0)) * idf_micro * num + half) div "
+                "(CAST(2 AS DECIMAL(38,0)) * den)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_BATCH_K)
+        .select("query_id", "rk", "doc_id", "n_terms", "score_micro")
+        .orderBy("query_id", "rk")
+    )
+
+
+BM25_BATCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS qtf
+  FROM toks WHERE doc_id < {BM25_BATCH_NQ} AND length(term) >= 4
+  GROUP BY doc_id, term
+),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, term,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY qtf DESC, term) AS qrk
+    FROM qtf
+  ) WHERE qrk <= {BM25_BATCH_QTERMS}
+),
+dl AS (
+  SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS l_tot FROM dl
+),
+vocab AS (SELECT DISTINCT term FROM qterms),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN vocab USING (term)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                  / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      AS idf_micro,
+    CAST(22 AS HUGEINT) * tf.tf * s.l_tot AS num,
+    CAST(10 AS HUGEINT) * tf.tf * s.l_tot
+      + CAST(3 AS HUGEINT) * s.l_tot
+      + CAST(9 AS HUGEINT) * dl.dl * s.n_docs AS den
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.query_id
+),
+contrib AS (
+  SELECT query_id, doc_id,
+    (CAST(2 AS HUGEINT) * idf_micro * num
+      + CASE WHEN idf_micro >= 0 THEN den ELSE -den END)
+    // (CAST(2 AS HUGEINT) * den) AS contrib
+  FROM scored
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro,
+         COUNT(*) AS n_terms
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms, score_micro,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id) AS rk
+  FROM per_doc
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_micro
+FROM ranked WHERE rk <= {BM25_BATCH_K} ORDER BY query_id, rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_bm25_batch",
+        text_bm25_batch,
+        BM25_BATCH_SQL,
+        ("TX21",),
+        doc="batched BM25: query TABLE join on term, per-query windowed top-k",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # embeddings_jl_projection — Johnson–Lindenstrauss random-sign projection
 # (d=64 -> k=16) with a per-pair distortion audit: the dimensionality-
 # reduction stage a 100 TB ANN pipeline runs BEFORE bucketing/LSH (4x fewer
@@ -4816,13 +5186,16 @@ register_local(
 # ---------------------------------------------------------------------------
 # ann_rerank_two_stage — the production retrieval CASCADE: a cheap int8
 # dot-product scan proposes a candidate pool (RERANK_POOL = 100), an exact
-# float cosine reranks only that pool to the final top-K, and each exported
-# row carries an `in_exact_topk` flag comparing the cascade's pick against
-# the DIRECT full-corpus exact top-K — per-row recall evidence in the same
-# result. This is the two-tower serving shape at 100 TB: stage 1 reads 4x
-# fewer bytes per vector (int8) and is the only full scan; stage 2 touches
-# 100 rows; the verification leg (direct exact top-K) exists here for the
-# oracle gate and is dropped in production.
+# float cosine reranks only that pool to the final top-K. This is the
+# two-tower serving shape at 100 TB: stage 1 reads 4x fewer bytes per
+# vector (int8) and is the ONLY full scan; stage 2 touches 100 rows.
+#
+# VERDICT r8 #7: the round-8 shape also ran the DIRECT full-corpus exact
+# top-K to flag each cascade pick (`in_exact_topk`) — a second linear scan
+# that doubled the measured growth (SCALING.md 10.69×/decade vs the
+# token-scan ~5×). That recall-audit surface survives unchanged as the
+# local `ann_rerank_audit` (COVERED_BY this query); the exported query is
+# the production cascade with ONE linear scan.
 #
 # Exactness: stage-1 scores are exact BIGINT int8 dots (ann_int8_topk's
 # idiom); stage-2 cosines are 6-dp-rounded ordered-fold doubles
@@ -4834,11 +5207,103 @@ RERANK_POOL = 100
 def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_embeddings(spark, sf_dir)
     v = vectors.as_double(F.col("embedding"))
-    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
     base = emb.select(
         "vec_id",
         v.alias("v"),
-        F.transform(v, lambda x: F.floor(x * scale)).alias("q"),
+        vectors.int8_quantize(v).alias("q"),
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("q").alias("qq")
+    )
+    corpus = base.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        corpus.select("vec_id", "v", "qv", idot.alias("idot"))
+        .orderBy(F.col("idot").desc(), F.col("vec_id"))
+        .limit(RERANK_POOL)
+    )
+    return (
+        pool.select(
+            "vec_id",
+            "idot",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
+            .cast("bigint"),
+        )
+        .select("rk", "vec_id", "idot", "cos")
+        .orderBy("rk")
+    )
+
+
+ANN_RERANK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+sc AS (
+  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+base AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS q
+  FROM sc
+),
+qrow AS (SELECT v AS qv, q AS qq FROM base WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, v, qv,
+    CAST(list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2]))
+         AS BIGINT) AS idot
+  FROM base, qrow WHERE vec_id <> 0
+),
+pool AS (
+  SELECT vec_id, v, qv, idot FROM corpus
+  ORDER BY idot DESC, vec_id LIMIT {RERANK_POOL}
+),
+reranked AS (
+  SELECT vec_id, idot, ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+  FROM pool ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk,
+  vec_id, idot, cos
+FROM reranked
+ORDER BY rk
+"""
+
+
+register(
+    QuerySpec(
+        "ann_rerank_two_stage",
+        ann_rerank_two_stage,
+        ANN_RERANK_SQL,
+        ("SIM16",),
+        doc="int8-propose + exact-cosine-rerank production cascade (one linear scan)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_rerank_audit — recall-audit surface of the SAME cascade: every
+# exported row additionally carries an `in_exact_topk` flag comparing the
+# cascade's pick against the DIRECT full-corpus exact top-K. The exact leg
+# is a second linear scan, so this stays local (COVERED_BY
+# ann_rerank_two_stage) as recall evidence rather than the production
+# export (VERDICT r8 #7).
+# ---------------------------------------------------------------------------
+def ann_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    v = vectors.as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        vectors.int8_quantize(v).alias("q"),
     )
     qrow = base.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("q").alias("qq")
@@ -4891,7 +5356,7 @@ def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RERANK_SQL = f"""
+ANN_RERANK_AUDIT_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 sc AS (
   SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
@@ -4937,11 +5402,11 @@ ORDER BY rk
 
 register_local(
     QuerySpec(
-        "ann_rerank_two_stage",
-        ann_rerank_two_stage,
-        ANN_RERANK_SQL,
+        "ann_rerank_audit",
+        ann_rerank_audit,
+        ANN_RERANK_AUDIT_SQL,
         ("SIM16",),
-        doc="int8-propose + exact-cosine-rerank cascade with per-row recall flags",
+        doc="recall-audit surface of the rerank cascade (per-row exact-topk flags)",
     )
 )
 

@@ -739,3 +739,137 @@ register_local(
         doc="k-anonymity QI audit: rows/groups below each anonymity threshold",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# qc_l_diversity — the companion governance gate to qc_k_anonymity
+# (Machanavajjhala's distinct l-diversity): k-anonymity alone is defeated
+# by the homogeneity attack — a QI group can be large yet have ONE value
+# of the sensitive attribute, so joining on the QI tuple still discloses
+# it. Group by the QI tuple (nation, market segment) and count DISTINCT
+# sensitive values (account-balance band) per group; report, for each
+# policy threshold l, how many groups and rows sit in groups with fewer
+# than l distinct sensitive values.
+#
+# Scale shape: ONE shuffle on the QI tuple (count-distinct runs as the
+# standard two-phase partial aggregate), then a single 1-row conditional
+# aggregate unpivoted via stack() — no join, no window, no second fact
+# pass; group count bounded by the QI domain, exactly like qc_k_anonymity.
+# Share export uses the same sign-free exact DIV-round idiom.
+# --------------------------------------------------------------------------
+L_DIV_THRESHOLDS = (2, 3, 5)
+L_DIV_BAND = 1000.0  # sensitive attribute: acctbal band width (dollars)
+
+
+def qc_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    groups = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(L_DIV_BAND))
+            .cast("bigint")
+            .alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.countDistinct("band").cast("bigint").alias("ndv"),
+        )
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.min("ndv").cast("bigint").alias("min_distinct_sensitive"),
+    ]
+    for l in L_DIV_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("ndv") < l, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{l}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("ndv") < l, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{l}")
+        )
+    stats = groups.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({l} AS BIGINT), g{l}, r{l}" for l in L_DIV_THRESHOLDS
+    )
+    return (
+        stats.select(
+            F.expr(
+                f"stack({len(L_DIV_THRESHOLDS)}, {stack_args}) "
+                "AS (l, groups_below, rows_at_risk)"
+            ),
+            "n_groups",
+            "n_rows",
+            "min_distinct_sensitive",
+        )
+        .withColumn(
+            "at_risk_share",
+            F.expr(
+                "(2 * rows_at_risk * 1000000 + n_rows) DIV (2 * n_rows)"
+            ).cast("bigint")
+            / F.lit(1000000.0).cast("double"),
+        )
+        .select(
+            "l",
+            "groups_below",
+            "rows_at_risk",
+            "at_risk_share",
+            "n_groups",
+            "n_rows",
+            "min_distinct_sensitive",
+        )
+        .orderBy("l")
+    )
+
+
+_L_DIV_G = ", ".join(
+    f"CAST(SUM(CASE WHEN ndv < {l} THEN 1 ELSE 0 END) AS BIGINT) AS g{l},\n"
+    f"    CAST(SUM(CASE WHEN ndv < {l} THEN cnt ELSE 0 END) AS BIGINT) AS r{l}"
+    for l in L_DIV_THRESHOLDS
+)
+_L_DIV_T = "\n  UNION ALL ".join(
+    f"SELECT CAST({l} AS BIGINT) AS l, g{l} AS groups_below, "
+    f"r{l} AS rows_at_risk, n_groups, n_rows, min_distinct_sensitive FROM s"
+    for l in L_DIV_THRESHOLDS
+)
+
+QC_L_DIVERSITY_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {L_DIV_BAND}) AS BIGINT))
+              AS BIGINT) AS ndv
+  FROM customer GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(MIN(ndv) AS BIGINT) AS min_distinct_sensitive,
+    {_L_DIV_G}
+  FROM g
+),
+t AS (
+  {_L_DIV_T}
+)
+SELECT l, groups_below, rows_at_risk,
+  CAST((2 * rows_at_risk * 1000000 + n_rows) // (2 * n_rows) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS at_risk_share,
+  n_groups, n_rows, min_distinct_sensitive
+FROM t ORDER BY l
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_l_diversity",
+        qc_l_diversity,
+        QC_L_DIVERSITY_SQL,
+        ("QA2",),
+        doc="distinct l-diversity audit: QI groups below each sensitive-value-diversity threshold",
+    )
+)

@@ -70,22 +70,27 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-8 window (VERDICT r7 "Next round" #1/#3):
+# Round-9 window (VERDICT r8 "Next round" #1/#3/#5):
 # - 12 bench headliners: every bench.py-timed query stays driver-graded;
-# - 12 queue drains: the entire round-7 GRADE_QUEUE (batches 2+3) rotates
-#   in — kmv/semdedup/cusum/mips/gopher/mg/temperature/novelty/ams_f2/
-#   wasserstein/clustering_coeff/seasonal_decompose;
-# - 1 re-grade: multimodal_image_features — driver-RED r7 on export shape
-#   (array<double> column defeats the driver's pandas hasher); re-exported
-#   this round as exploded scalar (doc_id, bucket, frac) rows, with the
-#   array-shaped variant parked under COVERED_BY;
-# - 25 evidence-deepeners: parked queries with exactly ONE green driver
-#   round rotate back in for a second independent round (the long tail of
-#   the convergence policy — deepest-need-first, i.e. all from the
-#   1-green-round tier).
-# No hash-drift re-grades: GRADED_HASHES.json was stamped at round start
-# (sources unchanged since the r7 grade) and tests/test_rotation.py was
-# green before any query edit.
+# - 9 queue drains: the round-8 operator batch, never driver-graded —
+#   bm25/jl_projection/session_windows/semantic_ivf/rerank_two_stage/
+#   image_ann/k_anonymity/kl_divergence/static_enrich. Two of these were
+#   reshaped BEFORE their first grade per VERDICT r8: ann_rerank_two_stage
+#   exports the production cascade (the exact-verification leg moved to
+#   the local ann_rerank_audit, COVERED_BY), and dedup_semantic_ivf is now
+#   the canonical SemDeDup surface (the flat n*C variant parked under
+#   COVERED_BY as the measured comparison point);
+# - 18 hash-drift re-grades: the whole round-8 drift queue — 5 from the
+#   edge-hardening poly_hash closure change, 13 from the read_embeddings
+#   source contract. Outputs on the driver's clean data are unchanged
+#   (judge-verified 192/192 at sf0.01 + edge sweep); the re-grade is the
+#   convergence formality;
+# - 11 evidence-deepeners, oldest-evidence-first from the hash-stable
+#   1-green-round tier (r1 evidence: q09/q10/q24/q25; r5 evidence:
+#   corpus_chunk_dedup, corpus_source_mix, events_range_rolling,
+#   events_session_concurrency, q30/q34/q37). The remaining single-green
+#   tier (2 r5 + the r6/r7 cohorts) is scheduled for round 10 in
+#   ROTATION.md.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -101,57 +106,49 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "dedup_minhash_lsh_pairs",
         "ann_topk_cosine",
         "corpus_shingle_index",
-        # --- re-grade: driver-RED r7 (export shape), now scalar-only ---
-        "multimodal_image_features",
-        # --- queue drains (the whole round-7 GRADE_QUEUE, never graded) ---
-        "sketch_kmv_intersection",
-        "dedup_semantic_clusters",
-        "events_cusum_changepoint",
-        "ann_mips_topk",
-        "corpus_gopher_rules",
-        "sketch_mg_heavyhitters",
-        "corpus_temperature_mix",
-        "corpus_novelty_curve",
-        "sketch_ams_f2",
-        "qc_drift_wasserstein",
-        "corpus_clustering_coeff",
-        "events_seasonal_decompose",
-        # --- hash-drift re-grades (late round 8): the edge-hardening pass
-        # (empty/NULL-text semantics in quality_score / stopword_hits /
-        # poly_hash and the multimodal kernels — see tools/make_edge_sf.py)
-        # flipped the closure hash of 30 once-green queries. The 8 below
-        # were already in the window as deepeners and simply keep their
-        # slots as re-grades...
-        "corpus_balanced_sample_topk",
-        "corpus_bloom_contamination",
-        "corpus_split_leakage",
-        "corpus_token_rebalance",
-        "corpus_triangles",
-        "corpus_weighted_sample_topk",
-        "dedup_containment",
-        "dedup_winnowing_pairs",
-        # ...and these 17 displaced the window's hash-stable deepeners
-        # (rotated back to parked on their unchanged evidence; second
-        # greens deferred to round 9+), ordered oldest-evidence-first.
-        # The 5 drifted queries that did not fit the 50-slot window went
-        # to GRADE_QUEUE as round-9 re-grades.
-        "q26_array_funcs",
-        "multimodal_frame_sample",
-        "text_quality",
-        "corpus_stratified_sample",
-        "dedup_simhash",
-        "text_langid",
-        "text_fingerprint",
-        "multimodal_image_meta",
-        "corpus_split_train_val_test",
-        "corpus_contamination",
-        "dedup_incremental_near_docs",
-        "corpus_quality_weighted_sample",
-        "dedup_cc_clusters",
-        "text_lang_confusion",
-        "text_sentiment",
-        "multimodal_image_resize",
-        "multimodal_audio_meta",
+        # --- queue drains: round-8 operators, first grade ---
+        "text_bm25_topk",
+        "embeddings_jl_projection",
+        "stream_session_windows",
+        "dedup_semantic_ivf",
+        "ann_rerank_two_stage",
+        "multimodal_image_ann",
+        "qc_k_anonymity",
+        "corpus_kl_divergence",
+        "stream_static_enrich",
+        # --- hash-drift re-grades, batch 1 (poly_hash edge-hardening) ---
+        "corpus_pagerank",
+        "corpus_canonical_docs",
+        "dedup_substring_ngrams",
+        "corpus_label_propagation",
+        "sketch_cms_manual",
+        # --- hash-drift re-grades, batch 2 (read_embeddings contract) ---
+        "ann_hamming_topk",
+        "ann_int8_topk",
+        "ann_ivf_recall",
+        "ann_ivf_topk",
+        "ann_knn_join",
+        "ann_lsh_buckets",
+        "ann_pq_recall",
+        "ann_pq_topk",
+        "ann_rrf_fusion",
+        "dedup_embedding_cosine",
+        "dedup_embedding_ivf_pairs",
+        "embeddings_kmeans",
+        "embeddings_top_component",
+        # --- evidence-deepeners (hash-stable, exactly one green round,
+        # oldest evidence first) ---
+        "q09_rollup_flag_status",
+        "q10_nation_set_ops",
+        "q24_string_funcs",
+        "q25_date_funcs",
+        "corpus_chunk_dedup",
+        "corpus_source_mix",
+        "events_range_rolling",
+        "events_session_concurrency",
+        "q30_unpivot_metrics",
+        "q34_correlated_scalar",
+        "q37_histogram",
     }
 )
 
@@ -184,55 +181,34 @@ COVERED_BY: dict[str, str] = {
     # driver's pandas hasher can't sort a list column (CORRECTNESS_r07
     # TypeError), so the exploded scalar twin is the driver-graded export
     "multimodal_image_features_vec": "multimodal_image_features",
+    # VERDICT r8 #3: the flat SemDeDup variant (driver-green r8) carries a
+    # named scale-killer — with the SemDeDup recipe C ∝ n, flat assignment
+    # is n·C = n²/250 distance evals (SCALING.md measured 8.72×/decade at
+    # 200k vectors). The IVF variant computes the SAME keep-rule and export
+    # via n·3·√C two-level assignment (3.81×/decade) and is now the
+    # canonical exported surface; the flat variant stays local as the
+    # measured comparison point.
+    "dedup_semantic_clusters": "dedup_semantic_ivf",
+    # VERDICT r8 #7: recall-audit surface of the SAME int8→exact rerank
+    # cascade — it forces the exact full-corpus top-K leg into the plan
+    # (a second linear scan) for the per-row in_exact_topk flags, so it
+    # stays local as evidence while the exported query runs the production
+    # cascade (ONE linear scan).
+    "ann_rerank_audit": "ann_rerank_two_stage",
 }
 
 # Tier 4 — the must-grade queue: never driver-graded, genuinely distinct
 # capabilities, with the round each rotates into EXPORTED_NAMES. The queue
 # must shrink every round; tests/test_rotation.py fails if a registry query
-# is in no tier. Round 8 drained the whole round-7 queue (all 12 entries
-# rotated into EXPORTED_NAMES above); new queries registered this round
-# take a GRADE_QUEUE entry targeting round 9.
+# is in no tier. Round 9 drained the whole round-8 queue (all 27 entries —
+# 9 never-graded operators + 18 hash-drift re-grades — rotated into
+# EXPORTED_NAMES above); new queries registered this round take a
+# GRADE_QUEUE entry targeting round 10.
 GRADE_QUEUE: dict[str, int] = {
-    # round-8 additions (registered this round, graded next)
-    "text_bm25_topk": 9,
-    "embeddings_jl_projection": 9,
-    "stream_session_windows": 9,
-    "dedup_semantic_ivf": 9,
-    "ann_rerank_two_stage": 9,
-    "multimodal_image_ann": 9,
-    # round-8 batch 4 (post-review additions)
-    "qc_k_anonymity": 9,
-    "corpus_kl_divergence": 9,
-    "stream_static_enrich": 9,
-    # hash-drift re-grades that did not fit the round-8 window (the
-    # edge-hardening pass put poly_hash in their closure's changed set;
-    # outputs on the driver's data are unchanged — re-grade is the
-    # convergence formality). A green query may hold a queue entry ONLY
-    # in this hash-drifted state (tests/test_rotation.py enforces it).
-    "corpus_pagerank": 9,
-    "corpus_canonical_docs": 9,
-    "dedup_substring_ngrams": 9,
-    "corpus_label_propagation": 9,
-    "sketch_cms_manual": 9,
-    # hash-drift re-grades, batch 2: the embeddings SOURCE contract
-    # (sources.read_embeddings quarantines NULL / NULL-element /
-    # all-zero vectors; oracles gained the matching WHERE) is in the
-    # closure of every embedding consumer. On the driver's clean data
-    # the filter passes every row — outputs unchanged, re-grade is the
-    # convergence formality.
-    "ann_hamming_topk": 9,
-    "ann_int8_topk": 9,
-    "ann_ivf_recall": 9,
-    "ann_ivf_topk": 9,
-    "ann_knn_join": 9,
-    "ann_lsh_buckets": 9,
-    "ann_pq_recall": 9,
-    "ann_pq_topk": 9,
-    "ann_rrf_fusion": 9,
-    "dedup_embedding_cosine": 9,
-    "dedup_embedding_ivf_pairs": 9,
-    "embeddings_kmeans": 9,
-    "embeddings_top_component": 9,
+    # round-9 additions (registered this round, graded next)
+    "text_bm25_batch": 10,
+    "ann_ivfpq_topk": 10,
+    "qc_l_diversity": 10,
 }
 
 
