@@ -197,3 +197,36 @@ def test_image_features_oracle_walks_bytes_on_unicode(spark, tmp_path):
     assert raw.size == 13  # 11 chars, 13 bytes
     for b in range(16):
         assert spark_d0[b] == truth[b]
+
+
+def test_scene_cut_flags_energy_spike_and_handles_empty_null(spark, tmp_path):
+    """Hand-computed fixture: payload '        ~~~~' (8 spaces + 4 tildes,
+    blen 12 -> n=5 frames at offsets 0,2,4,7,9) has per-frame byte
+    energies [64, 64, 96, 158, 378]; only the last jump (delta 220)
+    exceeds the mean frame energy (760/5=152), so exactly frame 4 is a
+    cut. An empty doc keeps one zero-energy frame (not a cut); a NULL doc
+    is quarantined (no rows)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        multimodal_scene_cut,
+    )
+
+    rows = [
+        (1, " " * 8 + "~~~~", "en", "src0", 12),
+        (2, "", "en", "src0", 0),
+        (3, None, "en", "src0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = multimodal_scene_cut(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    d1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.energy for r in d1] == [64, 64, 96, 158, 378]
+    assert [r.delta for r in d1] == [0, 0, 32, 62, 220]
+    assert [r.is_cut for r in d1] == [False, False, False, False, True]
+    (d2,) = by_doc[2]
+    assert (d2.frame_idx, d2.energy, d2.delta, d2.is_cut) == (0, 0, 0, False)

@@ -219,6 +219,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # both driver-evidenced / in the r9 window; queued for round 10
         "QA2",  # distinct l-diversity audit: QA1 k-anonymity frame (in the
         # r9 window) + A2 countDistinct driver-green; queued for round 10
+        "MM7",  # scene-cut detection: MM2 frame expansion (driver-green)
+        # + per-doc window families proven; queued for round 10
     }
     orphaned = {
         t

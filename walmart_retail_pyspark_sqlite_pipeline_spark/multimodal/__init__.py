@@ -1,6 +1,7 @@
 from .binary import (
     attach_fake_payload,
     audio_meta,
+    frame_energy,
     frame_sample,
     image_features,
     image_meta,
@@ -14,4 +15,5 @@ __all__ = [
     "image_resize",
     "image_features",
     "frame_sample",
+    "frame_energy",
 ]

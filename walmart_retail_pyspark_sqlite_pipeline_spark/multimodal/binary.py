@@ -169,6 +169,55 @@ def frame_sample(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+FRAME_ENERGY_SCHEMA = "doc_id long, frame_idx int, n_frames int, energy long"
+
+
+def frame_energy(df_with_payload: DataFrame) -> DataFrame:
+    """Per-frame byte-energy extraction (the scene-cut feature pass):
+    expand each payload into its stub frames (same boundary arithmetic as
+    :func:`frame_sample` — ``off_i = (i*blen)//n``) and reduce each
+    frame's byte slice to an EXACT integer sum. This is the
+    1→N-expand-then-per-slice-reduce shape of a real video feature
+    pipeline (decode frame → pool features), Arrow-batched; a real
+    decoder would emit per-frame tensors and pool them here.
+
+    NULL payloads produce no rows (quarantine, matching the other
+    kernels); an EMPTY payload keeps its single frame with energy 0 (the
+    metadata is meaningful). Bytes are summed as unsigned ints, so the
+    energy is deterministic and the DuckDB oracle reproduces it from the
+    payload's hex dump.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                blen = len(b)
+                n = 1 + blen % 8
+                for i in range(n):
+                    lo = (i * blen) // n
+                    hi = ((i + 1) * blen) // n
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n)
+                    out["energy"].append(sum(b[lo:hi]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_ENERGY_SCHEMA
+    )
+
+
 def image_meta(df_with_payload: DataFrame) -> DataFrame:
     """Extract typed metadata from a binary payload column via Arrow-batched
     ``mapInPandas`` (the multimodal feature-extraction pattern)."""

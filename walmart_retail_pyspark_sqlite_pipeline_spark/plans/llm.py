@@ -916,6 +916,107 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
+# multimodal_scene_cut — video scene-cut detection over the frame pipeline:
+# the Arrow kernel (multimodal/binary.py::frame_energy) expands each
+# payload into its frames and reduces every frame's byte slice to an exact
+# integer energy (a real pipeline pools decoded-frame features here); the
+# DataFrame side then flags a cut wherever the frame-to-frame energy jump
+# exceeds the doc's mean per-frame energy — the classic content-based
+# shot-boundary heuristic, made integer-exact as
+# ``|Δenergy| · n_frames > Σenergy`` (no division, no float).
+#
+# Scale shape: 1→N Arrow expansion, then ONE shuffle partitioning frames
+# by doc_id; both windows (lag, per-doc total) share that partitioning and
+# per-doc state is bounded at 8 frames. Nothing global, nothing all-pairs.
+# The oracle reproduces the energies by walking the payload's hex dump
+# byte-by-byte (the unicode-safe idiom the image-features oracle uses).
+# ---------------------------------------------------------------------------
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import frame_energy
+
+    docs = read_table(spark, sf_dir, "documents")
+    fr = frame_energy(attach_fake_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    tot = Window.partitionBy("doc_id")
+    return (
+        fr.withColumn(
+            "delta", F.abs(F.col("energy") - F.lag("energy", 1).over(w))
+        )
+        .withColumn("total_energy", F.sum("energy").over(tot))
+        .withColumn(
+            "is_cut",
+            F.when(F.col("delta").isNull(), F.lit(False)).otherwise(
+                F.col("delta") * F.col("n_frames") > F.col("total_energy")
+            ),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.col("energy").cast("bigint").alias("energy"),
+            F.coalesce("delta", F.lit(0)).cast("bigint").alias("delta"),
+            "is_cut",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+SCENE_CUT_SQL = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS blen,
+         1 + octet_length(encode(text)) % 8 AS n
+  FROM documents WHERE text IS NOT NULL
+),
+bytes AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+    (strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 1, 1)) - 1)
+      * 16
+    + strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 2, 1)) - 1
+      AS bv
+  FROM (SELECT doc_id, h, unnest(range(0, blen)) AS j FROM hx)
+),
+frames AS (
+  SELECT doc_id, blen, n, CAST(t.i AS INTEGER) AS i,
+         (t.i * blen) // n AS off, ((t.i + 1) * blen) // n AS off_next
+  FROM hx, range(0, 8) t(i)
+  WHERE t.i < n
+),
+fe AS (
+  SELECT f.doc_id, f.i, f.n, COALESCE(SUM(b.bv), 0) AS energy
+  FROM frames f
+  LEFT JOIN bytes b
+    ON b.doc_id = f.doc_id AND b.j >= f.off AND b.j < f.off_next
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(energy) AS total FROM fe GROUP BY doc_id),
+lagd AS (
+  SELECT fe.doc_id, fe.i, fe.n, fe.energy, tot.total,
+    ABS(fe.energy - LAG(fe.energy)
+        OVER (PARTITION BY fe.doc_id ORDER BY fe.i)) AS delta
+  FROM fe JOIN tot ON fe.doc_id = tot.doc_id
+)
+SELECT doc_id,
+  CAST(i AS INTEGER) AS frame_idx,
+  CAST(energy AS BIGINT) AS energy,
+  CAST(COALESCE(delta, 0) AS BIGINT) AS delta,
+  (delta IS NOT NULL AND delta * n > total) AS is_cut
+FROM lagd
+ORDER BY doc_id, frame_idx
+"""
+
+
+register_local(
+    QuerySpec(
+        "multimodal_scene_cut",
+        multimodal_scene_cut,
+        SCENE_CUT_SQL,
+        ("MM7",),
+        doc="scene-cut detection: Arrow per-frame byte energy + integer-exact jump test",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # text_chunks — fixed-width document chunking (the context-window prep
 # step). The EXPORTED surface is the Arrow-batched mapInPandas chunker
 # (operators/chunking.py) — the 100 TB path, no per-row Python call

@@ -209,6 +209,7 @@ GRADE_QUEUE: dict[str, int] = {
     "text_bm25_batch": 10,
     "ann_ivfpq_topk": 10,
     "qc_l_diversity": 10,
+    "multimodal_scene_cut": 10,
 }
 
 
