@@ -221,6 +221,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # r9 window) + A2 countDistinct driver-green; queued for round 10
         "MM7",  # scene-cut detection: MM2 frame expansion (driver-green)
         # + per-doc window families proven; queued for round 10
+        "SIM18",  # batch rerank cascade: SIM16 cascade (in the r9 window)
+        # over the SIM11/knn-join query-block idiom; queued for round 10
     }
     orphaned = {
         t

@@ -283,3 +283,51 @@ def test_ivfpq_prunes_unprobed_cell_and_adc_exact_zero(spark):
     q1 = sorted(by_q[1], key=lambda r: r.rk)
     assert [r.vec_id for r in q1] == [2, 3, 4]
     assert all(r.approx_d2 == 0.0 for r in q1)
+
+
+def test_rerank_batch_matches_single_query_cascade(spark):
+    """The batch cascade restricted to one query must equal the
+    single-query production cascade (modulo the q_id column) whenever
+    that query's candidate set matches: corpus <= RERANK_POOL and the
+    single-query target vec 0 excluded to align candidate sets. Also:
+    every block query gets dense per-query ranks and no self-matches."""
+    import tempfile
+
+    import numpy as np
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_rerank_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = ann_rerank_batch(spark, d).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {1, 2, 3, 4, 5}
+    for q_id, rows_q in by_q.items():
+        assert all(r.vec_id != q_id for r in rows_q), "self not excluded"
+        assert sorted(r.rk for r in rows_q) == list(range(1, 11))
+        srt = sorted(rows_q, key=lambda r: r.rk)
+        cosines = [r.cos for r in srt]
+        assert cosines == sorted(cosines, reverse=True)
+    # pool covers the corpus here, so the cascade IS the exact top-k:
+    # cross-check one query against a brute-force numpy cosine ranking
+    q = 3
+    qv = vecs[q].astype(np.float64)
+    cos = {}
+    for i in range(30):
+        if i == q:
+            continue
+        v = vecs[i].astype(np.float64)
+        cos[i] = round(float(v @ qv / (np.sqrt((v * v).sum()) * np.sqrt((qv * qv).sum()))), 6)
+    expect = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_q = [(r.vec_id, r.cos) for r in sorted(by_q[q], key=lambda r: r.rk)]
+    assert [v for v, _ in got_q] == [v for v, _ in expect]

@@ -5513,6 +5513,126 @@ register_local(
 
 
 # ---------------------------------------------------------------------------
+# ann_rerank_batch — the two-stage cascade over a QUERY BLOCK (vec_ids
+# 1..PQ_N_QUERIES), completing the batch-retrieval story text_bm25_batch
+# started: production retrieval scores millions of queries, not one. The
+# query block broadcasts against the single corpus scan (the GEMM-tile
+# shape — each corpus partition streams once past the whole block), the
+# int8 proposal pool is a per-query WindowGroupLimit (partial top-POOL per
+# partition, no global funnel), and only pool survivors pay the exact
+# float cosine. At millions of queries the block becomes tiles of
+# broadcastable size streamed over the same scan; per-query work stays
+# independent (O(|Q|) parallelism).
+#
+# Exactness: identical arithmetic to ann_rerank_two_stage — exact BIGINT
+# int8 dots via vectors.int8_quantize, 6-dp ordered-fold cosines, ties on
+# vec_id.
+# ---------------------------------------------------------------------------
+def ann_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    v = vectors.as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        vectors.int8_quantize(v).alias("q"),
+    )
+    qblock = base.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        base.crossJoin(F.broadcast(qblock))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "v", "qv", idot.alias("idot"))
+    )
+    w_pool = Window.partitionBy("q_id").orderBy(
+        F.col("idot").desc(), F.col("vec_id")
+    )
+    pool = cand.withColumn("rp", F.row_number().over(w_pool)).filter(
+        F.col("rp") <= RERANK_POOL
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        pool.select(
+            "q_id",
+            "vec_id",
+            "idot",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rk") <= ANN_K)
+        .select("q_id", "rk", "vec_id", "idot", "cos")
+        .orderBy("q_id", "rk")
+    )
+
+
+ANN_RERANK_BATCH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+sc AS (
+  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+base AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS q
+  FROM sc
+),
+qblock AS (
+  SELECT vec_id AS q_id, v AS qv, q AS qq FROM base
+  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
+),
+cand AS (
+  SELECT q_id, vec_id, v, qv,
+    CAST(list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2]))
+         AS BIGINT) AS idot
+  FROM base, qblock WHERE vec_id <> q_id
+),
+pool AS (
+  SELECT q_id, vec_id, v, qv, idot FROM (
+    SELECT q_id, vec_id, v, qv, idot,
+      ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY idot DESC, vec_id) AS rp
+    FROM cand
+  ) WHERE rp <= {RERANK_POOL}
+),
+reranked AS (
+  SELECT q_id, vec_id, idot,
+    ROUND({vectors.cosine_sql('v', 'qv')}, 6) AS cos
+  FROM pool
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, idot, cos
+FROM (
+  SELECT q_id, vec_id, idot, cos,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+  FROM reranked
+)
+WHERE rk <= {ANN_K}
+ORDER BY q_id, rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_rerank_batch",
+        ann_rerank_batch,
+        ANN_RERANK_BATCH_SQL,
+        ("SIM18",),
+        doc="two-stage rerank cascade over a broadcast query block (batch retrieval)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # multimodal_image_ann — image near-duplicate retrieval over the multimodal
 # feature pipeline: the 16-bin byte-histogram feature vectors (the STUB
 # stand-in for CLIP embeddings, produced by the SAME Arrow mapInPandas

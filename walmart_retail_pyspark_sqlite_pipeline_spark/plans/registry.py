@@ -210,6 +210,7 @@ GRADE_QUEUE: dict[str, int] = {
     "ann_ivfpq_topk": 10,
     "qc_l_diversity": 10,
     "multimodal_scene_cut": 10,
+    "ann_rerank_batch": 10,
 }
 
 
