@@ -223,6 +223,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # + per-doc window families proven; queued for round 10
         "SIM18",  # batch rerank cascade: SIM16 cascade (in the r9 window)
         # over the SIM11/knn-join query-block idiom; queued for round 10
+        "SIM19",  # Matryoshka prefix-recall eval: SIM2 cosine-topk +
+        # recall-eval (SIM4 ivf_recall) families proven; queued for 10
     }
     orphaned = {
         t

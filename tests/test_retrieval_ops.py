@@ -331,3 +331,48 @@ def test_rerank_batch_matches_single_query_cascade(spark):
     expect = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got_q = [(r.vec_id, r.cos) for r in sorted(by_q[q], key=lambda r: r.rk)]
     assert [v for v, _ in got_q] == [v for v, _ in expect]
+
+
+def test_matryoshka_recall_detects_prefix_information_loss(spark):
+    """The full-dimension top-1 (vec 1 = e20, matching the query's e20
+    component) carries ALL its signal outside the first 16 dims, so its
+    prefix-8/16 slices are zero vectors — excluded by the zero-norm
+    guard — and recall@1 is 0 at m=8/16 but 1.0 at m=32. With no signal
+    beyond dim 32, prefix-32 ranking equals full ranking exactly, so
+    recall@10 at m=32 is 1.0."""
+    import tempfile
+
+    import numpy as np
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        embeddings_matryoshka_recall,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def vec(d):
+        v = [0.0] * 64
+        for i, x in d.items():
+            v[i] = x
+        return v
+
+    rows = [(0, vec({20: 1.0, 0: 0.2}), 0), (1, vec({20: 1.0}), 0)]
+    for j in range(2, 16):  # 14 distractors: e0 + noise in dims 1-7
+        d = {0: 1.0}
+        for i in range(1, 8):
+            d[i] = float(rng.uniform(0.01, 0.3))
+        rows.append((j, vec(d), 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {(r.prefix_dims, r.k): r for r in
+               embeddings_matryoshka_recall(spark, d).collect()}
+    assert len(got) == 9
+    assert got[(8, 1)].overlap == 0 and got[(8, 1)].recall == 0.0
+    assert got[(16, 1)].overlap == 0
+    assert got[(32, 1)].overlap == 1 and got[(32, 1)].recall == 1.0
+    assert got[(32, 10)].overlap == 10 and got[(32, 10)].recall == 1.0
+    for (m, k), r in got.items():
+        assert r.recall == round((2 * r.overlap * 1000000 + k) // (2 * k) / 1e6, 6)

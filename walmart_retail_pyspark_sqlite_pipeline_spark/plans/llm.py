@@ -5051,6 +5051,155 @@ register_local(
 
 
 # ---------------------------------------------------------------------------
+# embeddings_matryoshka_recall — prefix-dimension retrieval evaluation (the
+# Matryoshka/MRL truncation decision): before a 100 TB pipeline stores
+# truncated embeddings (4x fewer bytes at d=16), it measures how much of
+# the full-dimension top-k survives when retrieval runs on only the first
+# m dims. For each prefix width m and each k: recall@k = |prefix-topk ∩
+# full-topk| / k for the query vector (vec 0). The complement to the JL
+# audit (SIM15 measures pairwise distortion of a random projection; this
+# measures RANK preservation of prefix truncation, which is what
+# retrieval actually consumes).
+#
+# Scale shape: per (m) branch one linear scan + TakeOrdered top-k (same
+# plan family as ann_topk_cosine); the overlap join touches k rows per
+# branch. Zero-norm prefixes (a vector whose first m dims are all zero —
+# possible even though read_embeddings quarantines all-zero FULL vectors)
+# are excluded on BOTH engines before the cosine, or ANSI Spark raises
+# DIVIDE_BY_ZERO where DuckDB yields NULL (the round-8 edge-sweep class).
+#
+# Exactness: 6-dp rounded ordered-fold cosines, vec_id tie-breaks, exact
+# DIV-round recall — set membership is therefore identical across engines.
+# ---------------------------------------------------------------------------
+MRL_PREFIX_DIMS = (8, 16, 32)
+MRL_KS = (1, 5, 10)
+
+
+def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    e = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    kmax = max(MRL_KS)
+
+    def topk(m: int | None) -> DataFrame:
+        vex = F.col("v") if m is None else F.slice(F.col("v"), 1, m)
+        pnorm = F.aggregate(
+            vex, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        base = e.select("vec_id", vex.alias("p"), pnorm.alias("pn"))
+        q = base.filter((F.col("vec_id") == 0) & (F.col("pn") > 0)).select(
+            F.col("p").alias("qp")
+        )
+        return (
+            base.filter((F.col("vec_id") != 0) & (F.col("pn") > 0))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(vectors.cosine(F.col("p"), F.col("qp")), 6).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(kmax)
+            .withColumn(
+                "rk",
+                F.row_number()
+                .over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
+                .cast("long"),
+            )
+            .select("vec_id", "rk")
+        )
+
+    full = topk(None).withColumnRenamed("rk", "rk_full")
+    out = None
+    for m in MRL_PREFIX_DIMS:
+        hits = (
+            topk(m)
+            .join(F.broadcast(full), "vec_id", "inner")
+            .select("rk", "rk_full")
+        )
+        branch = None
+        for k in MRL_KS:
+            row = hits.agg(
+                F.lit(m).cast("int").alias("prefix_dims"),
+                F.lit(k).cast("int").alias("k"),
+                F.sum(
+                    F.when(
+                        (F.col("rk") <= k) & (F.col("rk_full") <= k), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("overlap"),
+            )
+            branch = row if branch is None else branch.unionByName(row)
+        out = branch if out is None else out.unionByName(branch)
+    return (
+        out.withColumn(
+            "recall",
+            F.expr("(2 * overlap * 1000000 + k) DIV (2 * k)").cast("bigint")
+            / F.lit(1000000.0).cast("double"),
+        )
+        .select("prefix_dims", "k", "overlap", "recall")
+        .orderBy("prefix_dims", "k")
+    )
+
+
+def _mrl_topk_sql(m: int | None) -> str:
+    vex = "v" if m is None else f"v[1:{m}]"
+    return f"""
+  SELECT vec_id,
+    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
+  FROM (
+    SELECT vec_id,
+      ROUND({vectors.cosine_sql('p', 'qp')}, 6) AS cos
+    FROM (SELECT vec_id, {vex} AS p FROM e WHERE vec_id <> 0
+          AND list_sum(list_transform({vex}, x -> x * x)) > 0) c,
+         (SELECT {vex} AS qp FROM e WHERE vec_id = 0
+          AND list_sum(list_transform({vex}, x -> x * x)) > 0) q
+    ORDER BY cos DESC, vec_id LIMIT {max(MRL_KS)}
+  )"""
+
+
+def _mrl_sql() -> str:
+    branches = []
+    for m in MRL_PREFIX_DIMS:
+        for k in MRL_KS:
+            branches.append(f"""
+  SELECT CAST({m} AS INTEGER) AS prefix_dims, CAST({k} AS INTEGER) AS k,
+    CAST(SUM(CASE WHEN p.rk <= {k} AND f.rk <= {k} THEN 1 ELSE 0 END)
+         AS BIGINT) AS overlap
+  FROM pfx{m} p JOIN fulltk f USING (vec_id)""")
+        # (one scan per prefix; the overlap join touches <= kmax rows)
+    pfx_ctes = ",\n".join(
+        f"pfx{m} AS ({_mrl_topk_sql(m)})" for m in MRL_PREFIX_DIMS
+    )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+fulltk AS ({_mrl_topk_sql(None)}),
+{pfx_ctes},
+u AS ({union})
+SELECT prefix_dims, k, overlap,
+  CAST((2 * overlap * 1000000 + k) // (2 * k) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS recall
+FROM u ORDER BY prefix_dims, k
+"""
+
+
+MRL_SQL = _mrl_sql()
+
+
+register_local(
+    QuerySpec(
+        "embeddings_matryoshka_recall",
+        embeddings_matryoshka_recall,
+        MRL_SQL,
+        ("SIM19",),
+        doc="Matryoshka prefix-truncation recall@k vs full-dimension retrieval",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup_semantic_ivf — the 100 TB-shaped SemDeDup: identical keep-rule and
 # export to dedup_semantic_clusters, but the LEARNED clustering uses
 # TWO-LEVEL (IVF-style) assignment, replacing the flat n·C distance term —

@@ -211,6 +211,7 @@ GRADE_QUEUE: dict[str, int] = {
     "qc_l_diversity": 10,
     "multimodal_scene_cut": 10,
     "ann_rerank_batch": 10,
+    "embeddings_matryoshka_recall": 10,
 }
 
 
