@@ -10,8 +10,11 @@ Copies every table from a source SF dir and appends pathological rows to
 - multi-byte UTF-8 text         — byte-walk vs char-walk divergence;
 
 plus embeddings edges (all-zero vector, NULL vector — quarantined by the
-sources.read_embeddings ingestion contract) and events edges (NULL value,
-NULL user_id).
+sources.read_embeddings ingestion contract; round 9 added prefix-zero,
+1e4-magnitude, all-negative, and 1e-30-tiny vectors — the full registry
+passed 199/199 on first run against all four, evidence the fixed-point /
+guard idioms hold beyond the unit-scale regime) and events edges (NULL
+value, NULL user_id).
 
 Running the FULL registry against this dir (``python tools/oracle_check.py
 /tmp/edge_sf``) is the mechanical form of the empty-edge spot check the
@@ -79,17 +82,31 @@ def build(src: str, out: str) -> None:
     # embeddings: a ZERO vector (padding/failed-embed artifact — the
     # zero-norm case every cosine guard exists for) and a NULL embedding
     # (failed embed job). vec_id appended past the max so ANN query
-    # anchors (vec_id 0) stay untouched.
+    # anchors (vec_id 0) stay untouched. Round-9 additions: a PREFIX-ZERO
+    # vector (all signal past dim 32 — passes the read_embeddings nonzero
+    # gate but has zero-norm m<=32 prefixes, the matryoshka guard class),
+    # a LARGE-MAGNITUDE vector (1e4 components — stresses the scaled-1e6
+    # fixed-point idioms while staying inside BIGINT range), an
+    # ALL-NEGATIVE vector (floor() quantization is asymmetric around
+    # zero — sign-safety of the int8 family), and a TINY vector (1e-30
+    # components — x*1e6 rounds to 0, near-underflow norms).
     te = pq.read_table(src_p / "embeddings.parquet")
     de = te.to_pandas()
     dim = len(de.embedding.iloc[0])
     vmx = int(de.vec_id.max())
+    prefix_zero = [0.0] * 32 + [0.5 + 0.01 * i for i in range(dim - 32)]
+    big = [1.0e4 * (1 if i % 2 else -1) * (1 + i / dim) for i in range(dim)]
+    allneg = [-0.25 - 0.01 * i for i in range(dim)]
+    tiny = [1.0e-30 * (i + 1) for i in range(dim)]
+    edge_vecs = [[0.0] * dim, None, prefix_zero, big, allneg, tiny]
     ee = pd.DataFrame(
         {
-            "vec_id": pd.Series([vmx + 1, vmx + 2], dtype="int64"),
-            "embedding": pd.Series([[0.0] * dim, None], dtype="object"),
+            "vec_id": pd.Series(
+                [vmx + 1 + i for i in range(len(edge_vecs))], dtype="int64"
+            ),
+            "embedding": pd.Series(edge_vecs, dtype="object"),
             "label": pd.Series(
-                [int(de.label.iloc[0])] * 2, dtype=de.label.dtype
+                [int(de.label.iloc[0])] * len(edge_vecs), dtype=de.label.dtype
             ),
         }
     )
@@ -124,7 +141,7 @@ def build(src: str, out: str) -> None:
     )
     print(
         f"wrote {out_p}: {len(merged)} documents (6 edge), "
-        f"{len(me)} embeddings (2 edge), {len(mv)} events (2 edge)"
+        f"{len(me)} embeddings (6 edge), {len(mv)} events (2 edge)"
     )
 
 
