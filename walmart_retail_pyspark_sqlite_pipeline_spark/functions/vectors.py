@@ -91,11 +91,12 @@ def int8_quantize(v: Column) -> Column:
     materializes the alias.
 
     Deliberately a NEW entry point rather than a rewrite of a shared
-    helper: only the int8-ANN family (``ann_int8_topk``,
-    ``ann_rrf_fusion``, ``ann_rerank_two_stage``, ``ann_rerank_audit``,
-    all in the round-9 grading window) consumes it, so the closure-hash
-    drift is exactly the set of queries already being graded
-    (memory: closure-blast-radius).
+    helper: only the int8-ANN family consumes it — ``ann_int8_topk``,
+    ``ann_rrf_fusion``, ``ann_rerank_two_stage`` (all exported in the
+    round-9 window), ``ann_rerank_batch`` (GRADE_QUEUE, round 10), and
+    the permanently-local ``ann_rerank_audit`` (COVERED_BY) — so the
+    closure-hash drift lands only on queries already scheduled for a
+    grade or outside the evidence ledger (memory: closure-blast-radius).
     """
     scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
     return F.zip_with(

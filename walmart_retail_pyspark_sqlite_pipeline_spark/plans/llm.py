@@ -591,12 +591,20 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_cells(spark, sf_dir).orderBy("vec_id")
 
 
-_IVF_CELLS_CTE = """
+# Composable oracle fragments (round-9 review: the IVF-PQ composition must
+# COMPOSE these strings, not re-paste them — a fix to a shared idiom has to
+# reach every consumer). `_EMB_BASE_CTES` is the quarantined double-cast
+# base every embedding oracle starts from; `_IVF_CENT_FRAG` is the
+# label-seeded centroid assignment (ranked_cells keeps every centroid's
+# rank so nprobe>1 probing can reuse it; cells is the rn=1 home cell).
+_EMB_BASE_CTES = """
 e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 ex AS (
   SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
   FROM e, range(0, 64) t(d)
-),
+)"""
+
+_IVF_CENT_FRAG = """
 centdim AS (
   SELECT label, d,
     (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
@@ -613,14 +621,16 @@ dist AS (
       (acc, x) -> acc + x) AS d2
   FROM e, cent
 ),
+ranked_cells AS (
+  SELECT vec_id, cell,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM dist
+),
 cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM dist
-  ) WHERE rn = 1
-)
-"""
+  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+)"""
+
+_IVF_CELLS_CTE = f"{_EMB_BASE_CTES},{_IVF_CENT_FRAG}\n"
 
 ANN_IVF_CELLS_SQL = f"WITH {_IVF_CELLS_CTE} SELECT vec_id, cell FROM cells ORDER BY vec_id"
 
@@ -3205,18 +3215,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the unordered SELECT both ANN_PQ_SQL and the recall oracle compose —
-#: shared so neither can silently drift from the other
-ANN_PQ_BODY = f"""
-WITH e AS (
-  SELECT vec_id, label,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
-),
-ex AS (
-  SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
-  FROM e, range(0, 64) t(d)
-),
+#: PQ encode + query-LUT fragment, composed over ``_EMB_BASE_CTES`` —
+#: shared by ANN_PQ_BODY, the recall oracle, and ANN_IVFPQ_SQL so none
+#: can silently drift from the others
+_PQ_CODE_FRAG = f"""
 cb AS (
   SELECT label AS code, d, d // {64 // PQ_SUBSPACES} AS s,
     (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
@@ -3239,7 +3241,12 @@ codes AS (
 lut AS (
   SELECT vec_id AS q_id, s, code, d2i FROM sub
   WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
-),
+)"""
+
+#: the unordered SELECT both ANN_PQ_SQL and the recall oracle compose —
+#: shared so neither can silently drift from the other
+ANN_PQ_BODY = f"""
+WITH {_EMB_BASE_CTES},{_PQ_CODE_FRAG},
 ad AS (
   SELECT lut.q_id, codes.vec_id, CAST(SUM(lut.d2i) AS BIGINT) AS ad2i
   FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
@@ -3359,66 +3366,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVFPQ_SQL = f"""
-WITH e AS (
-  SELECT vec_id, label,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
-),
-ex AS (
-  SELECT vec_id, label, t.d AS d, v[t.d + 1] AS x
-  FROM e, range(0, 64) t(d)
-),
-centdim AS (
-  SELECT label, d,
-    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
-  FROM ex GROUP BY label, d
-),
-cent AS (
-  SELECT label AS cell, list(c ORDER BY d) AS cv FROM centdim GROUP BY label
-),
-dist AS (
-  SELECT vec_id, cell,
-    list_reduce(
-      list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
-      (acc, x) -> acc + x) AS d2,
-    ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY list_reduce(
-                         list_prepend(CAST(0.0 AS DOUBLE),
-                           list_transform(range(1, 65),
-                             i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
-                         (acc, x) -> acc + x), cell) AS rn
-  FROM e, cent
-),
-cells AS (
-  SELECT vec_id, cell FROM dist WHERE rn = 1
-),
+WITH {_EMB_BASE_CTES},{_IVF_CENT_FRAG},{_PQ_CODE_FRAG},
 qprobe AS (
-  SELECT vec_id AS q_id, cell FROM dist
+  SELECT vec_id AS q_id, cell FROM ranked_cells
   WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES} AND rn <= {IVFPQ_NPROBE}
-),
-cb AS (
-  SELECT label AS code, d, d // {64 // PQ_SUBSPACES} AS s,
-    (SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS c
-  FROM ex GROUP BY label, d
-),
-sub AS (
-  SELECT ex.vec_id, cb.s, cb.code,
-    CAST(SUM(CAST(ROUND((ex.x - cb.c) * (ex.x - cb.c) * 1000000, 0)
-                  AS BIGINT)) AS BIGINT) AS d2i
-  FROM ex JOIN cb ON ex.d = cb.d
-  GROUP BY 1, 2, 3
-),
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT vec_id, s, code,
-      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rn
-    FROM sub
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT vec_id AS q_id, s, code, d2i FROM sub
-  WHERE vec_id BETWEEN 1 AND {PQ_N_QUERIES}
 ),
 cand AS (
   SELECT qprobe.q_id, codes.vec_id, cells.cell, codes.s, codes.code
@@ -5109,28 +5060,33 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "rk")
         )
 
-    full = topk(None).withColumnRenamed("rk", "rk_full")
+    # full top-k is <= kmax rows and joined by every prefix branch:
+    # localCheckpoint materializes it once (the ann_pq_topk idiom) so the
+    # unioned plan holds ONE full-retrieval subtree, not one per branch;
+    # per prefix, ALL k overlaps come from one conditional aggregate
+    # unpivoted via stack() (the qc_k_anonymity idiom) so each prefix's
+    # scan+TakeOrdered executes exactly once, not once per k.
+    full = topk(None).withColumnRenamed("rk", "rk_full").localCheckpoint()
+    stack_args = ", ".join(f"CAST({k} AS INT), o{k}" for k in MRL_KS)
     out = None
     for m in MRL_PREFIX_DIMS:
-        hits = (
-            topk(m)
-            .join(F.broadcast(full), "vec_id", "inner")
-            .select("rk", "rk_full")
-        )
-        branch = None
-        for k in MRL_KS:
-            row = hits.agg(
-                F.lit(m).cast("int").alias("prefix_dims"),
-                F.lit(k).cast("int").alias("k"),
+        hits = topk(m).join(F.broadcast(full), "vec_id", "inner")
+        row = hits.agg(
+            *[
                 F.sum(
                     F.when(
                         (F.col("rk") <= k) & (F.col("rk_full") <= k), 1
                     ).otherwise(0)
                 )
                 .cast("bigint")
-                .alias("overlap"),
-            )
-            branch = row if branch is None else branch.unionByName(row)
+                .alias(f"o{k}")
+                for k in MRL_KS
+            ]
+        )
+        branch = row.select(
+            F.lit(m).cast("int").alias("prefix_dims"),
+            F.expr(f"stack({len(MRL_KS)}, {stack_args}) AS (k, overlap)"),
+        )
         out = branch if out is None else out.unionByName(branch)
     return (
         out.withColumn(
