@@ -767,3 +767,41 @@ def test_kl_divergence_identical_sources_are_zero(spark):
         spark, rows, lambda d: corpus_kl_divergence(spark, d).collect()
     )
     assert [r.kl_nats for r in out] == [0.0, 0.0]
+
+
+def test_quality_classifier_exact_features_and_decision(spark, tmp_path):
+    """Hand-computed inference: a 120-distinct-token clean doc has
+    f_len=f_qs=f_rep=1e6, f_stop=0 -> logit 1_500_000 (keep); a
+    4x-repeated-token doc has f_len=40000, f_qs=80000, f_rep=250000 ->
+    logit -2_050_000 (drop); empty and NULL docs keep their rows with
+    every feature 0 and logit == bias (total function, no quarantine)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        QCLF_BIAS_MICRO,
+        corpus_quality_classifier,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(120)), "en", "srcA", 0),
+        (2, "spam spam spam spam", "en", "srcA", 0),
+        (3, "", "en", "srcB", 0),
+        (4, None, "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           corpus_quality_classifier(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    r1 = got[1]
+    assert (r1.f_len, r1.f_qs, r1.f_stop, r1.f_rep) == (
+        1000000, 1000000, 0, 1000000
+    )
+    assert r1.logit_micro == 1500000 and r1.keep
+    r2 = got[2]
+    assert (r2.f_len, r2.f_qs, r2.f_rep) == (40000, 80000, 250000)
+    assert r2.logit_micro == -2050000 and not r2.keep
+    for d in (3, 4):
+        r = got[d]
+        assert (r.f_len, r.f_qs, r.f_stop, r.f_rep) == (0, 0, 0, 0)
+        assert r.logit_micro == QCLF_BIAS_MICRO and not r.keep

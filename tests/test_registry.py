@@ -225,6 +225,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # over the SIM11/knn-join query-block idiom; queued for round 10
         "SIM19",  # Matryoshka prefix-recall eval: SIM2 cosine-topk +
         # recall-eval (SIM4 ivf_recall) families proven; queued for 10
+        "CP8",  # linear quality-classifier inference: quality_score (TX2,
+        # driver-green) + gopher-rule (QG1) feature families; queued for 10
     }
     orphaned = {
         t

@@ -2535,3 +2535,121 @@ register_local(
         doc="per-source unigram KL divergence vs corpus in exact micro-nats",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_classifier — fixed-weight LINEAR quality-model inference
+# (the fasttext-style keep/drop filter every production corpus runs after
+# rule-based gating): four interpretable micro-scaled features — capped
+# token count, the shared quality_score, stopword ratio, distinct-token
+# ratio — combined by integer weights into an EXACT BIGINT logit;
+# keep = logit > 0. Weights/bias are planted constants standing in for a
+# trained model's parameters; the inference PLAN (feature extraction →
+# linear combination → threshold, one scan, no shuffle beyond the source
+# read) is exactly what a learned filter executes at 100 TB.
+#
+# Exactness: every feature is an exact integer (LEAST-capped count·1e4;
+# ROUND(quality_score·1e6) — quality_score is already 6-dp rounded so the
+# product sits within 1 ulp of an integer, unambiguous to round; DIV-round
+# ratios with n>0 guards returning 0 on empty/NULL docs). The logit is an
+# exact integer sum — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+QCLF_W_LEN = 1
+QCLF_W_QS = 2
+QCLF_W_STOP = 1
+QCLF_W_REP = 1
+QCLF_BIAS_MICRO = -2_500_000
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "text", text.tokens(F.col("text")).alias("tok")
+    )
+    n = F.size("tok")
+    f_len = (
+        F.least(F.coalesce(n, F.lit(0)), F.lit(100)).cast("long") * 10000
+    )
+    f_qs = F.round(
+        text.quality_score(F.col("text"), F.col("tok")) * 1000000, 0
+    ).cast("long")
+    hits = text.stopword_hits(F.col("tok"), text.QUALITY_STOPWORDS)
+    f_stop = F.when(
+        n > 0,
+        F.expr("(2 * CAST(sw_hits AS BIGINT) * 1000000 + n_tok) DIV (2 * n_tok)"),
+    ).otherwise(F.lit(0).cast("long"))
+    f_rep = F.when(
+        n > 0,
+        F.expr("(2 * CAST(n_dist AS BIGINT) * 1000000 + n_tok) DIV (2 * n_tok)"),
+    ).otherwise(F.lit(0).cast("long"))
+    feats = (
+        d.withColumn("n_tok", n.cast("long"))
+        .withColumn("sw_hits", hits.cast("long"))
+        .withColumn("n_dist", F.size(F.array_distinct("tok")).cast("long"))
+        .withColumn("f_len", f_len)
+        .withColumn("f_qs", f_qs)
+        .withColumn("f_stop", f_stop)
+        .withColumn("f_rep", f_rep)
+    )
+    logit = (
+        F.lit(QCLF_W_LEN).cast("long") * F.col("f_len")
+        + F.lit(QCLF_W_QS).cast("long") * F.col("f_qs")
+        + F.lit(QCLF_W_STOP).cast("long") * F.col("f_stop")
+        + F.lit(QCLF_W_REP).cast("long") * F.col("f_rep")
+        + F.lit(QCLF_BIAS_MICRO).cast("long")
+    )
+    # NO global orderBy: a bulk per-doc inference export is consumed by
+    # the next pipeline stage, not a human — and the RangePartitioner's
+    # sampling pass would recompute the entire feature pipeline once more
+    # (measured 107.6 s vs ~40 s of actual compute at the 500k-doc
+    # decade). The oracle compare is order-insensitive; partition-local
+    # order keeps output deterministic per file.
+    return feats.select(
+        "doc_id",
+        "source",
+        F.col("f_len").cast("bigint").alias("f_len"),
+        F.col("f_qs").cast("bigint").alias("f_qs"),
+        F.col("f_stop").cast("bigint").alias("f_stop"),
+        F.col("f_rep").cast("bigint").alias("f_rep"),
+        logit.cast("bigint").alias("logit_micro"),
+        (logit > 0).alias("keep"),
+    ).sortWithinPartitions("doc_id")
+
+
+QCLF_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text, {_TOK_SQL} AS tok FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+    CAST(LEAST(COALESCE(len(tok), 0), 100) AS BIGINT) * 10000 AS f_len,
+    CAST(ROUND({text.quality_score_sql('text', 'tok')} * 1000000, 0)
+         AS BIGINT) AS f_qs,
+    CASE WHEN len(tok) > 0 THEN
+      (2 * CAST({text.stopword_hits_sql('tok', text.QUALITY_STOPWORDS)}
+           AS BIGINT) * 1000000 + len(tok)) // (2 * len(tok))
+    ELSE 0 END AS f_stop,
+    CASE WHEN len(tok) > 0 THEN
+      (2 * CAST(len(list_distinct(tok)) AS BIGINT) * 1000000 + len(tok))
+        // (2 * len(tok))
+    ELSE 0 END AS f_rep
+  FROM d
+)
+SELECT doc_id, source, f_len, f_qs, f_stop, f_rep,
+  CAST({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
+       + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO} AS BIGINT) AS logit_micro,
+  ({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
+   + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO}) > 0 AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_quality_classifier",
+        corpus_quality_classifier,
+        QCLF_SQL,
+        ("CP8",),
+        doc="fixed-weight linear quality-classifier inference: exact BIGINT logit + keep flag",
+    )
+)

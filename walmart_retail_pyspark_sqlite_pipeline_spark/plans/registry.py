@@ -212,6 +212,7 @@ GRADE_QUEUE: dict[str, int] = {
     "multimodal_scene_cut": 10,
     "ann_rerank_batch": 10,
     "embeddings_matryoshka_recall": 10,
+    "corpus_quality_classifier": 10,
 }
 
 
