@@ -16,5 +16,9 @@ python tools/oracle_check.py --plain /root/testdata/sf0.01 2>&1 | tail -1
 echo "== oracle gate (plain session, non-UTC timezone, sf0.01) =="
 python tools/oracle_check.py --plain --tz Asia/Tokyo /root/testdata/sf0.01 2>&1 | tail -1
 
+echo "== oracle gate (adversarial edge dataset, full registry) =="
+python tools/make_edge_sf.py > /dev/null
+python tools/oracle_check.py /tmp/edge_sf 2>&1 | tail -1
+
 echo "== bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py 2>/dev/null | tail -1
