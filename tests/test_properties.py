@@ -275,3 +275,45 @@ def test_kmv_exact_columns_and_small_set_exactness(spark, data):
             r.exact_a, r.exact_b, r.exact_union, r.exact_inter,
         )
         assert r.jaccard_est_ppm == r.jaccard_exact_ppm
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_int8_quantize_equals_captured_lambda_formulation(spark, rows):
+    """The round-9 perf rewrite of int8 quantization (zip_with against
+    array_repeat — scale evaluated once per row) must be BIT-IDENTICAL to
+    the original transform-with-captured-scale formulation on arbitrary
+    nonzero float32 vectors, including all-negative and large-magnitude
+    ones (floor() is asymmetric around zero, so sign coverage matters)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    v = vectors.as_double(F.col("embedding"))
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    old = F.transform(v, lambda x: F.floor(x * scale))
+    got = df.select(
+        "vec_id",
+        vectors.int8_quantize(v).alias("q_new"),
+        old.alias("q_old"),
+    ).collect()
+    for r in got:
+        assert r.q_new == r.q_old, (r.vec_id, r.q_new, r.q_old)
