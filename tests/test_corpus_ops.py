@@ -805,3 +805,27 @@ def test_quality_classifier_exact_features_and_decision(spark, tmp_path):
         r = got[d]
         assert (r.f_len, r.f_qs, r.f_stop, r.f_rep) == (0, 0, 0, 0)
         assert r.logit_micro == QCLF_BIAS_MICRO and not r.keep
+
+
+def test_prep_pipeline_clf_gates_then_dedups(spark, tmp_path):
+    """Composition fixture: doc 1 (clean, 120 distinct tokens) survives;
+    doc 2 (exact duplicate text of doc 1, higher id) is dropped by the
+    exact-hash keep-first rule even though the classifier keeps it;
+    doc 3 (junk: 4 repeated tokens) is dropped by the classifier gate;
+    survivor rows carry the classifier's exact logit."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_prep_pipeline_clf,
+    )
+
+    clean = " ".join(f"w{i}" for i in range(120))
+    rows = [
+        (1, clean, "en", "srcA", 0),
+        (2, clean, "en", "srcA", 0),
+        (3, "spam spam spam spam", "en", "srcA", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = corpus_prep_pipeline_clf(spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.logit_micro) for r in got] == [(1, 1500000)]

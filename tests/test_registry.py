@@ -227,6 +227,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # recall-eval (SIM4 ivf_recall) families proven; queued for 10
         "CP8",  # linear quality-classifier inference: quality_score (TX2,
         # driver-green) + gopher-rule (QG1) feature families; queued for 10
+        "PIPE7",  # classifier-gated prep pipeline: composes CP8 + the
+        # graded PIPE1 dedup legs verbatim; queued for round 10
     }
     orphaned = {
         t

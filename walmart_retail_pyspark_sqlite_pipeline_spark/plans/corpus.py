@@ -19,6 +19,7 @@ from ..functions import hashing, text
 from ..sources import read_table
 from .llm import (
     _TOK_SQL,
+    JACCARD_THRESHOLD,
     MINHASH_SIG_CTE,
     VERIFIED_PAIRS_CTES,
     _doc_shingles,
@@ -2616,11 +2617,13 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sortWithinPartitions("doc_id")
 
 
-QCLF_SQL = f"""
-WITH d AS (
+#: classifier inference fragment (d -> f -> clf), composed by QCLF_SQL and
+#: the classifier-gated prep pipeline so the two cannot drift
+QCLF_CTES = f"""
+qd AS (
   SELECT doc_id, source, text, {_TOK_SQL} AS tok FROM documents
 ),
-f AS (
+qf AS (
   SELECT doc_id, source,
     CAST(LEAST(COALESCE(len(tok), 0), 100) AS BIGINT) * 10000 AS f_len,
     CAST(ROUND({text.quality_score_sql('text', 'tok')} * 1000000, 0)
@@ -2633,14 +2636,21 @@ f AS (
       (2 * CAST(len(list_distinct(tok)) AS BIGINT) * 1000000 + len(tok))
         // (2 * len(tok))
     ELSE 0 END AS f_rep
-  FROM d
-)
-SELECT doc_id, source, f_len, f_qs, f_stop, f_rep,
-  CAST({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
-       + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO} AS BIGINT) AS logit_micro,
-  ({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
-   + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO}) > 0 AS keep
-FROM f ORDER BY doc_id
+  FROM qd
+),
+clf AS (
+  SELECT doc_id, source, f_len, f_qs, f_stop, f_rep,
+    CAST({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
+         + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO} AS BIGINT) AS logit_micro,
+    ({QCLF_W_LEN} * f_len + {QCLF_W_QS} * f_qs + {QCLF_W_STOP} * f_stop
+     + {QCLF_W_REP} * f_rep + {QCLF_BIAS_MICRO}) > 0 AS keep
+  FROM qf
+)"""
+
+QCLF_SQL = f"""
+WITH {QCLF_CTES}
+SELECT doc_id, source, f_len, f_qs, f_stop, f_rep, logit_micro, keep
+FROM clf ORDER BY doc_id
 """
 
 
@@ -2651,5 +2661,79 @@ register_local(
         QCLF_SQL,
         ("CP8",),
         doc="fixed-weight linear quality-classifier inference: exact BIGINT logit + keep flag",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_pipeline_clf — the flagship prep pipeline with the LEARNED
+# quality gate: classifier keep (exact BIGINT logit > 0) replaces the
+# rule threshold, then the same exact-hash keep-first dedup and
+# banded-LSH near-dup removal corpus_prep_pipeline runs. This is the
+# production curation sequence once a trained filter replaces hand rules
+# (CCNet/Gopher -> fasttext-style classifier); every stage composes the
+# already-registered implementations — corpus_quality_classifier and
+# dedup_minhash_lsh_pairs on the Spark side, QCLF_CTES /
+# MINHASH_SIG_CTE / VERIFIED_PAIRS_CTES on the oracle side — so the
+# pipeline cannot drift from its graded parts.
+#
+# Scale shape: identical to corpus_prep_pipeline (classifier adds one
+# scan-local projection, no extra shuffle); survivors export with
+# partition-local order only (bulk stage-to-stage data — the round-9
+# global-orderBy lesson).
+# ---------------------------------------------------------------------------
+def corpus_prep_pipeline_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = (
+        corpus_quality_classifier(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "logit_micro")
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    keep_exact = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    losers = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        kept.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .sortWithinPartitions("doc_id")
+    )
+
+
+CORPUS_PREP_CLF_SQL = f"""
+WITH {QCLF_CTES},
+kept AS (
+  SELECT doc_id, logit_micro FROM clf WHERE keep
+),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h
+),
+{MINHASH_SIG_CTE},
+{VERIFIED_PAIRS_CTES},
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT k.doc_id, k.logit_micro
+FROM kept k
+JOIN keep_exact ke ON k.doc_id = ke.doc_id
+LEFT JOIN losers l ON k.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+ORDER BY k.doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_prep_pipeline_clf",
+        corpus_prep_pipeline_clf,
+        CORPUS_PREP_CLF_SQL,
+        ("PIPE7",),
+        doc="prep pipeline with the learned quality gate: classifier keep -> exact dedup -> LSH near-dup removal",
     )
 )

@@ -213,6 +213,7 @@ GRADE_QUEUE: dict[str, int] = {
     "ann_rerank_batch": 10,
     "embeddings_matryoshka_recall": 10,
     "corpus_quality_classifier": 10,
+    "corpus_prep_pipeline_clf": 10,
 }
 
 
