@@ -45,10 +45,27 @@ from walmart_retail_pyspark_sqlite_pipeline_spark.plans.registry import (  # noq
 CONST_RE = re.compile(r"^<const ([A-Za-z_][A-Za-z0-9_]*)=")
 
 
+def _import_all_package_modules() -> None:
+    """Import every module under the package, not just those the registry
+    import pulled in transitively (ADVICE r9: a helper defined in a module
+    the plans never import would otherwise be invisibly absent from the
+    reverse index rather than flagged)."""
+    import importlib
+    import pkgutil
+
+    pkg = importlib.import_module(_PKG)
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=_PKG + "."):
+        try:
+            importlib.import_module(info.name)
+        except Exception as e:  # noqa: BLE001 — surface, don't mask
+            print(f"WARN: could not import {info.name}: {e}", file=sys.stderr)
+
+
 def _source_index() -> dict[str, str]:
     """Map dedented source text -> 'module.qualname' for every module-level
     function/class defined in the package (the exact text
     ``_closure_payload`` emits per visited object)."""
+    _import_all_package_modules()
     idx: dict[str, str] = {}
     for mod_name, mod in sorted(sys.modules.items()):
         if not mod_name.startswith(_PKG) or mod is None:
@@ -71,7 +88,13 @@ def build_reverse_index() -> dict[str, set[str]]:
     specs = all_specs(include_local=True)
     idx = _source_index()
     consumers: dict[str, set[str]] = {}
+    n_unresolved = 0
     for name, spec in specs.items():
+        own_src = None
+        try:
+            own_src = textwrap.dedent(inspect.getsource(spec.fn))
+        except (OSError, TypeError):
+            pass
         for part in _closure_payload(spec.fn).split("\x00"):
             m = CONST_RE.match(part)
             if m:
@@ -79,8 +102,20 @@ def build_reverse_index() -> dict[str, set[str]]:
             else:
                 member = idx.get(part)
                 if member is None:
-                    continue  # the spec fn itself resolves; unreadables skipped
+                    # the spec fn's own source resolves to itself; anything
+                    # else unmatched is an attribution gap — count it so a
+                    # hole in the reverse index is visible, not silent
+                    # (ADVICE r9)
+                    if part != own_src:
+                        n_unresolved += 1
+                    continue
             consumers.setdefault(member, set()).add(name)
+    if n_unresolved:
+        print(
+            f"WARN: {n_unresolved} closure payload parts had no source "
+            "match — the hub table under-counts those helpers",
+            file=sys.stderr,
+        )
     return consumers
 
 
