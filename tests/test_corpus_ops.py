@@ -829,3 +829,62 @@ def test_prep_pipeline_clf_gates_then_dedups(spark, tmp_path):
     df.write.parquet(str(tmp_path / "documents.parquet"))
     got = corpus_prep_pipeline_clf(spark, str(tmp_path)).collect()
     assert [(r.doc_id, r.logit_micro) for r in got] == [(1, 1500000)]
+
+
+def test_prep_pipeline_clf_verify_band_pair_survives_both_engines(
+    spark, tmp_path
+):
+    """A near-dup pair whose true Jaccard lands in
+    [MINHASH_VERIFY_THRESHOLD, JACCARD_THRESHOLD) must survive the clf
+    pipeline on BOTH engines (ADVICE r9 high: the oracle used to derive
+    losers from the shared 0.7-verified pairs CTE while Spark drops only
+    at 0.8, so this exact band silently diverged).
+
+    Fixture: doc 2 shares tokens w0..w99 with doc 1 but replaces the last
+    20 — 98 common 3-shingles of 118 each, J = 98/138 = 0.710145. The
+    pair IS an LSH candidate (asserted via dedup_minhash_lsh_pairs, which
+    verifies at 0.7), both docs pass the classifier gate, and BOTH must
+    be kept: 0.710145 < JACCARD_THRESHOLD."""
+    import duckdb
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        CORPUS_PREP_CLF_SQL,
+        corpus_prep_pipeline_clf,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        JACCARD_THRESHOLD,
+        MINHASH_VERIFY_THRESHOLD,
+        dedup_minhash_lsh_pairs,
+    )
+
+    doc_a = " ".join(f"w{i}" for i in range(120))
+    doc_b = " ".join(
+        [f"w{i}" for i in range(100)] + [f"v{i}" for i in range(20)]
+    )
+    rows = [(1, doc_a, "en", "srcA", 0), (2, doc_b, "en", "srcA", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = dedup_minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)], (
+        "fixture must be an LSH candidate pair"
+    )
+    assert MINHASH_VERIFY_THRESHOLD <= pairs[0].jaccard < JACCARD_THRESHOLD
+
+    got = sorted(
+        (r.doc_id, r.logit_micro)
+        for r in corpus_prep_pipeline_clf(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 1500000), (2, 1500000)]
+
+    con = duckdb.connect()
+    files = sorted(
+        str(p) for p in (tmp_path / "documents.parquet").glob("*.parquet")
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet({files!r})"
+    )
+    oracle = sorted(tuple(r) for r in con.execute(CORPUS_PREP_CLF_SQL).fetchall())
+    assert oracle == [(1, 1500000), (2, 1500000)]

@@ -2718,7 +2718,20 @@ keep_exact AS (
 ),
 {MINHASH_SIG_CTE},
 {VERIFIED_PAIRS_CTES},
-losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+-- losers must be re-derived at JACCARD_THRESHOLD, NOT taken from the
+-- shared pairs CTE: pairs verifies at MINHASH_VERIFY_THRESHOLD (0.7),
+-- but the Spark side drops near-dup losers only at jaccard >=
+-- JACCARD_THRESHOLD (0.8) — a pair with true Jaccard in [0.7, 0.8)
+-- must survive on BOTH engines (ADVICE r9 high; CORPUS_PREP_SQL
+-- inlines the same 0.8-filtered fragment)
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {JACCARD_THRESHOLD}
+)
 SELECT k.doc_id, k.logit_micro
 FROM kept k
 JOIN keep_exact ke ON k.doc_id = ke.doc_id
