@@ -78,6 +78,14 @@ def int8_quantize(v: Column) -> Column:
     (floor, not round — IEEE ``floor(double)`` is bit-identical across
     engines while round-half cases are not; see plans/registry.py).
 
+    PRECONDITION: ``v`` must contain at least one nonzero element. An
+    all-zero vector makes ``scale`` +Infinity and every element
+    ``floor(0 * Inf)`` = NaN — silent poison, not an error. Every
+    in-package caller feeds vectors through ``read_embeddings``, whose
+    quarantine drops all-zero rows before they reach this kernel
+    (sources/tables.py); a new caller on unquarantined input must apply
+    the same gate first (ADVICE r9).
+
     PERF (round 9, found via the SCALING probe): the scale expression
     must NOT be captured inside a ``transform()`` lambda — Catalyst
     inlines the captured subtree into the per-element lambda body, so
