@@ -59,7 +59,7 @@ def corpus_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         pack.alias("pack_id"),
         (start - pack * PACK_BUDGET).alias("pack_offset"),
-    ).orderBy("lang", "doc_id")
+    ).sortWithinPartitions("lang", "doc_id")
 
 
 PACK_TOKENS_SQL = f"""
@@ -112,7 +112,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE)).alias("n_ipv4"),
         F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
         F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 PII_SCRUB_SQL = f"""
@@ -330,7 +330,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tok").alias("n_tokens"),
         dup_frac("tok").alias("dup_token_frac"),
         dup_frac("g2").alias("dup_2gram_frac"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 TEXT_REPETITION_SQL = f"""
@@ -419,7 +419,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "rnk")
-        .orderBy("doc_id", "rnk")
+        .sortWithinPartitions("doc_id", "rnk")
     )
 
 
@@ -990,7 +990,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         (-(micro.cast("long")) / F.lit(1000000.0)).alias("avg_nll"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 LM_SCORE_SQL = f"""
@@ -1250,7 +1250,7 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             (micro.cast("long") / F.lit(1000000.0)).alias("avg_loglr"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -115,7 +115,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        # bulk pair export: partition-local order only (round-9 lesson —
+        # a trailing global orderBy makes the RangePartitioner replay the
+        # verify stage; the driver/oracle compare is order-insensitive)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -187,7 +190,7 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_sig(spark, sf_dir).orderBy("doc_id")
+    return _minhash_sig(spark, sf_dir).sortWithinPartitions("doc_id")
 
 
 _MH_MINS = ",\n  ".join(
@@ -281,7 +284,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _lsh_candidate_jaccards(spark, sf_dir)
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -374,7 +377,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("simhash16"),
     )
-    return sim.orderBy("doc_id")
+    return sim.sortWithinPartitions("doc_id")
 
 
 _SIM_VOTES = ",\n  ".join(
@@ -498,7 +501,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
-    return e.select("vec_id", bucket.cast("long").alias("bucket")).orderBy("vec_id")
+    return e.select(
+        "vec_id", bucket.cast("long").alias("bucket")
+    ).sortWithinPartitions("vec_id")
 
 
 def _plane_sql(j: int) -> str:
@@ -588,7 +593,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivf_cells(spark, sf_dir).orderBy("vec_id")
+    return _ivf_cells(spark, sf_dir).sortWithinPartitions("vec_id")
 
 
 # Composable oracle fragments (round-9 review: the IVF-PQ composition must
@@ -693,7 +698,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     pred = pred.otherwise(langs[-1])
-    return d.select("doc_id", "lang", pred.alias("predicted_lang")).orderBy("doc_id")
+    return d.select(
+        "doc_id", "lang", pred.alias("predicted_lang")
+    ).sortWithinPartitions("doc_id")
 
 
 def _langid_sql() -> str:
@@ -773,7 +780,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") > 0, F.round(score, 6))
         .otherwise(F.lit(0.0))
         .alias("quality_score"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _STOP_HITS = text.stopword_hits_sql("tok", text.QUALITY_STOPWORDS)
@@ -814,7 +821,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_uniq_tokens"),
         F.length("text").alias("n_chars"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 TEXT_STATS_SQL = f"""
@@ -843,7 +850,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(F.split(lower, r"\s+"), lambda t: t != F.lit(""))
         ).alias("n_ws_tokens"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _BPE_SQL_PAT = text.BPE_ISH_RE.replace("'", "''")
@@ -866,7 +873,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     return docs.select(
         "doc_id", hashing.poly_hash(norm).alias("fingerprint")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 TEXT_FP_SQL = f"""
@@ -886,7 +893,7 @@ FROM n ORDER BY doc_id
 # ---------------------------------------------------------------------------
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return image_meta(attach_fake_payload(docs)).orderBy("doc_id")
+    return image_meta(attach_fake_payload(docs)).sortWithinPartitions("doc_id")
 
 
 MULTIMODAL_SQL = """
@@ -906,7 +913,9 @@ FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 # ---------------------------------------------------------------------------
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return frame_sample(attach_fake_payload(docs)).orderBy("doc_id", "frame_idx")
+    return frame_sample(attach_fake_payload(docs)).sortWithinPartitions(
+        "doc_id", "frame_idx"
+    )
 
 
 FRAME_SAMPLE_SQL = """
@@ -966,7 +975,7 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("delta", F.lit(0)).cast("bigint").alias("delta"),
             "is_cut",
         )
-        .orderBy("doc_id", "frame_idx")
+        .sortWithinPartitions("doc_id", "frame_idx")
     )
 
 
@@ -1043,7 +1052,9 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_text_batched
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_text_batched(docs, CHUNK_WIDTH).orderBy("doc_id", "chunk_idx")
+    return chunk_text_batched(docs, CHUNK_WIDTH).sortWithinPartitions(
+        "doc_id", "chunk_idx"
+    )
 
 
 def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,7 +1066,6 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT doc_id, c.chunk_idx, c.chunk, c.chunk_len
         FROM documents, LATERAL chunk_text(text, {CHUNK_WIDTH}) c
-        ORDER BY doc_id, chunk_idx
         """
     )
 
@@ -1167,7 +1177,7 @@ def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", bucket.alias("bucket"), split.alias("split")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 CORPUS_SPLIT_SQL = f"""
@@ -1218,7 +1228,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         scored.join(losers, "doc_id", "left_anti")
-        .orderBy("doc_id")
+        # survivors are bulk stage-to-stage data: partition-local order
+        # only — the trailing global orderBy cost an avoidable top-level
+        # range exchange PLUS a sampler replay of the anti-join stage
+        # (round-9 measurement; VERDICT r9 #2)
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1796,7 +1810,7 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.alias("pos_hits"),
         neg.alias("neg_hits"),
         score.alias("sentiment"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _hits_sql(words: tuple[str, ...]) -> str:
@@ -1906,7 +1920,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return image_resize(
         attach_fake_payload(docs), target_w=RESIZE_TW, target_h=RESIZE_TH
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 IMAGE_RESIZE_SQL = f"""
@@ -1942,7 +1956,9 @@ def multimodal_image_features_vec(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..multimodal import image_features
 
     docs = read_table(spark, sf_dir, "documents")
-    return image_features(attach_fake_payload(docs)).orderBy("doc_id")
+    return image_features(attach_fake_payload(docs)).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,7 +1971,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = image_features(attach_fake_payload(docs))
     return vec.select(
         "doc_id", F.posexplode("feat").alias("bucket", "frac")
-    ).orderBy("doc_id", "bucket")
+    ).sortWithinPartitions("doc_id", "bucket")
 
 
 # The oracle walks the UTF-8 BYTES of the payload, exactly like the
@@ -2044,7 +2060,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import audio_meta
 
     docs = read_table(spark, sf_dir, "documents")
-    return audio_meta(attach_fake_payload(docs)).orderBy("doc_id")
+    return audio_meta(attach_fake_payload(docs)).sortWithinPartitions("doc_id")
 
 
 AUDIO_META_SQL = """
@@ -2711,7 +2727,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-(micro.cast("long")) / F.lit(1000000.0) / F.lit(LN2)).alias(
             "entropy_bits"
         ),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 CHAR_ENTROPY_SQL = f"""
@@ -2795,7 +2811,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("flesch"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -407,7 +407,7 @@ def q11_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             "avg_value",
         )
-        .orderBy("window_start", "event_type")
+        .sortWithinPartitions("window_start", "event_type")
     )
 
 

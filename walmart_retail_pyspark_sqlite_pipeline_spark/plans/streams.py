@@ -22,7 +22,7 @@ from .registry import QuerySpec, register, register_local
 # ---------------------------------------------------------------------------
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return sessionize(ev).orderBy("user_id", "session_idx")
+    return sessionize(ev).sortWithinPartitions("user_id", "session_idx")
 
 
 SESSIONIZE_SQL = """
