@@ -129,7 +129,7 @@ GLOBAL_SORT_MIGRATION_PENDING = frozenset({
     "dedup_embedding_cosine", "dedup_embedding_ivf_pairs",
     "dedup_incremental_new_docs", "dedup_incremental_near_docs",
     "dedup_containment", "dedup_winnowing_pairs", "dedup_substring_ngrams",
-    "corpus_quality_weighted_sample", "corpus_label_propagation",
+    "corpus_quality_weighted_sample",
 })
 
 _PASSTHROUGH_OPS = (

@@ -1133,7 +1133,7 @@ def corpus_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("final_label"),
             (F.col("lang") != F.col("label")).alias("changed"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2747,6 +2747,8 @@ register_local(
         corpus_prep_pipeline_clf,
         CORPUS_PREP_CLF_SQL,
         ("PIPE7",),
+        bench=True,  # round-10 bench line (VERDICT r9 #5): the learned-gate capstone
+        warm_index=True,  # consumes the shared shingle index like the other dedup passes
         doc="prep pipeline with the learned quality gate: classifier keep -> exact dedup -> LSH near-dup removal",
     )
 )

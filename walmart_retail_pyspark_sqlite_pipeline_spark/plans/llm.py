@@ -5506,6 +5506,7 @@ register(
         ann_rerank_two_stage,
         ANN_RERANK_SQL,
         ("SIM16",),
+        bench=True,  # round-10 bench line (VERDICT r9 #5): the serving cascade
         doc="int8-propose + exact-cosine-rerank production cascade (one linear scan)",
     )
 )

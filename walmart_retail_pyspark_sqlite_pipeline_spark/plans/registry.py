@@ -70,27 +70,33 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-9 window (VERDICT r8 "Next round" #1/#3/#5):
-# - 12 bench headliners: every bench.py-timed query stays driver-graded;
-# - 9 queue drains: the round-8 operator batch, never driver-graded —
-#   bm25/jl_projection/session_windows/semantic_ivf/rerank_two_stage/
-#   image_ann/k_anonymity/kl_divergence/static_enrich. Two of these were
-#   reshaped BEFORE their first grade per VERDICT r8: ann_rerank_two_stage
-#   exports the production cascade (the exact-verification leg moved to
-#   the local ann_rerank_audit, COVERED_BY), and dedup_semantic_ivf is now
-#   the canonical SemDeDup surface (the flat n*C variant parked under
-#   COVERED_BY as the measured comparison point);
-# - 18 hash-drift re-grades: the whole round-8 drift queue — 5 from the
-#   edge-hardening poly_hash closure change, 13 from the read_embeddings
-#   source contract. Outputs on the driver's clean data are unchanged
-#   (judge-verified 192/192 at sf0.01 + edge sweep); the re-grade is the
-#   convergence formality;
-# - 11 evidence-deepeners, oldest-evidence-first from the hash-stable
-#   1-green-round tier (r1 evidence: q09/q10/q24/q25; r5 evidence:
-#   corpus_chunk_dedup, corpus_source_mix, events_range_rolling,
-#   events_session_concurrency, q30/q34/q37). The remaining single-green
-#   tier (2 r5 + the r6/r7 cohorts) is scheduled for round 10 in
-#   ROTATION.md.
+# Round-10 window (VERDICT r9 "Next round" #1/#2/#5):
+# - 13 bench headliners: the 12 standing bench.py lines plus
+#   ann_rerank_two_stage, promoted to a bench line this round (VERDICT r9
+#   #5 — the retrieval cascade is now timed every round; the second new
+#   bench line, corpus_prep_pipeline_clf, enters below as a queue drain);
+# - 8 queue drains: the round-9 operator batch, never driver-graded —
+#   bm25_batch / ivfpq / l_diversity / scene_cut / rerank_batch /
+#   matryoshka / quality_classifier / prep_pipeline_clf (the clf
+#   pipeline's oracle was fixed BEFORE its first grade to drop near-dup
+#   losers at JACCARD_THRESHOLD, matching the Spark side — ADVICE r9);
+# - 29 hash-drift re-grades, all from this round's two deliberate edits:
+#   (a) the bulk-export sortWithinPartitions migration (VERDICT r9 #2) —
+#   the document-table family (13 text_* surfaces, 5 multimodal_*
+#   surfaces, dedup_simhash, ann_lsh_buckets) plus the 7 parked consumers
+#   of dedup_minhash_lsh_pairs, whose trailing sort also migrated
+#   (cc_clusters, triangles, split_leakage, clustering_coeff,
+#   canonical_docs, pagerank, label_propagation); (b) the int8_quantize
+#   precondition docstring (ADVICE r9) — ann_int8_topk, ann_rrf_fusion.
+#   Outputs are unchanged on clean data (the full 201/201 sf0.01 oracle
+#   sweep re-ran green after the migration); the re-grade is the
+#   convergence formality.
+# Four drifted greens did not fit the 50-slot window and sit in
+# GRADE_QUEUE for round 11 (legal while hash-drifted): pack_tokens,
+# split_train_val_test, importance_weights, lang_confusion. The r5+r6
+# single-green deepener cohort rolls to round 11 with them — the
+# perf-class fix and its batched re-grades took the slots this round
+# (VERDICT r9 ranked the migration #2, above deepening #4).
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -106,49 +112,48 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "dedup_minhash_lsh_pairs",
         "ann_topk_cosine",
         "corpus_shingle_index",
-        # --- queue drains: round-8 operators, first grade ---
-        "text_bm25_topk",
-        "embeddings_jl_projection",
-        "stream_session_windows",
-        "dedup_semantic_ivf",
         "ann_rerank_two_stage",
-        "multimodal_image_ann",
-        "qc_k_anonymity",
-        "corpus_kl_divergence",
-        "stream_static_enrich",
-        # --- hash-drift re-grades, batch 1 (poly_hash edge-hardening) ---
-        "corpus_pagerank",
-        "corpus_canonical_docs",
-        "dedup_substring_ngrams",
-        "corpus_label_propagation",
-        "sketch_cms_manual",
-        # --- hash-drift re-grades, batch 2 (read_embeddings contract) ---
-        "ann_hamming_topk",
+        # --- queue drains: round-9 operators, first grade ---
+        "text_bm25_batch",
+        "ann_ivfpq_topk",
+        "qc_l_diversity",
+        "multimodal_scene_cut",
+        "ann_rerank_batch",
+        "embeddings_matryoshka_recall",
+        "corpus_quality_classifier",
+        "corpus_prep_pipeline_clf",
+        # --- hash-drift re-grades: int8_quantize docstring ---
         "ann_int8_topk",
-        "ann_ivf_recall",
-        "ann_ivf_topk",
-        "ann_knn_join",
-        "ann_lsh_buckets",
-        "ann_pq_recall",
-        "ann_pq_topk",
         "ann_rrf_fusion",
-        "dedup_embedding_cosine",
-        "dedup_embedding_ivf_pairs",
-        "embeddings_kmeans",
-        "embeddings_top_component",
-        # --- evidence-deepeners (hash-stable, exactly one green round,
-        # oldest evidence first) ---
-        "q09_rollup_flag_status",
-        "q10_nation_set_ops",
-        "q24_string_funcs",
-        "q25_date_funcs",
-        "corpus_chunk_dedup",
-        "corpus_source_mix",
-        "events_range_rolling",
-        "events_session_concurrency",
-        "q30_unpivot_metrics",
-        "q34_correlated_scalar",
-        "q37_histogram",
+        # --- hash-drift re-grades: dedup_minhash_lsh_pairs consumers ---
+        "dedup_cc_clusters",
+        "corpus_triangles",
+        "corpus_split_leakage",
+        "corpus_clustering_coeff",
+        "corpus_canonical_docs",
+        "corpus_pagerank",
+        "corpus_label_propagation",
+        # --- hash-drift re-grades: sortWithinPartitions migration ---
+        "text_langid",
+        "text_quality",
+        "text_stats",
+        "text_bpe_tokens",
+        "text_fingerprint",
+        "text_chunks",
+        "text_sentiment",
+        "text_char_entropy",
+        "text_readability",
+        "text_pii_scrub",
+        "text_repetition",
+        "text_tfidf_topterms",
+        "text_lm_score",
+        "dedup_simhash",
+        "ann_lsh_buckets",
+        "multimodal_image_meta",
+        "multimodal_image_resize",
+        "multimodal_frame_sample",
+        "multimodal_image_features",
+        "multimodal_audio_meta",
     }
 )
 
@@ -197,23 +202,23 @@ COVERED_BY: dict[str, str] = {
     "ann_rerank_audit": "ann_rerank_two_stage",
 }
 
-# Tier 4 — the must-grade queue: never driver-graded, genuinely distinct
-# capabilities, with the round each rotates into EXPORTED_NAMES. The queue
-# must shrink every round; tests/test_rotation.py fails if a registry query
-# is in no tier. Round 9 drained the whole round-8 queue (all 27 entries —
-# 9 never-graded operators + 18 hash-drift re-grades — rotated into
-# EXPORTED_NAMES above); new queries registered this round take a
-# GRADE_QUEUE entry targeting round 10.
+# Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
+# new capabilities OR parked greens whose spec hash drifted and which did
+# not fit the current 50-slot window (allowed only while hash-drifted —
+# tests/test_rotation.py). Round 10 drained the whole round-9 queue (all
+# 8 operators rotated into EXPORTED_NAMES above); the four entries below
+# are greens drifted by the round-10 sortWithinPartitions migration
+# (pack_tokens / split_train_val_test / importance_weights directly;
+# lang_confusion via its text_langid closure), batched for round 11
+# together with the r5+r6 single-green deepener cohort and the
+# GLOBAL_SORT_MIGRATION_PENDING bulk surfaces (tests/test_plan_audit.py)
+# whose own migration + re-grade is scheduled for round 11 in ROTATION.md.
 GRADE_QUEUE: dict[str, int] = {
-    # round-9 additions (registered this round, graded next)
-    "text_bm25_batch": 10,
-    "ann_ivfpq_topk": 10,
-    "qc_l_diversity": 10,
-    "multimodal_scene_cut": 10,
-    "ann_rerank_batch": 10,
-    "embeddings_matryoshka_recall": 10,
-    "corpus_quality_classifier": 10,
-    "corpus_prep_pipeline_clf": 10,
+    # round-10 migration drift (green evidence exists; hash re-stamp only)
+    "corpus_pack_tokens": 11,
+    "corpus_split_train_val_test": 11,
+    "corpus_importance_weights": 11,
+    "text_lang_confusion": 11,
 }
 
 
