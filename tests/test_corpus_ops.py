@@ -888,3 +888,98 @@ def test_prep_pipeline_clf_verify_band_pair_survives_both_engines(
     )
     oracle = sorted(tuple(r) for r in con.execute(CORPUS_PREP_CLF_SQL).fetchall())
     assert oracle == [(1, 1500000), (2, 1500000)]
+
+
+def test_waterfill_saturates_small_sources_and_sums_to_budget(spark, tmp_path):
+    """Token census a=2, b=10, c=30 -> total 42, budget 21. Water-fill:
+    a is saturated (2*3 <= 21); b is not (10*2 > 19); theta = 19 div 2 =
+    9 with remainder 1 bumping b (the first unsaturated source) to 10.
+    Allocations (2, 10, 9) must sum exactly to the budget."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_token_budget_waterfill,
+    )
+
+    rows = [
+        (1, "w w", "en", "srcA", 0),
+        (2, " ".join(["w"] * 10), "en", "srcB", 0),
+        (3, " ".join(["w"] * 10), "en", "srcC", 0),
+        (4, " ".join(["w"] * 10), "en", "srcC", 0),
+        (5, " ".join(["w"] * 10), "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in corpus_token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"srcA", "srcB", "srcC"}
+    assert (got["srcA"].tokens, got["srcA"].saturated, got["srcA"].alloc) == (
+        2, True, 2,
+    )
+    assert (got["srcB"].tokens, got["srcB"].saturated, got["srcB"].alloc) == (
+        10, False, 10,
+    )
+    assert (got["srcC"].tokens, got["srcC"].saturated, got["srcC"].alloc) == (
+        30, False, 9,
+    )
+    assert sum(r.alloc for r in got.values()) == 21
+    assert all(r.budget == 21 for r in got.values())
+    assert got["srcB"].alloc_share == 0.47619
+
+
+def test_lm_interpolated_prefers_corpus_like_text(spark, tmp_path):
+    """JM-interpolated scoring must rank a doc built from the corpus's
+    dominant bigram as more predictable (lower avg_nll_jm) than a doc of
+    one-off bigrams, with exact bigram counts."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        text_lm_interpolated,
+    )
+
+    common = "the cat sat on the mat " * 5
+    rows = [
+        (1, common.strip(), "en", "srcA", 0),
+        (2, common.strip(), "en", "srcA", 0),
+        (3, "zqx wvu tsr qpo nml kji", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in text_lm_interpolated(spark, str(tmp_path)).collect()}
+    assert got[1].n_bigrams == 29  # 30 tokens -> 29 bigrams
+    assert got[3].n_bigrams == 5
+    assert got[1].avg_nll_jm < got[3].avg_nll_jm
+    assert got[1].avg_nll_jm > 0
+
+
+def test_curriculum_phases_band_assignment_and_exact_means(spark, tmp_path):
+    """The classifier-fixture docs land in known quality-micro bands: the
+    120-distinct-token clean doc (q_micro 1e6) in phase 4, the repeated
+    spam doc (80000) and the empty doc (0) in phase 1; cell stats carry
+    exact token sums and the DIV-rounded mean."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_curriculum_phases,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(120)), "en", "srcA", 0),
+        (2, "spam spam spam spam", "en", "srcA", 0),
+        (3, "", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.phase, r.source): r
+        for r in corpus_curriculum_phases(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(4, "srcA"), (1, "srcA"), (1, "srcB")}
+    r4 = got[(4, "srcA")]
+    assert (r4.n_docs, r4.tokens, r4.avg_q_micro) == (1, 120, 1000000)
+    r1 = got[(1, "srcA")]
+    assert (r1.n_docs, r1.tokens, r1.avg_q_micro) == (1, 4, 80000)
+    r1b = got[(1, "srcB")]
+    assert (r1b.n_docs, r1b.tokens, r1b.avg_q_micro) == (1, 0, 0)

@@ -230,3 +230,47 @@ def test_scene_cut_flags_energy_spike_and_handles_empty_null(spark, tmp_path):
     assert [r.is_cut for r in d1] == [False, False, False, False, True]
     (d2,) = by_doc[2]
     assert (d2.frame_idx, d2.energy, d2.delta, d2.is_cut) == (0, 0, 0, False)
+
+
+def test_keyframe_select_top2_by_energy(spark, tmp_path):
+    """Keyframe selection must return at most KF_K frames per doc, ranked
+    by energy desc with frame_idx as the deterministic tiebreak, and the
+    selected set must equal the top-2 recomputed from the full
+    frame-energy surface."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.multimodal import (
+        attach_fake_payload,
+        frame_energy,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        KF_K,
+        multimodal_keyframe_select,
+    )
+    from walmart_retail_pyspark_sqlite_pipeline_spark.sources import read_table
+
+    rows = [
+        (1, "abcdefghij" * 7, "en", "srcA", 0),
+        (2, "short", "en", "srcA", 0),
+        (3, None, "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = multimodal_keyframe_select(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # NULL text: no payload, no frames
+    docs = read_table(spark, str(tmp_path), "documents")
+    fe = frame_energy(attach_fake_payload(docs)).collect()
+    full = {}
+    for r in fe:
+        full.setdefault(r.doc_id, []).append((r.frame_idx, r.energy))
+    for doc_id, sel in by_doc.items():
+        assert len(sel) <= KF_K
+        expect = sorted(
+            full[doc_id], key=lambda t: (-t[1], t[0])
+        )[: KF_K]
+        sel_sorted = sorted(sel, key=lambda r: r.rk)
+        assert [(r.frame_idx, r.energy) for r in sel_sorted] == expect
+        assert [r.rk for r in sel_sorted] == list(range(1, len(sel) + 1))

@@ -109,6 +109,11 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     "sketch_hll_manual", "sketch_mg_heavyhitters", "sketch_quantile_manual",
     "stream_dedup_counts", "text_bm25_batch", "text_bm25_topk",
     "text_bpe_train", "text_lang_confusion",
+    # round-10 additions with bounded/presentational outputs: 3 threshold
+    # rows (t_closeness), top-15 (bm25_prf), |sources| rows (waterfill),
+    # 4 x |sources| rows (curriculum), 128 rows (top2 components)
+    "qc_t_closeness", "text_bm25_prf", "corpus_token_budget_waterfill",
+    "corpus_curriculum_phases", "embeddings_top2_components",
 })
 
 #: Bulk per-row surfaces still carrying a trailing global sort, scheduled

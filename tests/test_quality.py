@@ -177,3 +177,45 @@ def test_l_diversity_flags_homogeneous_groups(spark, tmp_path):
     r = got[2]
     assert (r.n_groups, r.n_rows, r.min_distinct_sensitive) == (3, 19, 1)
     assert r.at_risk_share == round((2 * 10 * 1000000 + 19) // (2 * 19) / 1e6, 6)
+
+
+def test_t_closeness_exact_ordered_emd_on_planted_groups(spark, tmp_path):
+    """Hand-computed t-closeness: groups X (10 rows, all band 0) and Y
+    (10 rows, all band 1) each sit at ordered-EMD 0.5 from the global
+    distribution once uniform group Z (5+5) is added (X: |10*30-15*10| =
+    150 over D = 10*30*1 -> t = 0.5); Z matches the global distribution
+    exactly (t = 0). Every threshold in (0.15, 0.25, 0.35) must flag
+    exactly X and Y (20 of 30 rows, share 0.666667 by the exact DIV
+    round), and max_t_micro is 500000."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.quality_suite import (
+        qc_t_closeness,
+    )
+
+    rows = []
+    ck = 0
+
+    def add(n, nat, seg, bal):
+        nonlocal ck
+        for _ in range(n):
+            ck += 1
+            rows.append((ck, f"c{ck}", nat, bal, seg))
+
+    add(10, 0, "X", 500.0)    # band 0 only
+    add(10, 1, "Y", 1500.0)   # band 1 only
+    add(5, 2, "Z", 500.0)     # uniform group: global shape
+    add(5, 2, "Z", 1500.0)
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    df.write.parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.t_threshold_micro: r
+        for r in qc_t_closeness(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {150000, 250000, 350000}
+    for r in got.values():
+        assert (r.groups_above, r.rows_at_risk) == (2, 20)
+        assert r.at_risk_share == 0.666667
+        assert (r.n_groups, r.n_rows, r.max_t_micro) == (3, 30, 500000)

@@ -229,6 +229,23 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green) + gopher-rule (QG1) feature families; queued for 10
         "PIPE7",  # classifier-gated prep pipeline: composes CP8 + the
         # graded PIPE1 dedup legs verbatim; queued for round 10
+        # --- round-10 additions, queued for round 11 ---
+        "QA3",  # t-closeness audit: QA1/QA2 governance frame + exact
+        # ordered-EMD windows; queued for round 11
+        "TX22",  # BM25 pseudo-relevance feedback: TX20 BM25 (graded r10
+        # window) run twice with a mined broadcast term table
+        "CP9",  # water-filling token-budget allocator: CP2 census +
+        # bounded-domain windows; queued for round 11
+        "DD23",  # b-bit minhash estimate-vs-exact: DD2 signature/LSH
+        # machinery (driver-green) + integer estimator; queued for 11
+        "MM8",  # keyframe selection: MM7 frame-energy pass (graded r10
+        # window) + per-doc rank window; queued for round 11
+        "TX23",  # Jelinek-Mercer interpolated LM: TX13 add-one LM frame
+        # with the exact rational mixture; queued for round 11
+        "CP10",  # curriculum phase schedule: TX2 quality-micro bands x
+        # source composition; queued for round 11
+        "IT7",  # deflated power iteration (top-2 components): IT3
+        # power-method frame + Gram-Schmidt step; queued for round 11
     }
     orphaned = {
         t

@@ -376,3 +376,37 @@ def test_matryoshka_recall_detects_prefix_information_loss(spark):
     assert got[(32, 10)].overlap == 10 and got[(32, 10)].recall == 1.0
     for (m, k), r in got.items():
         assert r.recall == round((2 * r.overlap * 1000000 + k) // (2 * k) / 1e6, 6)
+
+
+def test_bm25_prf_expansion_recovers_seedless_doc(spark, tmp_path):
+    """PRF must mine vocabulary from the feedback docs and use it in the
+    second pass: docs 1-5 contain the seed term 'spark' plus the salient
+    filler 'zebra'; doc 6 contains ONLY 'zebra' (zero seed terms), so
+    pass 1 cannot rank it, but the mined expansion term recovers it —
+    doc 6 appears in the final list with a positive score from exactly
+    one (expansion) term. Docs with both seed and expansion hits must
+    outrank the expansion-only doc."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        text_bm25_prf,
+    )
+
+    rows = [
+        (i, "spark zebra " + " ".join(f"w{i}x{j}" for j in range(8)),
+         "en", "srcA", 0)
+        for i in range(1, 6)
+    ]
+    rows.append((6, "zebra zebra zebra", "en", "srcA", 0))
+    rows.append((7, "nothing relevant here at all", "en", "srcB", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = text_bm25_prf(spark, str(tmp_path)).collect()
+    got = {r.doc_id: r for r in out}
+    assert 6 in got, "expansion-only doc must be recovered by PRF"
+    assert got[6].score_micro > 0 and got[6].n_terms == 1
+    assert 7 not in got
+    for i in range(1, 6):
+        assert got[i].n_terms == 2  # seed + expansion
+        assert got[i].score_micro > got[6].score_micro
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))

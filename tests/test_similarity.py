@@ -441,3 +441,57 @@ def test_packed_hamming_storage_form_scans_only_words(spark):
     for rs in read_schemas:
         cols = {c.split(":")[0] for c in rs.split(",") if c}
         assert cols <= {"vec_id", "word"}, rs
+
+
+def test_top2_components_unit_orthogonal(spark):
+    """Deflated power iteration must return two UNIT directions that are
+    numerically ORTHOGONAL (the Gram-Schmidt step's contract), pc1
+    identical to the single-component query."""
+    import math
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        embeddings_top2_components,
+        embeddings_top_component,
+    )
+
+    rows = embeddings_top2_components(spark, SF_SMALL).collect()
+    assert len(rows) == 128
+    pc1 = [r.loading for r in rows if r.component == 1]
+    pc2 = [r.loading for r in rows if r.component == 2]
+    assert len(pc1) == 64 and len(pc2) == 64
+    assert abs(math.sqrt(sum(x * x for x in pc1)) - 1.0) < 1e-6
+    assert abs(math.sqrt(sum(x * x for x in pc2)) - 1.0) < 1e-6
+    assert abs(sum(a * b for a, b in zip(pc1, pc2))) < 1e-6
+    single = [r.loading for r in embeddings_top_component(spark, SF_SMALL).collect()]
+    assert pc1 == single
+
+
+def test_b_bit_minhash_exact_on_identical_docs(spark, tmp_path):
+    """Identical docs share every minhash slot: n_match = 8 and the
+    collision-corrected estimate is exactly 1.0 (1000000 micro). A
+    partial-overlap candidate pair exports a consistent estimate: the
+    micro value must equal the closed-form integer expression of its own
+    n_match, and the true jaccard rides along from the shared verify."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        dedup_minhash_b_bit,
+    )
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    near = " ".join([f"w{i}" for i in range(30)] + [f"v{i}" for i in range(10)])
+    rows = [
+        (1, clean, "en", "srcA", 0),
+        (2, clean, "en", "srcA", 0),
+        (3, near, "en", "srcA", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r for r in dedup_minhash_b_bit(spark, str(tmp_path)).collect()}
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert (r12.n_match, r12.est_j_micro, r12.jaccard) == (8, 1000000, 1.0)
+    for r in out.values():
+        num = max(0, 16 * r.n_match - 8)
+        assert r.est_j_micro == (2 * num * 1000000 + 120) // 240
+        assert 0 <= r.est_j_micro <= 1000000

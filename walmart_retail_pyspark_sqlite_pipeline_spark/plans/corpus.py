@@ -2752,3 +2752,379 @@ register_local(
         doc="prep pipeline with the learned quality gate: classifier keep -> exact dedup -> LSH near-dup removal",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_waterfill — the mixing allocator that sits between
+# the per-source token census and the sampler: given each source's token
+# count c_s and a global training budget B (here WF_BUDGET_NUM/WF_BUDGET_DEN
+# of the corpus total), allocate a_s tokens per source by WATER-FILLING —
+# small sources are taken whole (saturated), every other source is capped
+# at one common water level theta, chosen so the allocations sum exactly
+# to B. This is the standard "no source may dominate the mix" budget rule
+# (the flat-cap dual of temperature sampling); the export is the
+# per-source allocation table a sampler consumes directly.
+#
+# Exactness: everything is BIGINT. The saturation test for the j-th
+# smallest source is c_j * (S - j + 1) <= B - cum_{j-1} (pure integers,
+# no division); theta = (B - cum_K) div (S - K) with the remainder
+# distributed one token each to the first (B - cum_K) mod (S - K)
+# unsaturated sources in (c asc, source asc) order, so SUM(alloc) == B
+# exactly and both engines agree token-for-token.
+#
+# Scale shape: ONE shuffle over the fact (per-source token sums with
+# map-side partials); the water-level search is windows over the BOUNDED
+# source dimension (|S| ~ tens), with the two 1-row aggregates broadcast.
+# At 100 TB the cost is the census scan, full stop.
+# ---------------------------------------------------------------------------
+WF_BUDGET_NUM = 1
+WF_BUDGET_DEN = 2  # budget = floor(total_tokens / 2)
+
+
+def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.col("text")))).cast("long").alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("total"), F.count("*").alias("n_src")
+    )
+    w_ord = Window.orderBy("tokens", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"total * {WF_BUDGET_NUM} div {WF_BUDGET_DEN}"),
+        )
+        .withColumn("j", F.row_number().over(w_ord).cast("long"))
+        .withColumn("cum", F.sum("tokens").over(w_cum))
+        .withColumn(
+            "saturated",
+            (F.col("tokens") * (F.col("n_src") - F.col("j") + 1))
+            <= (F.col("budget") - (F.col("cum") - F.col("tokens"))),
+        )
+    )
+    kstats = g.agg(
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0)).alias("k_sat"),
+        F.sum(F.when(F.col("saturated"), F.col("tokens")).otherwise(0)).alias(
+            "cum_sat"
+        ),
+    )
+    out = (
+        g.crossJoin(F.broadcast(kstats))
+        .withColumn(
+            "theta",
+            F.expr(
+                "CASE WHEN n_src > k_sat THEN"
+                " (budget - cum_sat) div (n_src - k_sat) END"
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.expr(
+                "CASE WHEN saturated THEN tokens ELSE theta"
+                " + (CASE WHEN j - k_sat <="
+                "     (budget - cum_sat) % (n_src - k_sat)"
+                "    THEN 1 ELSE 0 END) END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "alloc_share",
+            F.expr(
+                "CASE WHEN budget > 0 THEN"
+                " (2 * alloc * 1000000 + budget) DIV (2 * budget) ELSE 0 END"
+            ).cast("bigint")
+            / F.lit(1000000.0).cast("double"),
+        )
+    )
+    return out.select(
+        "source",
+        "tokens",
+        "saturated",
+        "alloc",
+        "alloc_share",
+        F.col("budget").cast("long").alias("budget"),
+    ).orderBy("source")
+
+
+WATERFILL_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(SUM(len({_TOK_SQL})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(tokens) AS total, COUNT(*) AS n_src FROM src
+),
+g AS (
+  SELECT source, tokens, t.total, t.n_src,
+    t.total * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} AS budget,
+    ROW_NUMBER() OVER (ORDER BY tokens, source) AS j,
+    SUM(tokens) OVER (ORDER BY tokens, source ROWS UNBOUNDED PRECEDING)
+      AS cum
+  FROM src CROSS JOIN tot t
+),
+g2 AS (
+  SELECT *,
+    tokens * (n_src - j + 1) <= budget - (cum - tokens) AS saturated
+  FROM g
+),
+k AS (
+  SELECT SUM(CASE WHEN saturated THEN 1 ELSE 0 END) AS k_sat,
+         SUM(CASE WHEN saturated THEN tokens ELSE 0 END) AS cum_sat
+  FROM g2
+),
+alloc AS (
+  SELECT g2.*, k.k_sat, k.cum_sat,
+    CASE WHEN g2.n_src > k.k_sat
+         THEN (g2.budget - k.cum_sat) // (g2.n_src - k.k_sat) END AS theta
+  FROM g2 CROSS JOIN k
+)
+SELECT source, tokens, saturated,
+  CAST(CASE WHEN saturated THEN tokens ELSE theta
+       + (CASE WHEN j - k_sat <= (budget - cum_sat) % (n_src - k_sat)
+          THEN 1 ELSE 0 END) END AS BIGINT) AS alloc,
+  CAST(CASE WHEN budget > 0 THEN
+    (2 * (CASE WHEN saturated THEN tokens ELSE theta
+          + (CASE WHEN j - k_sat <= (budget - cum_sat) % (n_src - k_sat)
+             THEN 1 ELSE 0 END) END) * 1000000 + budget) // (2 * budget)
+    ELSE 0 END AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS alloc_share,
+  CAST(budget AS BIGINT) AS budget
+FROM alloc ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_token_budget_waterfill",
+        corpus_token_budget_waterfill,
+        WATERFILL_SQL,
+        ("CP9",),
+        doc="water-filling token-budget allocator: saturate small sources, cap the rest at one exact water level",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_lm_interpolated — Jelinek-Mercer interpolated bigram LM scoring,
+# the smoothing production LM filters actually use (text_lm_score is
+# add-one; JM mixes the ML bigram with the unigram fallback):
+#   P(w2|w1) = 1/2 * c2(w1 w2)/c1(w1) + 1/2 * c_u(w2)/T
+# over the corpus's own counts (T = total tokens). Low average negative
+# log-likelihood = text the corpus LM finds predictable. Compared side by
+# side with text_lm_score's add-one scores, this is the smoothing
+# ablation every LM-filter bake-off runs.
+#
+# Exactness: the mixture is held as ONE exact integer rational before the
+# log — P = (c2*T + c_u*c1) / (2*c1*T), both legs BIGINT products — so
+# the only float step is ln(exact_num/exact_den), micro-rounded like
+# every LM scorer in the package; per-doc sums are integer, the mean is
+# the sign-free DIV-round identity.
+#
+# Scale shape: same as text_lm_score — the three count tables are
+# DataFrames keyed on bigram/unigram (never driver state), scoring joins
+# shuffle on those keys, one per-doc aggregate. Bulk per-doc export:
+# partition-local order only.
+# ---------------------------------------------------------------------------
+def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    grams = (
+        docs.select("doc_id", F.explode(text.word_shingles(tok, 2)).alias("g"))
+        .select(
+            "doc_id",
+            "g",
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
+    )
+    c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
+    unis = docs.select(F.explode(tok).alias("w"))
+    cu = unis.groupBy("w").agg(F.count("*").alias("nu"))
+    tstat = unis.agg(F.count("*").alias("t_tok"))
+    scored = (
+        grams.join(c2, "g")
+        .join(c1, "w1")
+        .join(cu.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.col("n2").cast("decimal(38,0)") * F.col("t_tok")
+                        + F.col("nu").cast("decimal(38,0)") * F.col("n1")
+                    ).cast("double")
+                    / (
+                        F.lit(2).cast("decimal(38,0)")
+                        * F.col("n1")
+                        * F.col("t_tok")
+                    ).cast("double")
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("qf"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
+    )
+    micro = F.expr(
+        "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (-(micro.cast("long")) / F.lit(1000000.0)).alias("avg_nll_jm"),
+    ).sortWithinPartitions("doc_id")
+
+
+LM_JM_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (
+    SELECT doc_id, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+c2 AS (SELECT g, COUNT(*) AS n2 FROM grams GROUP BY g),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM grams GROUP BY w1),
+unis AS (SELECT unnest(tok) AS w FROM tk),
+cu AS (SELECT w, COUNT(*) AS nu FROM unis GROUP BY w),
+tstat AS (SELECT COUNT(*) AS t_tok FROM unis),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(ln(
+      CAST(CAST(c2.n2 AS HUGEINT) * t.t_tok
+           + CAST(cu.nu AS HUGEINT) * c1.n1 AS DOUBLE)
+      / CAST(CAST(2 AS HUGEINT) * c1.n1 * t.t_tok AS DOUBLE)
+    ) * 1000000.0, 0) AS BIGINT) AS qf
+  FROM grams
+  JOIN c2 USING (g)
+  JOIN c1 USING (w1)
+  JOIN cu ON cu.w = grams.w2
+  CROSS JOIN tstat t
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  -(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+    * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT))
+    / 1000000.0 AS avg_nll_jm
+FROM agg
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_lm_interpolated",
+        text_lm_interpolated,
+        LM_JM_SQL,
+        ("TX23",),
+        doc="Jelinek-Mercer interpolated bigram LM scoring: exact rational mixture, micro-nat per-doc mean",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_curriculum_phases — the curriculum-schedule table a staged
+# training run consumes: every document is binned into a fixed
+# quality-micro band (CURRICULUM_CUTS, the same 1e-6 fixed-point scale as
+# the quality classifier), and the export is the (phase, source)
+# composition — doc count, token budget, exact mean quality — that an
+# ordered data loader replays phase by phase (low band first: curriculum
+# = easy/noisy -> clean progression over a frozen snapshot). Fixed cuts,
+# not quantiles, on purpose: a global ntile would need an unpartitioned
+# sort+window over the corpus (the exact shape the round-9 measurement
+# banned), while fixed cuts keep phase assignment scan-local and
+# reproducible across snapshots of ANY size.
+#
+# Exactness: quality is micro-fixed-pointed with the classifier's idiom
+# (ROUND(qs*1e6) as BIGINT); the per-cell mean is the sign-free
+# (2*sum + n) DIV (2*n) integer identity. Scale shape: one scan-local
+# projection + ONE shuffle on (phase, source); output bounded by
+# 4 x |sources|.
+# ---------------------------------------------------------------------------
+CURRICULUM_CUTS = (250000, 500000, 750000)  # quality-micro band edges
+
+
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = text.tokens(F.col("text"))
+    d = docs.select(
+        "source",
+        F.size(tok).cast("long").alias("n_tok"),
+        F.round(text.quality_score(F.col("text"), tok) * 1000000, 0)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    phase = (
+        F.when(F.col("q_micro") < CURRICULUM_CUTS[0], 1)
+        .when(F.col("q_micro") < CURRICULUM_CUTS[1], 2)
+        .when(F.col("q_micro") < CURRICULUM_CUTS[2], 3)
+        .otherwise(4)
+    )
+    cell = (
+        d.withColumn("phase", phase.cast("long"))
+        .groupBy("phase", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.sum("q_micro").alias("q_sum"),
+        )
+    )
+    return cell.select(
+        "phase",
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("(2 * q_sum + n_docs) DIV (2 * n_docs)")
+        .cast("bigint")
+        .alias("avg_q_micro"),
+    ).orderBy("phase", "source")
+
+
+CURRICULUM_SQL = f"""
+WITH d AS (
+  SELECT source,
+    CAST(len(tok) AS BIGINT) AS n_tok,
+    CAST(ROUND({text.quality_score_sql('text', 'tok')} * 1000000, 0)
+         AS BIGINT) AS q_micro
+  FROM (SELECT source, text, {_TOK_SQL} AS tok FROM documents)
+),
+cell AS (
+  SELECT
+    CASE WHEN q_micro < {CURRICULUM_CUTS[0]} THEN 1
+         WHEN q_micro < {CURRICULUM_CUTS[1]} THEN 2
+         WHEN q_micro < {CURRICULUM_CUTS[2]} THEN 3
+         ELSE 4 END AS phase,
+    source, n_tok, q_micro
+  FROM d
+)
+SELECT CAST(phase AS BIGINT) AS phase, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+  CAST((2 * SUM(q_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    AS avg_q_micro
+FROM cell GROUP BY phase, source
+ORDER BY phase, source
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_curriculum_phases",
+        corpus_curriculum_phases,
+        CURRICULUM_SQL,
+        ("CP10",),
+        doc="curriculum schedule: fixed quality-micro bands x source composition with exact mean quality",
+    )
+)

@@ -5820,3 +5820,644 @@ register_local(
         doc="decode->embed->ANN composition: image near-dup top-k over stub features",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_prf — pseudo-relevance-feedback retrieval (Rocchio/RM-style,
+# the classic two-pass cascade): (1) score the corpus with BM25 for the
+# seed query BM25_TERMS and take the top PRF_FB docs as the feedback set;
+# (2) mine expansion terms from the feedback set — the PRF_EXP most
+# frequent tokens of length >= PRF_MINLEN not already in the seed query
+# (tf desc, term asc: deterministic); (3) rescore the corpus with the
+# expanded query, expansion contributions at half weight (Rocchio beta =
+# 1/2), and export the final top PRF_K. This is the production "query too
+# sparse -> borrow vocabulary from what it already retrieves" recall
+# lever, the same cascade shape as ann_rerank_two_stage but lexical.
+#
+# Exactness: both passes reuse text_bm25_topk's integer BM25 — micro-nat
+# idf, tf saturation as ONE sign-safe DIV-round in DECIMAL(38,0)/HUGEINT.
+# The half weight is applied to the already-rounded integer contribution
+# with an explicit sign-safe truncate-toward-zero halving (CASE + //2 on
+# the absolute value) so Spark's `div` and DuckDB's `//` cannot disagree
+# on negative contributions.
+#
+# Scale shape: three corpus passes, each individually scale-safe — pass 1
+# is text_bm25_topk's shape (term predicate BEFORE the tf groupBy, so only
+# seed-term postings shuffle; TakeOrderedAndProject for the feedback set);
+# the mining pass explodes ONLY the PRF_FB feedback docs (broadcast
+# semi-join on doc_id); pass 2 joins the exploded corpus against the
+# BROADCAST (|Q0| + PRF_EXP)-row term table before its tf groupBy, so
+# again only matching postings shuffle. Nothing is O(vocabulary).
+# ---------------------------------------------------------------------------
+PRF_FB = 5       # feedback docs from pass 1
+PRF_EXP = 3      # expansion terms mined from the feedback set
+PRF_K = 15       # final export size
+PRF_MINLEN = 4   # salience filter for expansion candidates
+
+
+def text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("l_tot"))
+    postings = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+
+    def bm25_scores(tf: DataFrame) -> DataFrame:
+        """per-doc exact-integer BM25 over a (doc_id, term, tf, w_half)
+        postings aggregate; w_half halves the (rounded) contribution."""
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        idf_micro = F.round(
+            F.log(
+                (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            * 1000000.0,
+            0,
+        ).cast("long")
+        num = F.lit(22).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot")
+        den = (
+            F.lit(10).cast("decimal(38,0)") * F.col("tf") * F.col("l_tot")
+            + F.lit(3).cast("decimal(38,0)") * F.col("l_tot")
+            + F.lit(9).cast("decimal(38,0)") * F.col("dl") * F.col("n_docs")
+        )
+        half = F.when(F.col("idf_micro") >= 0, F.col("den")).otherwise(
+            -F.col("den")
+        )
+        scored = (
+            tf.join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("idf_micro", idf_micro)
+            .withColumn("num", num)
+            .withColumn("den", den)
+            .withColumn("half", half)
+            .withColumn(
+                "contrib",
+                F.expr(
+                    "(CAST(2 AS DECIMAL(38,0)) * idf_micro * num + half) div "
+                    "(CAST(2 AS DECIMAL(38,0)) * den)"
+                ),
+            )
+            .withColumn(
+                "w_contrib",
+                F.expr(
+                    "CASE WHEN w_half = 0 THEN contrib "
+                    "WHEN contrib >= 0 THEN contrib div 2 "
+                    "ELSE -((-contrib) div 2) END"
+                ),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum("w_contrib").cast("long").alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+
+    # pass 1: seed query, feedback set
+    tf0 = (
+        postings.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("w_half", F.lit(0))
+    )
+    fb = (
+        bm25_scores(tf0)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(PRF_FB)
+        .select("doc_id")
+    )
+    # mine expansion terms from the feedback docs only
+    cand = (
+        postings.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(
+            (F.length("term") >= PRF_MINLEN)
+            & ~F.col("term").isin(*BM25_TERMS)
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("tf_fb"))
+    )
+    exp_terms = (
+        cand.orderBy(F.desc("tf_fb"), F.asc("term"))
+        .limit(PRF_EXP)
+        .select("term", F.lit(1).alias("w_half"))
+    )
+    q1 = exp_terms.unionByName(
+        spark.createDataFrame(
+            [(t, 0) for t in BM25_TERMS], "term string, w_half int"
+        )
+    )
+    # pass 2: expanded query — broadcast term-table join BEFORE the groupBy
+    tf1 = (
+        postings.join(F.broadcast(q1), "term")
+        .groupBy("doc_id", "term", "w_half")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    per_doc = bm25_scores(tf1)
+    topk = per_doc.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(PRF_K)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("rk", "doc_id", "n_terms", "score_micro")
+        .orderBy("rk")
+    )
+
+
+BM25_PRF_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS l_tot FROM dl),
+postings AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf0 AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df0 AS (SELECT term, COUNT(*) AS df FROM tf0 GROUP BY term),
+s0 AS (
+  SELECT tf0.doc_id,
+    (CAST(2 AS HUGEINT)
+       * CAST(ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                       / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+       * (CAST(22 AS HUGEINT) * tf0.tf * s.l_tot)
+     + CASE WHEN ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                          / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) >= 0
+            THEN (CAST(10 AS HUGEINT)*tf0.tf*s.l_tot + 3*s.l_tot
+                  + CAST(9 AS HUGEINT)*dl.dl*s.n_docs)
+            ELSE -(CAST(10 AS HUGEINT)*tf0.tf*s.l_tot + 3*s.l_tot
+                   + CAST(9 AS HUGEINT)*dl.dl*s.n_docs) END)
+    // (CAST(2 AS HUGEINT)
+        * (CAST(10 AS HUGEINT)*tf0.tf*s.l_tot + 3*s.l_tot
+           + CAST(9 AS HUGEINT)*dl.dl*s.n_docs)) AS contrib
+  FROM tf0 JOIN df0 d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, SUM(contrib) AS score FROM s0 GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id LIMIT {PRF_FB}
+),
+exp_terms AS (
+  SELECT term, 1 AS w_half FROM (
+    SELECT p.term, COUNT(*) AS tf_fb
+    FROM postings p JOIN fb USING (doc_id)
+    WHERE length(p.term) >= {PRF_MINLEN} AND p.term NOT IN ({_BM25_TERMS_SQL})
+    GROUP BY p.term
+  ) ORDER BY tf_fb DESC, term LIMIT {PRF_EXP}
+),
+q1 AS (
+  SELECT term, w_half FROM exp_terms
+  UNION ALL
+  SELECT unnest([{_BM25_TERMS_SQL}]) AS term, 0 AS w_half
+),
+tf1 AS (
+  SELECT p.doc_id, p.term, q1.w_half, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings p JOIN q1 USING (term)
+  GROUP BY p.doc_id, p.term, q1.w_half
+),
+df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+s1 AS (
+  SELECT tf1.doc_id, tf1.w_half,
+    (CAST(2 AS HUGEINT)
+       * CAST(ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                       / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+       * (CAST(22 AS HUGEINT) * tf1.tf * s.l_tot)
+     + CASE WHEN ROUND(ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)
+                          / CAST(2*d.df + 1 AS DOUBLE)) * 1000000.0, 0) >= 0
+            THEN (CAST(10 AS HUGEINT)*tf1.tf*s.l_tot + 3*s.l_tot
+                  + CAST(9 AS HUGEINT)*dl.dl*s.n_docs)
+            ELSE -(CAST(10 AS HUGEINT)*tf1.tf*s.l_tot + 3*s.l_tot
+                   + CAST(9 AS HUGEINT)*dl.dl*s.n_docs) END)
+    // (CAST(2 AS HUGEINT)
+        * (CAST(10 AS HUGEINT)*tf1.tf*s.l_tot + 3*s.l_tot
+           + CAST(9 AS HUGEINT)*dl.dl*s.n_docs)) AS contrib
+  FROM tf1 JOIN df1 d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+w1 AS (
+  SELECT doc_id,
+    CASE WHEN w_half = 0 THEN contrib
+         WHEN contrib >= 0 THEN contrib // 2
+         ELSE -((-contrib) // 2) END AS w_contrib
+  FROM s1
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(w_contrib) AS BIGINT) AS score_micro,
+         COUNT(*) AS n_terms
+  FROM w1 GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms, score_micro,
+    ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+  FROM per_doc
+)
+SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_micro
+FROM ranked WHERE rk <= {PRF_K} ORDER BY rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_bm25_prf",
+        text_bm25_prf,
+        BM25_PRF_SQL,
+        ("TX22",),
+        doc="pseudo-relevance-feedback BM25: seed top-k -> mined expansion terms at half weight -> rescore",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_b_bit — b-bit minhash (Li & Koenig, WWW'10): store only
+# the low BBIT_B bits of each of the len(PERMS) minhash values — a 16x
+# signature-store compression at 64-bit hashes — and estimate Jaccard
+# from the fraction of matching b-bit slots with the collision
+# correction E[match] = J + (1-J)/2^b  =>  J_hat = (match_frac - 2^-b)
+# / (1 - 2^-b), clipped at 0. At 100 TB the signature store IS the
+# dominant dedup artifact; this is the operator that says how much
+# accuracy the compression costs on THIS corpus: each exported candidate
+# pair carries the b-bit match count, the corrected estimate, and the
+# true shingle Jaccard the graded LSH path computes, so the error is
+# auditable row by row.
+#
+# Exactness: the estimator is one exact integer expression — with m of
+# P slots matching and scale 2^b: J_hat = (m*2^b - P) / (P*(2^b - 1)),
+# fixed-pointed to micro units via the sign-free (2*1e6*num + den) DIV
+# (2*den) idiom (num clipped at 0 first). The true Jaccard reuses the
+# exact shared candidate-verify arithmetic.
+#
+# Scale shape: identical to dedup_minhash_lsh_pairs — signature groupBy,
+# banded candidates, verify only candidates; the b-bit comparison is 8
+# integer AND/EQ ops per candidate pair. Bulk pair export: partition-local
+# order only.
+# ---------------------------------------------------------------------------
+BBIT_B = 4  # low bits kept per minhash slot
+
+
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mask = (1 << BBIT_B) - 1
+    scale = 1 << BBIT_B
+    nperm = len(PERMS)
+    sig = _minhash_sig(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[(F.col(f"mh{j}").bitwiseAND(mask)).alias(f"ba{j}") for j in range(nperm)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[(F.col(f"mh{j}").bitwiseAND(mask)).alias(f"bb{j}") for j in range(nperm)],
+    )
+    cand = _lsh_candidate_jaccards(spark, sf_dir)
+    n_match = sum(
+        F.when(F.col(f"ba{j}") == F.col(f"bb{j}"), 1).otherwise(0)
+        for j in range(nperm)
+    )
+    est_num = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("n_match") * scale - nperm).cast("long"),
+    )
+    est_den = nperm * (scale - 1)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_match", n_match.cast("long"))
+        .withColumn(
+            "est_j_micro",
+            F.expr(
+                f"CAST((2 * greatest(CAST(0 AS BIGINT),"
+                f" CAST(n_match * {scale} - {nperm} AS BIGINT)) * 1000000"
+                f" + {est_den}) DIV (2 * {est_den}) AS BIGINT)"
+            ),
+        )
+        .select("doc_a", "doc_b", "n_match", "est_j_micro", "jaccard")
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+_BBIT_MATCH_SQL = " + ".join(
+    f"CASE WHEN (a.mh{j} & {(1 << BBIT_B) - 1}) = (b.mh{j} & {(1 << BBIT_B) - 1})"
+    " THEN 1 ELSE 0 END"
+    for j in range(len(PERMS))
+)
+
+DEDUP_BBIT_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM uni GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN uni ua ON ua.doc_id = cand.doc_a
+  JOIN uni ub ON ub.doc_id = cand.doc_b AND ub.t = ua.t
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT common.doc_a, common.doc_b,
+    ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+),
+matched AS (
+  SELECT jac.doc_a, jac.doc_b, jac.jaccard,
+    CAST({_BBIT_MATCH_SQL} AS BIGINT) AS n_match
+  FROM jac
+  JOIN sig a ON a.doc_id = jac.doc_a
+  JOIN sig b ON b.doc_id = jac.doc_b
+)
+SELECT doc_a, doc_b, n_match,
+  CAST((2 * GREATEST(CAST(0 AS BIGINT),
+        CAST(n_match * {1 << BBIT_B} - {len(PERMS)} AS BIGINT)) * 1000000
+        + {len(PERMS) * ((1 << BBIT_B) - 1)})
+       // (2 * {len(PERMS) * ((1 << BBIT_B) - 1)}) AS BIGINT) AS est_j_micro,
+  jaccard
+FROM matched
+ORDER BY doc_a, doc_b
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_minhash_b_bit",
+        dedup_minhash_b_bit,
+        DEDUP_BBIT_SQL,
+        ("DD23",),
+        doc="b-bit minhash: 4-bit signature slots, collision-corrected Jaccard estimate vs exact per candidate pair",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_keyframe_select — the step after scene-cut detection in a
+# video-curation pipeline: pick each video's KF_K most-informative frames
+# (highest byte-energy; frame_idx asc breaks ties deterministically) as
+# the frames that go on to the expensive encoder. Same Arrow frame-energy
+# pass as multimodal_scene_cut; the selection is one rank-k window
+# PARTITIONED BY doc_id — per-doc state bounded at the 8-frame stub
+# cap, no global window, no shuffle beyond the frame exchange. Bulk
+# per-video export: partition-local order only.
+# ---------------------------------------------------------------------------
+KF_K = 2  # keyframes kept per video
+
+
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import frame_energy
+
+    docs = read_table(spark, sf_dir, "documents")
+    fr = frame_energy(attach_fake_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("energy"), F.asc("frame_idx")
+    )
+    return (
+        fr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KF_K)
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("energy").cast("bigint").alias("energy"),
+            "rk",
+        )
+        .sortWithinPartitions("doc_id", "rk")
+    )
+
+
+KEYFRAME_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS blen,
+         1 + octet_length(encode(text)) % 8 AS n
+  FROM documents WHERE text IS NOT NULL
+),
+bytes AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+    (strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 1, 1)) - 1)
+      * 16
+    + strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 2, 1)) - 1
+      AS bv
+  FROM (SELECT doc_id, h, unnest(range(0, blen)) AS j FROM hx)
+),
+frames AS (
+  SELECT doc_id, blen, n, CAST(t.i AS INTEGER) AS i,
+         (t.i * blen) // n AS off, ((t.i + 1) * blen) // n AS off_next
+  FROM hx, range(0, 8) t(i)
+  WHERE t.i < n
+),
+fe AS (
+  SELECT f.doc_id, f.i, COALESCE(SUM(b.bv), 0) AS energy
+  FROM frames f
+  LEFT JOIN bytes b
+    ON b.doc_id = f.doc_id AND b.j >= f.off AND b.j < f.off_next
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, i, energy,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, i) AS rk
+  FROM fe
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+  CAST(energy AS BIGINT) AS energy, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {KF_K}
+ORDER BY doc_id, rk
+"""
+
+
+register_local(
+    QuerySpec(
+        "multimodal_keyframe_select",
+        multimodal_keyframe_select,
+        KEYFRAME_SQL,
+        ("MM8",),
+        doc="keyframe selection: top-k frames per video by byte energy over the Arrow frame-energy pass",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings_top2_components — the second principal direction via power
+# iteration WITH DEFLATION: pc1 exactly as embeddings_top_component (4
+# fixed iterations from the constant init), then pc2 by 4 iterations that
+# Gram-Schmidt the iterate against pc1 after every multiply
+# (u <- normalize(A u - (A u . pc1) pc1), alternating-sign deterministic
+# init so u0 is not orthogonal to the second component by construction).
+# Two components is where whitening/ABTT-style embedding postprocessing
+# starts (dominant-direction removal uses >= 2 directions); the export is
+# the (component, dim, loading) table that postprocessor consumes.
+#
+# Exactness: every A*u product keeps the package's fixed-point sum
+# discipline — per-dim Σ round(x * (v.u) * 1e9) as BIGINT, divided once —
+# so both engines see identical 64-dim iterates; the Gram-Schmidt dot and
+# normalization are single deterministic IEEE fold sequences on a 1-row
+# 64-element array (zip_with against array_repeat keeps the scalar out of
+# the per-element lambda — the round-9 capture rule).
+#
+# Scale shape: each iteration is one broadcast of a 64-double vector and
+# one map-side-combined groupBy over (dim) — 8 corpus passes total, all
+# scan-shaped, no all-pairs anything. The 1-row vector algebra is driver-
+# free (stays in a DataFrame).
+# ---------------------------------------------------------------------------
+def embeddings_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+
+    def power_step(vcur: DataFrame) -> DataFrame:
+        """one A*u multiply with the fixed-point per-dim sum; returns a
+        1-row DF with the UNNORMALIZED 64-dim iterate `warr`."""
+        dots = e.crossJoin(F.broadcast(vcur)).select(
+            F.posexplode("v").alias("d", "x"),
+            vectors.dot(F.col("v"), F.col("pc")).alias("dot"),
+        )
+        w = dots.groupBy("d").agg(
+            (
+                F.sum(F.round(F.col("x") * F.col("dot") * 1e9, 0).cast("long"))
+                / F.lit(1e9)
+            ).alias("w")
+        )
+        return w.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "w"))),
+                lambda s: s["w"],
+            ).alias("warr")
+        )
+
+    def normalize(col_df: DataFrame, col: str) -> DataFrame:
+        return col_df.select(
+            F.transform(
+                F.col(col),
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.col(col), F.lit(0.0), lambda acc, y: acc + y * y
+                    )
+                ),
+            ).alias("pc")
+        )
+
+    # pc1: identical to embeddings_top_component
+    vcur = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)
+        ).alias("pc")
+    )
+    for _ in range(4):
+        vcur = normalize(power_step(vcur), "warr")
+    pc1 = vcur.select(F.col("pc").alias("pc1"))
+
+    # pc2: alternating-sign init, Gram-Schmidt against pc1 each iteration
+    ucur = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(i % 2 == 0, F.lit(0.125)).otherwise(F.lit(-0.125)),
+        ).alias("pc")
+    )
+    for _ in range(4):
+        w2 = power_step(ucur).crossJoin(F.broadcast(pc1))
+        # dot(warr, pc1) evaluated ONCE via zip_with+array_repeat (never
+        # captured inside the per-element lambda — functions/vectors.py
+        # round-9 rule)
+        dot_wp = F.aggregate(
+            F.zip_with(F.col("warr"), F.col("pc1"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        proj = F.zip_with(
+            F.col("pc1"),
+            F.array_repeat(dot_wp, F.size(F.col("pc1"))),
+            lambda p, dd: p * dd,
+        )
+        orth = w2.select(
+            F.zip_with(F.col("warr"), proj, lambda w_, pr: w_ - pr).alias(
+                "warr"
+            )
+        )
+        ucur = normalize(orth, "warr")
+    pc2 = ucur.select(F.col("pc").alias("pc2"))
+
+    out1 = pc1.select(
+        F.lit(1).cast("bigint").alias("component"),
+        F.posexplode("pc1").alias("d", "loading"),
+    )
+    out2 = pc2.select(
+        F.lit(2).cast("bigint").alias("component"),
+        F.posexplode("pc2").alias("d", "loading"),
+    )
+    return (
+        out1.unionByName(out2)
+        .select(
+            "component",
+            F.col("d").cast("bigint").alias("d"),
+            F.round("loading", 9).alias("loading"),
+        )
+        .orderBy("component", "d")
+    )
+
+
+def _pc2_iter_sql(prev: str, name: str) -> str:
+    """deflated power-iteration step: A*u with the fixed-point per-dim
+    sum, then Gram-Schmidt against the converged pc1 (it4), normalize."""
+    return f"""{name}_w AS (
+  SELECT t.d AS d,
+    SUM(CAST(ROUND(e.v[t.d + 1] *
+      list_dot_product(e.v, (SELECT pc FROM {prev})) * 1e9, 0) AS BIGINT))
+      / 1e9 AS w
+  FROM e, range(0, 64) t(d)
+  GROUP BY t.d
+),
+{name}_o AS (
+  SELECT list_transform(
+    list_zip(wa, (SELECT pc FROM it4)),
+    z -> z[1] - list_dot_product(wa, (SELECT pc FROM it4)) * z[2]) AS wo
+  FROM (SELECT list(w ORDER BY d) AS wa FROM {name}_w)
+),
+{name} AS (
+  SELECT list_transform(wo, x -> x / sqrt(
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(wo, y -> y * y)), (acc, z) -> acc + z))) AS pc
+  FROM {name}_o
+)"""
+
+
+EMB_TOP2_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+r0 AS (
+  SELECT list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS pc
+),
+{_pc_iter_sql("r0", "it1")},
+{_pc_iter_sql("it1", "it2")},
+{_pc_iter_sql("it2", "it3")},
+{_pc_iter_sql("it3", "it4")},
+s0 AS (
+  SELECT list_transform(range(64),
+    x -> CASE WHEN x % 2 = 0 THEN CAST(0.125 AS DOUBLE)
+         ELSE CAST(-0.125 AS DOUBLE) END) AS pc
+),
+{_pc2_iter_sql("s0", "jt1")},
+{_pc2_iter_sql("jt1", "jt2")},
+{_pc2_iter_sql("jt2", "jt3")},
+{_pc2_iter_sql("jt3", "jt4")}
+SELECT CAST(1 AS BIGINT) AS component, CAST(t.d AS BIGINT) AS d,
+       ROUND(pc[t.d + 1], 9) AS loading
+FROM it4, range(0, 64) t(d)
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS component, CAST(t.d AS BIGINT) AS d,
+       ROUND(pc[t.d + 1], 9) AS loading
+FROM jt4, range(0, 64) t(d)
+ORDER BY component, d
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_top2_components",
+        embeddings_top2_components,
+        EMB_TOP2_SQL,
+        ("IT7", "SIM9"),
+        doc="top-2 principal directions: power iteration + Gram-Schmidt deflation, fixed-point A*u sums",
+    )
+)

@@ -873,3 +873,225 @@ register_local(
         doc="distinct l-diversity audit: QI groups below each sensitive-value-diversity threshold",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# qc_t_closeness — the third leg of the release-governance trilogy
+# (k-anonymity: group size; l-diversity: sensitive-value variety;
+# t-closeness, Li et al. ICDE'07: sensitive-value DISTRIBUTION). A QI
+# group can be large AND diverse yet still leak — if its sensitive-value
+# distribution is skewed far from the table's global distribution, joining
+# on the QI tuple shifts an adversary's posterior. t-closeness bounds the
+# Earth Mover's Distance between each group's sensitive distribution and
+# the global one; for an ORDERED sensitive attribute the EMD is the
+# normalized sum of cumulative-distribution gaps over the m observed
+# values with rank spacing: t(Q,P) = (1/(m-1)) * sum_i |cum_i(Q - P)|
+# (the paper's ordered-distance form).
+#
+# Exactness: the per-band difference q_b - p_b is held as the INTEGER
+# cnt_gb*n - cnt_b*n_g over the common denominator n_g*n, cumulated and
+# absolute-summed in integer space, and the final t is fixed-pointed to
+# micro units with the sign-free (2*1e6*E + D) DIV (2*D) idiom in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no float accumulation
+# anywhere, so both engines agree to the last micro.
+#
+# Scale shape: ONE shuffle over the fact (groupBy QI+band with map-side
+# partials); everything downstream — group totals, band totals, the
+# densified QI x band grid, the cumulative window — lives on the BOUNDED
+# QI-domain x band-domain grid (the same state bound as the other two
+# audits), with the grid built from two broadcast joins. The final
+# per-threshold summary is one 1-row conditional aggregate unpivoted via
+# stack(). At 100 TB the cost is the one fact shuffle, full stop.
+# --------------------------------------------------------------------------
+T_CLOSE_THRESHOLDS_MICRO = (150000, 250000, 350000)  # t = 0.15 / 0.25 / 0.35
+T_CLOSE_BAND = 1000.0  # sensitive attribute: acctbal band width (dollars)
+
+
+def qc_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    cell = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(T_CLOSE_BAND))
+            .cast("bigint")
+            .alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("cnt_gb"))
+    )
+    gtot = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt_gb").alias("n_g")
+    )
+    btot = cell.groupBy("band").agg(F.sum("cnt_gb").alias("cnt_b"))
+    tot = cell.agg(
+        F.sum("cnt_gb").alias("n"), F.countDistinct("band").alias("m")
+    )
+    dens = (
+        gtot.crossJoin(F.broadcast(btot))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "n_g",
+            "cnt_b",
+            "n",
+            "m",
+            F.coalesce("cnt_gb", F.lit(0)).alias("cnt_gb"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.col("cnt_gb") * F.col("n") - F.col("cnt_b") * F.col("n_g")
+    ).over(w)
+    emd = (
+        dens.withColumn("cum", cum)
+        .groupBy("c_nationkey", "c_mktsegment", "n_g", "n", "m")
+        .agg(F.sum(F.abs(F.col("cum"))).alias("emd_scaled"))
+    )
+    per_g = emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * emd_scaled"
+            " + CAST(n_g AS DECIMAL(38,0)) * n * (m - 1)) div"
+            " (CAST(2 AS DECIMAL(38,0)) * n_g * n * (m - 1)) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n_rows"),
+        F.max("t_micro").cast("bigint").alias("max_t_micro"),
+    ]
+    for tm in T_CLOSE_THRESHOLDS_MICRO:
+        aggs.append(
+            F.sum(F.when(F.col("t_micro") > tm, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{tm}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("t_micro") > tm, F.col("n_g")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{tm}")
+        )
+    stats = per_g.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({tm} AS BIGINT), g{tm}, r{tm}" for tm in T_CLOSE_THRESHOLDS_MICRO
+    )
+    return (
+        stats.select(
+            F.expr(
+                f"stack({len(T_CLOSE_THRESHOLDS_MICRO)}, {stack_args}) "
+                "AS (t_threshold_micro, groups_above, rows_at_risk)"
+            ),
+            "n_groups",
+            "n_rows",
+            "max_t_micro",
+        )
+        .withColumn(
+            "at_risk_share",
+            F.expr(
+                "(2 * rows_at_risk * 1000000 + n_rows) DIV (2 * n_rows)"
+            ).cast("bigint")
+            / F.lit(1000000.0).cast("double"),
+        )
+        .select(
+            "t_threshold_micro",
+            "groups_above",
+            "rows_at_risk",
+            "at_risk_share",
+            "n_groups",
+            "n_rows",
+            "max_t_micro",
+        )
+        .orderBy("t_threshold_micro")
+    )
+
+
+_T_CLOSE_G = ", ".join(
+    f"CAST(SUM(CASE WHEN t_micro > {tm} THEN 1 ELSE 0 END) AS BIGINT) AS g{tm},\n"
+    f"    CAST(SUM(CASE WHEN t_micro > {tm} THEN n_g ELSE 0 END) AS BIGINT) AS r{tm}"
+    for tm in T_CLOSE_THRESHOLDS_MICRO
+)
+_T_CLOSE_T = "\n  UNION ALL ".join(
+    f"SELECT CAST({tm} AS BIGINT) AS t_threshold_micro, g{tm} AS groups_above, "
+    f"r{tm} AS rows_at_risk, n_groups, n_rows, max_t_micro FROM s"
+    for tm in T_CLOSE_THRESHOLDS_MICRO
+)
+
+QC_T_CLOSENESS_SQL = f"""
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / {T_CLOSE_BAND}) AS BIGINT) AS band,
+         COUNT(*) AS cnt_gb
+  FROM customer GROUP BY 1, 2, 3
+),
+gtot AS (
+  SELECT c_nationkey, c_mktsegment, SUM(cnt_gb) AS n_g
+  FROM cell GROUP BY 1, 2
+),
+btot AS (SELECT band, SUM(cnt_gb) AS cnt_b FROM cell GROUP BY 1),
+tot AS (
+  SELECT SUM(cnt_gb) AS n, COUNT(DISTINCT band) AS m FROM cell
+),
+dens AS (
+  SELECT g.c_nationkey, g.c_mktsegment, b.band, g.n_g, b.cnt_b, t.n, t.m,
+         COALESCE(c.cnt_gb, 0) AS cnt_gb
+  FROM gtot g CROSS JOIN btot b CROSS JOIN tot t
+  LEFT JOIN cell c
+    ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+   AND c.band = b.band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g, n, m,
+    SUM(cnt_gb * n - cnt_b * n_g) OVER (
+      PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dens
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, n_g, n, m,
+         SUM(ABS(cum)) AS emd_scaled
+  FROM cum GROUP BY 1, 2, 3, 4, 5
+),
+per_g AS (
+  SELECT c_nationkey, c_mktsegment, n_g,
+    CAST((CAST(2000000 AS HUGEINT) * emd_scaled
+          + CAST(n_g AS HUGEINT) * n * (m - 1))
+         // (CAST(2 AS HUGEINT) * n_g * n * (m - 1)) AS BIGINT) AS t_micro
+  FROM emd
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(SUM(n_g) AS BIGINT) AS n_rows,
+    CAST(MAX(t_micro) AS BIGINT) AS max_t_micro,
+    {_T_CLOSE_G}
+  FROM per_g
+),
+t AS (
+  {_T_CLOSE_T}
+)
+SELECT t_threshold_micro, groups_above, rows_at_risk,
+  CAST((2 * rows_at_risk * 1000000 + n_rows) // (2 * n_rows) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS at_risk_share,
+  n_groups, n_rows, max_t_micro
+FROM t ORDER BY t_threshold_micro
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_t_closeness",
+        qc_t_closeness,
+        QC_T_CLOSENESS_SQL,
+        ("QA3",),
+        doc="t-closeness audit: per-QI-group ordered-EMD of the sensitive distribution vs global, thresholds in micro units",
+    )
+)

@@ -219,6 +219,15 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_split_train_val_test": 11,
     "corpus_importance_weights": 11,
     "text_lang_confusion": 11,
+    # round-10 additions (registered this round, graded next)
+    "qc_t_closeness": 11,
+    "text_bm25_prf": 11,
+    "corpus_token_budget_waterfill": 11,
+    "dedup_minhash_b_bit": 11,
+    "multimodal_keyframe_select": 11,
+    "text_lm_interpolated": 11,
+    "corpus_curriculum_phases": 11,
+    "embeddings_top2_components": 11,
 }
 
 
