@@ -929,28 +929,28 @@ def test_waterfill_saturates_small_sources_and_sums_to_budget(spark, tmp_path):
     assert got["srcB"].alloc_share == 0.47619
 
 
-def test_lm_interpolated_prefers_corpus_like_text(spark, tmp_path):
-    """JM-interpolated scoring must rank a doc built from the corpus's
-    dominant bigram as more predictable (lower avg_nll_jm) than a doc of
-    one-off bigrams, with exact bigram counts."""
+def test_lm_interpolated_prefers_predictable_continuations(spark, tmp_path):
+    """JM interpolation scores the ML bigram leg: a doc whose every
+    history has ONE continuation (a b a b ... -> P_ML = 1 for each
+    bigram) must score a lower avg_nll_jm than a doc whose shared
+    history splits four ways (c x c y c z c w -> P_ML = 1/4); bigram
+    counts are exact."""
     from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
         text_lm_interpolated,
     )
 
-    common = "the cat sat on the mat " * 5
     rows = [
-        (1, common.strip(), "en", "srcA", 0),
-        (2, common.strip(), "en", "srcA", 0),
-        (3, "zqx wvu tsr qpo nml kji", "en", "srcB", 0),
+        (1, "a b " * 10, "en", "srcA", 0),
+        (2, "c x c y c z c w", "en", "srcB", 0),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.parquet(str(tmp_path / "documents.parquet"))
     got = {r.doc_id: r for r in text_lm_interpolated(spark, str(tmp_path)).collect()}
-    assert got[1].n_bigrams == 29  # 30 tokens -> 29 bigrams
-    assert got[3].n_bigrams == 5
-    assert got[1].avg_nll_jm < got[3].avg_nll_jm
+    assert got[1].n_bigrams == 19  # 20 tokens -> 19 bigrams
+    assert got[2].n_bigrams == 7
+    assert got[1].avg_nll_jm < got[2].avg_nll_jm
     assert got[1].avg_nll_jm > 0
 
 

@@ -391,12 +391,20 @@ def test_bm25_prf_expansion_recovers_seedless_doc(spark, tmp_path):
     )
 
     rows = [
-        (i, "spark zebra " + " ".join(f"w{i}x{j}" for j in range(8)),
+        # per-doc fillers stay UNDER PRF_MINLEN so 'zebra' is the only
+        # minable expansion candidate
+        (i, "spark zebra " + " ".join(f"x{i}{j}" for j in range(8)),
          "en", "srcA", 0)
         for i in range(1, 6)
     ]
     rows.append((6, "zebra zebra zebra", "en", "srcA", 0))
     rows.append((7, "nothing relevant here at all", "en", "srcB", 0))
+    # background docs so neither 'spark' nor 'zebra' covers half the
+    # corpus (Robertson idf goes negative past df > N/2)
+    rows.extend(
+        (i, f"background filler{i} text{i} words{i} only", "en", "srcB", 0)
+        for i in range(8, 28)
+    )
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )

@@ -6410,10 +6410,15 @@ def _pc2_iter_sql(prev: str, name: str) -> str:
   GROUP BY t.d
 ),
 {name}_o AS (
-  SELECT list_transform(
-    list_zip(wa, (SELECT pc FROM it4)),
-    z -> z[1] - list_dot_product(wa, (SELECT pc FROM it4)) * z[2]) AS wo
-  FROM (SELECT list(w ORDER BY d) AS wa FROM {name}_w)
+  -- DuckDB bans subqueries inside lambda bodies: bring pc1 in as a
+  -- cross-joined column and capture the scalar dot as a column too
+  SELECT list_transform(list_zip(wa, pc1),
+                        z -> z[1] - dotwp * z[2]) AS wo
+  FROM (
+    SELECT wa, p1.pc AS pc1, list_dot_product(wa, p1.pc) AS dotwp
+    FROM (SELECT list(w ORDER BY d) AS wa FROM {name}_w)
+    CROSS JOIN it4 p1
+  )
 ),
 {name} AS (
   SELECT list_transform(wo, x -> x / sqrt(
