@@ -949,13 +949,18 @@ register_local(
 # ---------------------------------------------------------------------------
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    grams = docs.select(
-        "doc_id", F.explode(text.word_shingles(tok, 2)).alias("g")
+    # tokens MUST be materialized as a column before word_shingles:
+    # passing the tokens(text) EXPRESSION captures the whole regex
+    # tokenizer inside the per-element shingle lambda (element_at(tok,..)
+    # twice per shingle) — the round-9 int8_quantize pathology, re-found
+    # by the round-10 lm probes (15.1 s -> sub-second at sf0.1)
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    grams = tk.select(
+        "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
     ).select("doc_id", "g", F.split(F.col("g"), " ").getItem(0).alias("w1"))
     c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
     c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
-    vocab = docs.select(F.explode(tok).alias("w")).agg(
+    vocab = tk.select(F.explode(F.col("tok")).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
     scored = (
@@ -1188,11 +1193,15 @@ TARGET_LANG = "en"
 
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    grams = docs.select(
+    # materialized tok column — never the expression (capture pathology;
+    # see text_lm_score)
+    tk = docs.select(
+        "doc_id", "lang", text.tokens(F.col("text")).alias("tok")
+    )
+    grams = tk.select(
         "doc_id",
         "lang",
-        F.explode(text.word_shingles(tok, 2)).alias("g"),
+        F.explode(text.word_shingles(F.col("tok"), 2)).alias("g"),
     ).select(
         "doc_id", "lang", "g", F.split(F.col("g"), " ").getItem(0).alias("w1")
     )
@@ -1201,7 +1210,7 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = grams.filter(F.col("lang") == TARGET_LANG)
     tgt2 = tgt.groupBy("g").agg(F.count("*").alias("t2"))
     tgt1 = tgt.groupBy("w1").agg(F.count("*").alias("t1"))
-    vocab = docs.select(F.explode(tok).alias("w")).agg(
+    vocab = tk.select(F.explode(F.col("tok")).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
 
@@ -2189,11 +2198,13 @@ _NOVELTY_BUCKETS = 10
 
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    inc = docs.select(
+    # materialized tok column — never the expression (capture pathology;
+    # see text_lm_score)
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    inc = tk.select(
         "doc_id",
         F.explode_outer(
-            F.array_distinct(text.word_shingles(tok, 3))
+            F.array_distinct(text.word_shingles(F.col("tok"), 3))
         ).alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     hi = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
@@ -2928,9 +2939,14 @@ register_local(
 # ---------------------------------------------------------------------------
 def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
+    # materialized tok column — never the expression (capture pathology;
+    # see text_lm_score; probe receipt 172.5 -> token-scan cost at the
+    # 50k-doc decade)
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
     grams = (
-        docs.select("doc_id", F.explode(text.word_shingles(tok, 2)).alias("g"))
+        tk.select(
+            "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
+        )
         .select(
             "doc_id",
             "g",
@@ -2940,7 +2956,7 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
     c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
-    unis = docs.select(F.explode(tok).alias("w"))
+    unis = tk.select(F.explode(F.col("tok")).alias("w"))
     cu = unis.groupBy("w").agg(F.count("*").alias("nu"))
     tstat = unis.agg(F.count("*").alias("t_tok"))
     scored = (
@@ -3058,11 +3074,15 @@ CURRICULUM_CUTS = (250000, 500000, 750000)  # quality-micro band edges
 
 def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
-    d = docs.select(
+    # materialized tok column — never the expression (capture pathology;
+    # see text_lm_score); same discipline as corpus_quality_classifier
+    tk = docs.select("source", "text", text.tokens(F.col("text")).alias("tok"))
+    d = tk.select(
         "source",
-        F.size(tok).cast("long").alias("n_tok"),
-        F.round(text.quality_score(F.col("text"), tok) * 1000000, 0)
+        F.size("tok").cast("long").alias("n_tok"),
+        F.round(
+            text.quality_score(F.col("text"), F.col("tok")) * 1000000, 0
+        )
         .cast("long")
         .alias("q_micro"),
     )

@@ -219,6 +219,9 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_split_train_val_test": 11,
     "corpus_importance_weights": 11,
     "text_lang_confusion": 11,
+    # round-10 capture-pathology fix drift (tokens() expression inside the
+    # word_shingles per-element lambda — outputs unchanged, plan repaired)
+    "corpus_novelty_curve": 11,
     # round-10 additions (registered this round, graded next)
     "qc_t_closeness": 11,
     "text_bm25_prf": 11,
