@@ -41,6 +41,7 @@ PYTHON_ALLOWED = {
     "multimodal_image_features_vec",  # array-shaped local surface of same
     "multimodal_image_ann",  # Arrow feature pass feeding the cosine top-k
     "multimodal_scene_cut",  # Arrow per-frame byte-energy pass (round 9)
+    "multimodal_keyframe_select",  # same Arrow frame-energy pass (round 10)
     "multimodal_audio_meta",  # Arrow mapInPandas audio metadata
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }
