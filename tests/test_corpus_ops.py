@@ -983,3 +983,32 @@ def test_curriculum_phases_band_assignment_and_exact_means(spark, tmp_path):
     assert (r1.n_docs, r1.tokens, r1.avg_q_micro) == (1, 4, 80000)
     r1b = got[(1, "srcB")]
     assert (r1b.n_docs, r1b.tokens, r1b.avg_q_micro) == (1, 0, 0)
+
+
+def test_waterfill_all_null_source_census_is_zero(spark, tmp_path):
+    """A source whose every doc has NULL text must census to 0 tokens
+    (saturated, alloc 0) — without the per-doc COALESCE its census is
+    NULL and the ORDER BY tokens walk diverges across engines (Spark
+    NULLS FIRST vs DuckDB NULLS LAST), silently shifting the remainder
+    token to a different source."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_token_budget_waterfill,
+    )
+
+    rows = [
+        (1, None, "en", "srcNull", 0),
+        (2, None, "en", "srcNull", 0),
+        (3, "w w w w", "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in corpus_token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    assert (got["srcNull"].tokens, got["srcNull"].saturated, got["srcNull"].alloc) == (
+        0, True, 0,
+    )
+    assert (got["srcC"].tokens, got["srcC"].alloc, got["srcC"].budget) == (4, 2, 2)

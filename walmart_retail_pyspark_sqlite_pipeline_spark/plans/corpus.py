@@ -2794,8 +2794,15 @@ WF_BUDGET_DEN = 2  # budget = floor(total_tokens / 2)
 
 def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # COALESCE per doc: a NULL-text doc contributes 0 tokens. Without it
+    # an ALL-NULL source's census is NULL, and the ORDER BY tokens walk
+    # diverges across engines (Spark sorts NULLS FIRST ascending, DuckDB
+    # NULLS LAST) — found by a planted all-NULL-source drive, invisible
+    # to the mixed-source edge sweep.
     src = docs.groupBy("source").agg(
-        F.sum(F.size(text.tokens(F.col("text")))).cast("long").alias("tokens")
+        F.sum(F.coalesce(F.size(text.tokens(F.col("text"))), F.lit(0)))
+        .cast("long")
+        .alias("tokens")
     )
     tot = src.agg(
         F.sum("tokens").alias("total"), F.count("*").alias("n_src")
@@ -2861,7 +2868,7 @@ def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
 
 WATERFILL_SQL = f"""
 WITH src AS (
-  SELECT source, CAST(SUM(len({_TOK_SQL})) AS BIGINT) AS tokens
+  SELECT source, CAST(SUM(COALESCE(len({_TOK_SQL}), 0)) AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ),
 tot AS (
