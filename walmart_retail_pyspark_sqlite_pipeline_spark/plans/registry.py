@@ -91,12 +91,14 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   Outputs are unchanged on clean data (the full 201/201 sf0.01 oracle
 #   sweep re-ran green after the migration); the re-grade is the
 #   convergence formality.
-# Four drifted greens did not fit the 50-slot window and sit in
+# Five drifted greens did not fit the 50-slot window and sit in
 # GRADE_QUEUE for round 11 (legal while hash-drifted): pack_tokens,
-# split_train_val_test, importance_weights, lang_confusion. The r5+r6
-# single-green deepener cohort rolls to round 11 with them — the
-# perf-class fix and its batched re-grades took the slots this round
-# (VERDICT r9 ranked the migration #2, above deepening #4).
+# split_train_val_test, importance_weights, lang_confusion (sort
+# migration / langid closure) and novelty_curve (the tokens-expression
+# capture fix). The r5+r6 single-green deepener cohort rolls to round 11
+# with them — the perf-class fix and its batched re-grades took the
+# slots this round (VERDICT r9 ranked the migration #2, above
+# deepening #4).
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
