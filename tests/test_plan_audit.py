@@ -117,26 +117,12 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     "corpus_curriculum_phases", "embeddings_top2_components",
 })
 
-#: Bulk per-row surfaces still carrying a trailing global sort, scheduled
-#: for the round-11 sortWithinPartitions migration (the round-10 pass took
-#: the document-table family; these are the events/parity/pair surfaces —
-#: each edit hash-drifts a parked green, so the re-grades are batched to
-#: the round-11 window per ROTATION.md). Remove each name from here as it
-#: migrates; this set going empty retires the class.
-GLOBAL_SORT_MIGRATION_PENDING = frozenset({
-    "events_asof_join", "events_asof_two_stream", "events_gapfill_locf",
-    "events_ohlc", "events_range_rolling", "events_session_native",
-    "events_sliding_windows", "events_range_join",
-    "q08_supplier_rank_in_nation", "q12_building_customers",
-    "q15_top_orders_per_customer", "q18_rolling_avg", "q24_string_funcs",
-    "q25_date_funcs", "q32_window_depth", "q34_correlated_scalar",
-    "q40_map_type", "q41_rfm_segments", "q45_rank_surface",
-    "scd2_customer_history",
-    "dedup_embedding_cosine", "dedup_embedding_ivf_pairs",
-    "dedup_incremental_new_docs", "dedup_incremental_near_docs",
-    "dedup_containment", "dedup_winnowing_pairs", "dedup_substring_ngrams",
-    "corpus_quality_weighted_sample",
-})
+#: Bulk per-row surfaces still carrying a trailing global sort. EMPTY
+#: since round 10: the round-10 second pass migrated the entire
+#: events/parity/pair backlog (the round-11 plan, pulled forward), so the
+#: global-sort-on-bulk-exports class is fully retired — any regression or
+#: new bulk query with a trailing global sort now fails the guard below.
+GLOBAL_SORT_MIGRATION_PENDING = frozenset()
 
 _PASSTHROUGH_OPS = (
     "Project", "ColumnarToRow", "InputAdapter", "WholeStageCodegen",

@@ -42,9 +42,18 @@ def shingle_index(
 ) -> DataFrame:
     """Distinct ``(id, t, h)`` shingle rows — the one corpus-wide pass every
     downstream dedup stage shares."""
-    tok = text.tokens(F.col(text_col))
+    # tokens MUST be materialized as a column before word_shingles: the
+    # tokens(text) EXPRESSION would be inlined into the per-element
+    # shingle lambda (element_at twice per shingle -> O(len^2) tokenizer
+    # work per doc; SCALING.md round-10 capture note)
+    tk = df.select(
+        F.col(id_col), text.tokens(F.col(text_col)).alias("__tok")
+    )
     return (
-        df.select(F.col(id_col), F.explode(text.word_shingles(tok, n)).alias("t"))
+        tk.select(
+            F.col(id_col),
+            F.explode(text.word_shingles(F.col("__tok"), n)).alias("t"),
+        )
         .distinct()
         .withColumn("h", hashing.poly_hash(F.col("t")))
     )

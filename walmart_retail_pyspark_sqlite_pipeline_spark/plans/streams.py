@@ -93,7 +93,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         )
-        .orderBy("window_start", "event_type")
+        .sortWithinPartitions("window_start", "event_type")
     )
 
 
@@ -120,9 +120,9 @@ ORDER BY window_start, event_type
 # ---------------------------------------------------------------------------
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return asof_last_event(ev, match_type="purchase", target_type="error").orderBy(
-        "event_id"
-    )
+    return asof_last_event(
+        ev, match_type="purchase", target_type="error"
+    ).sortWithinPartitions("event_id")
 
 
 ASOF_SQL = """
@@ -168,7 +168,7 @@ def events_asof_two_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_ts").alias("click_ts"),
             (F.col("ts_s") - F.col("asof_ts")).alias("gap_s"),
         )
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -210,7 +210,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("owner_id", "window_lo")
         .agg(F.count("*").alias("n_events"))
-        .orderBy("owner_id")
+        .sortWithinPartitions("owner_id")
     )
 
 
@@ -273,7 +273,7 @@ def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").cast("long").alias("session_start"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        .sortWithinPartitions("user_id", "session_start")
     )
 
 

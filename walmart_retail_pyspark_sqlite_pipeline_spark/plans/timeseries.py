@@ -68,7 +68,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
             F.last("cents", ignorenulls=True).over(locf).alias("filled_cents"),
         )
-        .orderBy("user_id", "d")
+        .sortWithinPartitions("user_id", "d")
     )
 
 
@@ -128,7 +128,7 @@ def events_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_s",
         F.count("*").over(w).alias("n_10m"),
         F.sum("cents").over(w).alias("cents_10m"),
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 RANGE_ROLLING_SQL = """
@@ -1079,7 +1079,7 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("close_cents").cast("bigint").alias("close_cents"),
             "n_events",
         )
-        .orderBy("event_type", "hour_s")
+        .sortWithinPartitions("event_type", "hour_s")
     )
 
 
