@@ -70,38 +70,30 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-10 window (VERDICT r9 "Next round" #1/#2/#5):
-# - 13 bench headliners: the 12 standing bench.py lines plus
-#   ann_rerank_two_stage, promoted to a bench line this round (VERDICT r9
-#   #5 — the retrieval cascade is now timed every round; the second new
-#   bench line, corpus_prep_pipeline_clf, enters below as a queue drain);
-# - 8 queue drains: the round-9 operator batch, never driver-graded —
-#   bm25_batch / ivfpq / l_diversity / scene_cut / rerank_batch /
-#   matryoshka / quality_classifier / prep_pipeline_clf (the clf
-#   pipeline's oracle was fixed BEFORE its first grade to drop near-dup
-#   losers at JACCARD_THRESHOLD, matching the Spark side — ADVICE r9);
-# - 29 hash-drift re-grades, all from this round's two deliberate edits:
-#   (a) the bulk-export sortWithinPartitions migration (VERDICT r9 #2) —
-#   the document-table family (13 text_* surfaces, 5 multimodal_*
-#   surfaces, dedup_simhash, ann_lsh_buckets) plus the 7 parked consumers
-#   of dedup_minhash_lsh_pairs, whose trailing sort also migrated
-#   (cc_clusters, triangles, split_leakage, clustering_coeff,
-#   canonical_docs, pagerank, label_propagation); (b) the int8_quantize
-#   precondition docstring (ADVICE r9) — ann_int8_topk, ann_rrf_fusion.
-#   Outputs are unchanged on clean data (the full 201/201 sf0.01 oracle
-#   sweep re-ran green after the migration); the re-grade is the
-#   convergence formality.
-# Drifted greens that did not fit the 50-slot window sit in GRADE_QUEUE
-# for round 11 (legal while hash-drifted): the first-pass overflow
-# (pack_tokens, split_train_val_test, importance_weights,
-# lang_confusion), novelty_curve (the tokens-expression capture fix),
-# and — after the round-10 SECOND pass pulled the whole round-11
-# migration forward — the 28 events/parity/pair bulk surfaces, now also
-# off the trailing global sort (GLOBAL_SORT_MIGRATION_PENDING is empty;
-# the class is retired). Every drifted green re-verified 209/209 on the
-# sf0.01 oracle sweep after its edit. The r5+r6 single-green deepener
-# cohort rolls behind the queue — the perf-class retirement took
-# precedence (VERDICT r9 ranked the migration #2, above deepening #4).
+# Round-11 window (VERDICT r10 "Next round" #1; ROTATION.md "Round-11
+# window plan", written in round 10):
+# - 14 bench headliners: the standing bench.py lines (now including
+#   ann_rerank_two_stage and corpus_prep_pipeline_clf, promoted in r10).
+#   corpus_prep_pipeline and corpus_prep_pipeline_clf are also this
+#   round's planned free-drift edits (the text-scan consolidation,
+#   VERDICT r10 "What's wrong" #1) — being bench headliners they re-grade
+#   in-window automatically;
+# - 8 queue drains: the round-10 operator batch, never driver-graded —
+#   t_closeness / bm25_prf / waterfill / b_bit / keyframe_select /
+#   lm_interpolated / curriculum_phases / top2_components;
+# - 28 hash-drift re-grades, oldest-evidence-first (sorted by last green
+#   round, then green count): the round-10 sortWithinPartitions second
+#   pass + capture-fix drift cohort. Outputs were unchanged on clean data
+#   (the post-edit 209/209 sf0.01 sweep, re-confirmed by the r10 judge in
+#   three session modes plus the edge sweep); the re-grade is the
+#   convergence formality. Several ARE r5-r7 single/double-greens
+#   (q12/q15/q18/q08, events_ohlc, q45_rank_surface,
+#   corpus_importance_weights, ...), so the deepening pass (VERDICT r10
+#   #5) rides along for free.
+# The 5 YOUNGEST drifted greens (last green r9: q24_string_funcs,
+# q25_date_funcs, q34_correlated_scalar, dedup_embedding_ivf_pairs,
+# dedup_embedding_cosine) did not fit the 50-slot window and stay in
+# GRADE_QUEUE for round 12 (legal while hash-drifted).
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -118,47 +110,50 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "ann_topk_cosine",
         "corpus_shingle_index",
         "ann_rerank_two_stage",
-        # --- queue drains: round-9 operators, first grade ---
-        "text_bm25_batch",
-        "ann_ivfpq_topk",
-        "qc_l_diversity",
-        "multimodal_scene_cut",
-        "ann_rerank_batch",
-        "embeddings_matryoshka_recall",
-        "corpus_quality_classifier",
         "corpus_prep_pipeline_clf",
-        # --- hash-drift re-grades: int8_quantize docstring ---
-        "ann_int8_topk",
-        "ann_rrf_fusion",
-        # --- hash-drift re-grades: dedup_minhash_lsh_pairs consumers ---
-        "dedup_cc_clusters",
-        "corpus_triangles",
-        "corpus_split_leakage",
-        "corpus_clustering_coeff",
-        "corpus_canonical_docs",
-        "corpus_pagerank",
-        "corpus_label_propagation",
-        # --- hash-drift re-grades: sortWithinPartitions migration ---
-        "text_langid",
-        "text_quality",
-        "text_stats",
-        "text_bpe_tokens",
-        "text_fingerprint",
-        "text_chunks",
-        "text_sentiment",
-        "text_char_entropy",
-        "text_readability",
-        "text_pii_scrub",
-        "text_repetition",
-        "text_tfidf_topterms",
-        "text_lm_score",
-        "dedup_simhash",
-        "ann_lsh_buckets",
-        "multimodal_image_meta",
-        "multimodal_image_resize",
-        "multimodal_frame_sample",
-        "multimodal_image_features",
-        "multimodal_audio_meta",
+        # --- queue drains: round-10 operators, first grade ---
+        "qc_t_closeness",
+        "text_bm25_prf",
+        "corpus_token_budget_waterfill",
+        "dedup_minhash_b_bit",
+        "multimodal_keyframe_select",
+        "text_lm_interpolated",
+        "corpus_curriculum_phases",
+        "embeddings_top2_components",
+        # --- hash-drift re-grades, oldest evidence first ---
+        # last green r2-r3
+        "q12_building_customers",
+        "q15_top_orders_per_customer",
+        "q18_rolling_avg",
+        "dedup_incremental_new_docs",
+        "q08_supplier_rank_in_nation",
+        # last green r4-r5
+        "events_asof_join",
+        "events_sliding_windows",
+        "scd2_customer_history",
+        "corpus_pack_tokens",
+        "events_asof_two_stream",
+        "events_gapfill_locf",
+        "events_range_join",
+        # last green r6-r7
+        "events_ohlc",
+        "q45_rank_surface",
+        "corpus_importance_weights",
+        "events_session_native",
+        "q32_window_depth",
+        "q40_map_type",
+        "q41_rfm_segments",
+        # last green r8
+        "corpus_novelty_curve",
+        "dedup_containment",
+        "dedup_winnowing_pairs",
+        "text_lang_confusion",
+        "corpus_quality_weighted_sample",
+        "dedup_incremental_near_docs",
+        "corpus_split_train_val_test",
+        # last green r9 (2 of 7; the other 5 roll to round 12)
+        "dedup_substring_ngrams",
+        "events_range_rolling",
     }
 )
 
@@ -210,64 +205,17 @@ COVERED_BY: dict[str, str] = {
 # Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
 # new capabilities OR parked greens whose spec hash drifted and which did
 # not fit the current 50-slot window (allowed only while hash-drifted —
-# tests/test_rotation.py). Round 10 drained the whole round-9 queue (all
-# 8 operators rotated into EXPORTED_NAMES above); the four entries below
-# are greens drifted by the round-10 sortWithinPartitions migration
-# (pack_tokens / split_train_val_test / importance_weights directly;
-# lang_confusion via its text_langid closure), batched for round 11
-# together with the r5+r6 single-green deepener cohort and the
-# GLOBAL_SORT_MIGRATION_PENDING bulk surfaces (tests/test_plan_audit.py)
-# whose own migration + re-grade is scheduled for round 11 in ROTATION.md.
+# tests/test_rotation.py). Round 11 drained the whole round-10 queue
+# except the 5 youngest drifted re-grades (last green r9 — outputs
+# re-verified on the post-edit 209/209 sf0.01 sweep and by the r10
+# judge's three-mode + edge sweeps; the grade is a hash re-stamp), which
+# overflow to round 12 per the written plan in ROTATION.md.
 GRADE_QUEUE: dict[str, int] = {
-    # round-10 migration drift (green evidence exists; hash re-stamp only)
-    "corpus_pack_tokens": 11,
-    "corpus_split_train_val_test": 11,
-    "corpus_importance_weights": 11,
-    "text_lang_confusion": 11,
-    # round-10 capture-pathology fix drift (tokens() expression inside the
-    # word_shingles per-element lambda — outputs unchanged, plan repaired)
-    "corpus_novelty_curve": 11,
-    # round-10 second-pass migration drift: the full events/parity/pair
-    # bulk-export backlog moved off trailing global orderBy (plus the
-    # winnowing/substring capture fixes) — outputs unchanged on the clean
-    # sf0.01 sweep, plans repaired; hash re-stamp at the round-11 grade
-    "dedup_winnowing_pairs": 11,
-    "dedup_substring_ngrams": 11,
-    "dedup_containment": 11,
-    "dedup_embedding_cosine": 11,
-    "dedup_embedding_ivf_pairs": 11,
-    "dedup_incremental_new_docs": 11,
-    "dedup_incremental_near_docs": 11,
-    "corpus_quality_weighted_sample": 11,
-    "events_asof_join": 11,
-    "events_asof_two_stream": 11,
-    "events_gapfill_locf": 11,
-    "events_ohlc": 11,
-    "events_range_rolling": 11,
-    "events_range_join": 11,
-    "events_session_native": 11,
-    "events_sliding_windows": 11,
-    "q08_supplier_rank_in_nation": 11,
-    "q12_building_customers": 11,
-    "q15_top_orders_per_customer": 11,
-    "q18_rolling_avg": 11,
-    "q24_string_funcs": 11,
-    "q25_date_funcs": 11,
-    "q32_window_depth": 11,
-    "q34_correlated_scalar": 11,
-    "q40_map_type": 11,
-    "q41_rfm_segments": 11,
-    "q45_rank_surface": 11,
-    "scd2_customer_history": 11,
-    # round-10 additions (registered this round, graded next)
-    "qc_t_closeness": 11,
-    "text_bm25_prf": 11,
-    "corpus_token_budget_waterfill": 11,
-    "dedup_minhash_b_bit": 11,
-    "multimodal_keyframe_select": 11,
-    "text_lm_interpolated": 11,
-    "corpus_curriculum_phases": 11,
-    "embeddings_top2_components": 11,
+    "q24_string_funcs": 12,
+    "q25_date_funcs": 12,
+    "q34_correlated_scalar": 12,
+    "dedup_embedding_ivf_pairs": 12,
+    "dedup_embedding_cosine": 12,
 }
 
 
