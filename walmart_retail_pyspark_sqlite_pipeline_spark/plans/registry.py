@@ -216,6 +216,16 @@ GRADE_QUEUE: dict[str, int] = {
     "q34_correlated_scalar": 12,
     "dedup_embedding_ivf_pairs": 12,
     "dedup_embedding_cosine": 12,
+    # round-11 scan-consolidation drift (outputs re-verified on the
+    # post-edit sf0.001/sf0.01/edge oracle sweeps; hash re-stamp at the
+    # round-12 grade): the BM25 family moved onto the shared single-scan
+    # token-postings index (_bm25_postings), and the quality classifier's
+    # scan was refactored into _qclf_inference so the clf prep pipeline
+    # shares it (text_bm25_prf and corpus_prep_pipeline_clf themselves
+    # are in the round-11 window and re-grade now)
+    "text_bm25_topk": 12,
+    "text_bm25_batch": 12,
+    "corpus_quality_classifier": 12,
 }
 
 
