@@ -22,6 +22,7 @@ from .llm import (
     JACCARD_THRESHOLD,
     MINHASH_SIG_CTE,
     VERIFIED_PAIRS_CTES,
+    _token_postings,
     _doc_shingles,
     dedup_minhash_lsh_pairs,
 )
@@ -405,18 +406,24 @@ for _spec in [
 # hash). Plan: tf groupBy → df groupBy → term join → per-doc top-k window.
 # ---------------------------------------------------------------------------
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    # term stream off the shared cached token index; document frequency as
+    # a WINDOW count over the tf table instead of a groupBy+join branch
+    # that re-planned the scan (round-11 scan census: 2 documents scans)
+    terms = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select("doc_id", "term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
     return (
-        tf.join(df, "term")
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "rnk")
         .sortWithinPartitions("doc_id", "rnk")
@@ -729,6 +736,13 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized tok column — never the expression (capture pathology;
     # see text_lm_score)
     tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    # ONE gram stream: the cross-doc share of each gram hash is a WINDOW
+    # count over an explicit h repartition (the dedup_ngram_jaccard
+    # idiom), and the per-doc rollup is a single aggregate with an
+    # indicator sum — the old shared/per_doc/semi-join branches each
+    # re-planned the scan+shingle pipeline (round-11 scan census: 3
+    # documents scans here). The h repartition also satisfies the
+    # distinct's clustering, so dedup rides the same exchange.
     grams = (
         tk.select(
             "doc_id",
@@ -737,34 +751,26 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", hashing.poly_hash(F.col("g")).alias("h"))
+        .repartition(F.col("h"))
         .distinct()  # hash collisions could re-merge distinct grams
-    )
-    shared = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("h")
-    )
-    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    shared_per_doc = (
-        grams.join(shared, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("h")))
     )
     return (
-        per_doc.join(shared_per_doc, "doc_id", "left")
+        grams.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            "n_shared",
             F.round(
-                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
-                / F.col("n_grams"),
-                6,
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
             ).alias("shared_frac"),
-            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias(
-                "has_dup_substring"
-            ),
+            (F.col("n_shared") > 0).alias("has_dup_substring"),
         )
         .sortWithinPartitions("doc_id")
     )
@@ -836,42 +842,50 @@ def corpus_token_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).cast("long").alias("n_tokens"),
         hashing.hash_uniform(F.col("text"), REBALANCE_M).alias("u"),
     )
-    per_src = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("src_tokens")
+    # census totals as WINDOW aggregates over the BOUNDED per-source table
+    # — the agg+crossJoin branch re-planned the census scan per reference
+    # (round-11 scan census: 5 documents scans here). The sampling pass
+    # below still re-derives (n_tokens, u) scan-locally: census→sample is
+    # inherently two passes unless a doc-stats table is materialized, so
+    # this query's floor is TWO text scans (whitelisted in the plan audit).
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    totals = per_src.agg(
-        F.sum("src_tokens").alias("total_tokens"),
-        F.count("*").alias("n_sources"),
-    )
-    per_src = per_src.crossJoin(F.broadcast(totals)).select(
-        "source",
-        "n_docs",
-        "src_tokens",
-        F.least(
-            F.lit(1.0),
-            F.col("total_tokens").cast("double")
-            / F.col("n_sources")
-            / F.col("src_tokens"),
-        ).alias("accept_prob"),
-    )
-    kept = (
-        d.join(F.broadcast(per_src.select("source", "accept_prob")), "source")
-        .filter(F.col("u") < F.col("accept_prob"))
-        .groupBy("source")
+    per_src = (
+        d.groupBy("source")
         .agg(
-            F.count("*").alias("n_kept"),
-            F.sum("n_tokens").alias("kept_tokens"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("src_tokens"),
         )
-    )
-    return (
-        per_src.join(kept, "source", "left")
+        .withColumn("total_tokens", F.sum("src_tokens").over(w_all))
+        .withColumn("n_sources", F.count("*").over(w_all))
         .select(
             "source",
             "n_docs",
             "src_tokens",
-            F.round("accept_prob", 6).alias("accept_prob"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            F.least(
+                F.lit(1.0),
+                F.col("total_tokens").cast("double")
+                / F.col("n_sources")
+                / F.col("src_tokens"),
+            ).alias("accept_prob"),
+        )
+    )
+    # the sampling pass consumes the WHOLE broadcast census row and emits
+    # the final table itself (conditional sums instead of a keep-filter +
+    # left-join back to per_src, which re-planned the census chain a
+    # third time): every source with >=1 doc appears, zero-kept sources
+    # sum to 0, exactly the old LEFT-join+COALESCE semantics
+    keep = F.col("u") < F.col("accept_prob")
+    return (
+        d.join(F.broadcast(per_src), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("src_tokens").alias("src_tokens"),
+            F.round(F.first("accept_prob"), 6).alias("accept_prob"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
             .cast("long")
             .alias("kept_tokens"),
         )
@@ -957,18 +971,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice per shingle) — the round-9 int8_quantize pathology, re-found
     # by the round-10 lm probes (15.1 s -> sub-second at sf0.1)
     tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
-    grams = tk.select(
-        "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
-    ).select("doc_id", "g", F.split(F.col("g"), " ").getItem(0).alias("w1"))
-    c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
-    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
-    vocab = tk.select(F.explode(F.col("tok")).alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    # bigram counts as WINDOW counts over ONE gram stream; vocabulary off
+    # the shared cached token index — the old c2/c1/vocab branches each
+    # re-planned the scan+tokenize (round-11 scan census: 4 documents
+    # scans here)
+    grams = (
+        tk.select(
+            "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
+        )
+        .select("doc_id", "g", F.split(F.col("g"), " ").getItem(0).alias("w1"))
+        .withColumn("n2", F.count("*").over(Window.partitionBy("g")))
+        .withColumn("n1", F.count("*").over(Window.partitionBy("w1")))
+    )
+    vocab = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .agg(F.countDistinct("term").alias("v"))
     )
     scored = (
-        grams.join(c2, "g")
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
+        grams.crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.round(
@@ -1200,20 +1221,34 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id", "lang", text.tokens(F.col("text")).alias("tok")
     )
-    grams = tk.select(
-        "doc_id",
-        "lang",
-        F.explode(text.word_shingles(F.col("tok"), 2)).alias("g"),
-    ).select(
-        "doc_id", "lang", "g", F.split(F.col("g"), " ").getItem(0).alias("w1")
+    # base and target gram counts as WINDOW sums over ONE gram stream —
+    # the old four groupBy+join branches each re-planned the scan+tokenize
+    # (round-11 scan census: 6 documents scans); the target-language legs
+    # are indicator sums inside the same two windows. Vocabulary comes off
+    # the shared cached token index.
+    is_tgt = F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0)
+    grams = (
+        tk.select(
+            "doc_id",
+            "lang",
+            F.explode(text.word_shingles(F.col("tok"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "g",
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            is_tgt.alias("tgt"),
+        )
+        .withColumn("b2", F.count("*").over(Window.partitionBy("g")))
+        .withColumn("t2", F.sum("tgt").over(Window.partitionBy("g")))
+        .withColumn("b1", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("t1", F.sum("tgt").over(Window.partitionBy("w1")))
     )
-    base2 = grams.groupBy("g").agg(F.count("*").alias("b2"))
-    base1 = grams.groupBy("w1").agg(F.count("*").alias("b1"))
-    tgt = grams.filter(F.col("lang") == TARGET_LANG)
-    tgt2 = tgt.groupBy("g").agg(F.count("*").alias("t2"))
-    tgt1 = tgt.groupBy("w1").agg(F.count("*").alias("t1"))
-    vocab = tk.select(F.explode(F.col("tok")).alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    vocab = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .agg(F.countDistinct("term").alias("v"))
     )
 
     def _lp(num, den):
@@ -1223,21 +1258,15 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         )
 
-    scored = (
-        grams.join(base2, "g")
-        .join(base1, "w1")
-        .join(tgt2, "g", "left")
-        .join(tgt1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            (
-                _lp(F.coalesce(F.col("t2"), F.lit(0)), F.coalesce(F.col("t1"), F.lit(0)))
-                - _lp(F.col("b2"), F.col("b1"))
-            ).alias("qf"),
-        )
+    scored = grams.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "lang",
+        (
+            _lp(F.col("t2"), F.col("t1"))
+            - _lp(F.col("b2"), F.col("b1"))
+        ).alias("qf"),
     )
-    agg = scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
     )
     # final mean WITHOUT a float ROUND: the mean is rounded to integer
@@ -1252,17 +1281,13 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
         " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
     )
-    return (
-        docs.select("doc_id", "lang")
-        .join(agg, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            (micro.cast("long") / F.lit(1000000.0)).alias("avg_loglr"),
-        )
-        .sortWithinPartitions("doc_id")
-    )
+    # lang rides the gram stream (constant per doc), so no docs re-join
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        (micro.cast("long") / F.lit(1000000.0)).alias("avg_loglr"),
+    ).sortWithinPartitions("doc_id")
 
 
 IMPORTANCE_SQL = f"""
@@ -1665,7 +1690,13 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    s = docs.select("doc_id", split.alias("split"))
+    # one split-table scan: both join sides read the same explicit doc_id
+    # repartition (identical pruning + identical join-inferred constraints
+    # → exchange reuse); unshared, each side re-planned the full
+    # poly_hash(text) scan (round-11 scan census: 3 documents scans here)
+    s = docs.select("doc_id", split.alias("split")).repartition(
+        F.col("doc_id")
+    )
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
@@ -2107,12 +2138,15 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("src_tokens").cast("double")) * 1e6, 0)
         .cast("long"),
     )
-    totals = per_src.agg(
-        F.sum("src_tokens").alias("total_tokens"),
-        F.sum("w6").alias("w6_sum"),
+    # normalizers as WINDOW sums over the BOUNDED per-source table —
+    # the agg+crossJoin branch re-planned the census scan (round-11 scan
+    # census: 2 documents scans here)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        per_src.crossJoin(F.broadcast(totals))
+        per_src.withColumn("total_tokens", F.sum("src_tokens").over(w_all))
+        .withColumn("w6_sum", F.sum("w6").over(w_all))
         .select(
             "source",
             "n_docs",
@@ -2222,26 +2256,29 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("bucket"),
     )
-    occ = bucketed.groupBy("bucket").agg(
+    # first-seen bucket per shingle as a WINDOW min, then ONE per-bucket
+    # aggregate (countDistinct of first-seen shingles ≡ the old
+    # min-bucket groupBy) — the old occ/first branches each re-planned
+    # the scan+shingle pipeline (round-11 scan census: 2 documents scans)
+    flagged = bucketed.withColumn(
+        "first_bucket", F.min("bucket").over(Window.partitionBy("shingle"))
+    )
+    occ = flagged.groupBy("bucket").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("occurrences"),
-    )
-    first = (
-        bucketed.groupBy("shingle")
-        .agg(F.min("bucket").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("new_ngrams"))
+        F.countDistinct(
+            F.when(F.col("first_bucket") == F.col("bucket"), F.col("shingle"))
+        ).alias("new_ngrams"),
     )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        occ.join(first, "bucket", "left")
-        .select(
+        occ.select(
             F.col("bucket").cast("long").alias("bucket"),
             "n_docs",
             "occurrences",
-            F.coalesce("new_ngrams", F.lit(0)).alias("new_ngrams"),
+            "new_ngrams",
         )
         .withColumn("cum_ngrams", F.sum("new_ngrams").over(w))
         .select(
@@ -2445,11 +2482,13 @@ register_local(
 # combines.
 # ---------------------------------------------------------------------------
 def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # (source, term) counts off the shared cached token index — the old
+    # explode subtree was re-planned by each of the four aggregate views
+    # (round-11 scan census: 4 documents scans here); now the corpus is
+    # read and tokenized once for all of them
     kst = (
-        docs.select(
-            "source", F.explode(text.tokens(F.col("text"))).alias("term")
-        )
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("k"))
     )
@@ -2836,13 +2875,20 @@ def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("tokens")
     )
-    tot = src.agg(
-        F.sum("tokens").alias("total"), F.count("*").alias("n_src")
+    # the global census reductions (total/n_src, then k_sat/cum_sat) are
+    # WINDOW aggregates over the BOUNDED source dimension (|S| ~ tens)
+    # instead of agg+crossJoin branches: each branch re-planned the heavy
+    # census scan (round-11 scan census: 4 documents scans here) — the
+    # all-rows window costs nothing on a bounded table and keeps the plan
+    # at ONE text scan
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_ord = Window.orderBy("tokens", "source")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g = (
-        src.crossJoin(F.broadcast(tot))
+        src.withColumn("total", F.sum("tokens").over(w_all))
+        .withColumn("n_src", F.count("*").over(w_all))
         .withColumn(
             "budget",
             F.expr(f"total * {WF_BUDGET_NUM} div {WF_BUDGET_DEN}"),
@@ -2855,14 +2901,17 @@ def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
             <= (F.col("budget") - (F.col("cum") - F.col("tokens"))),
         )
     )
-    kstats = g.agg(
-        F.sum(F.when(F.col("saturated"), 1).otherwise(0)).alias("k_sat"),
-        F.sum(F.when(F.col("saturated"), F.col("tokens")).otherwise(0)).alias(
-            "cum_sat"
-        ),
-    )
     out = (
-        g.crossJoin(F.broadcast(kstats))
+        g.withColumn(
+            "k_sat",
+            F.sum(F.when(F.col("saturated"), 1).otherwise(0)).over(w_all),
+        )
+        .withColumn(
+            "cum_sat",
+            F.sum(
+                F.when(F.col("saturated"), F.col("tokens")).otherwise(0)
+            ).over(w_all),
+        )
         .withColumn(
             "theta",
             F.expr(
@@ -2982,6 +3031,10 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see text_lm_score; probe receipt 172.5 -> token-scan cost at the
     # 50k-doc decade)
     tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    # bigram counts as WINDOW counts over ONE gram stream (n2 per bigram,
+    # n1 per history) instead of two groupBy+join branches — each branch
+    # re-planned the scan+tokenize (round-11 scan census: 5 documents
+    # scans here); unigram stats come off the shared cached token index
     grams = (
         tk.select(
             "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
@@ -2992,16 +3045,16 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("g"), " ").getItem(0).alias("w1"),
             F.split(F.col("g"), " ").getItem(1).alias("w2"),
         )
+        .withColumn("n2", F.count("*").over(Window.partitionBy("g")))
+        .withColumn("n1", F.count("*").over(Window.partitionBy("w1")))
     )
-    c2 = grams.groupBy("g").agg(F.count("*").alias("n2"))
-    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
-    unis = tk.select(F.explode(F.col("tok")).alias("w"))
-    cu = unis.groupBy("w").agg(F.count("*").alias("nu"))
-    tstat = unis.agg(F.count("*").alias("t_tok"))
+    unis = _token_postings(spark, sf_dir).filter(F.col("term").isNotNull())
+    cu = unis.groupBy(F.col("term").alias("w")).agg(
+        F.count("*").alias("nu")
+    )
+    tstat = cu.agg(F.sum("nu").alias("t_tok"))
     scored = (
-        grams.join(c2, "g")
-        .join(c1, "w1")
-        .join(cu.withColumnRenamed("w", "w2"), "w2")
+        grams.join(cu.withColumnRenamed("w", "w2"), "w2")
         .crossJoin(F.broadcast(tstat))
         .select(
             "doc_id",

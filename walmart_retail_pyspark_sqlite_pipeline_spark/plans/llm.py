@@ -1099,12 +1099,25 @@ ORDER BY doc_id, chunk_idx
 def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     src_num = F.split_part(F.col("source"), F.lit("src"), F.lit(2)).cast("int")
-    existing = docs.filter(src_num < 10).select(F.md5("text").alias("h"))
-    incoming = docs.filter(src_num >= 10).select(
-        "doc_id", "source", F.md5("text").alias("h")
+    # ONE scan: the anti-join against the existing corpus is a WINDOW flag
+    # over the content-hash groups (any srcnum<10 member ⇒ the hash
+    # exists) — the old existing/incoming branches each re-planned the
+    # md5(text) scan (round-11 scan census: 2 documents scans here). A
+    # NULL hash (NULL text) never anti-matches on a join key, so NULL-h
+    # incoming rows are kept unconditionally, matching the old semantics.
+    d = docs.select(
+        "doc_id", "source", F.md5("text").alias("h"), src_num.alias("srcnum")
+    ).withColumn(
+        "has_existing",
+        F.max(F.when(F.col("srcnum") < 10, 1).otherwise(0)).over(
+            Window.partitionBy("h")
+        ),
     )
     return (
-        incoming.join(existing.distinct(), "h", "left_anti")
+        d.filter(
+            (F.col("srcnum") >= 10)
+            & (F.col("h").isNull() | (F.col("has_existing") == 0))
+        )
         .select("doc_id", "source")
         .sortWithinPartitions("doc_id")
     )
@@ -2637,22 +2650,35 @@ def _norm_text(col):
 def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
 
-    def hist(h, out):
-        return (
-            docs.groupBy(h.alias("h"))
-            .agg(F.count("*").alias("n_copies"))
-            .groupBy("n_copies")
-            .agg(F.count("*").alias(out))
-        )
-
-    raw = hist(F.md5(F.col("text")), "n_groups_raw")
-    norm = hist(F.md5(_norm_text(F.col("text"))), "n_groups_norm")
+    # ONE scan computes BOTH hashes, unpivoted into a (kind, h) stream;
+    # the histograms come back as conditional aggregates — the old
+    # raw/norm branches each re-planned the md5 scan (round-11 scan
+    # census: 2 documents scans here)
+    kinds = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("raw").alias("kind"),
+                    F.md5(F.col("text")).alias("h"),
+                ),
+                F.struct(
+                    F.lit("norm").alias("kind"),
+                    F.md5(_norm_text(F.col("text"))).alias("h"),
+                ),
+            )
+        ).alias("kh")
+    ).select("kh.kind", "kh.h")
     return (
-        raw.join(norm, "n_copies", "full_outer")
-        .select(
-            "n_copies",
-            F.coalesce("n_groups_raw", F.lit(0)).cast("long").alias("n_groups_raw"),
-            F.coalesce("n_groups_norm", F.lit(0)).cast("long").alias("n_groups_norm"),
+        kinds.groupBy("kind", "h")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(
+            F.sum(F.when(F.col("kind") == "raw", 1).otherwise(0))
+            .cast("long")
+            .alias("n_groups_raw"),
+            F.sum(F.when(F.col("kind") == "norm", 1).otherwise(0))
+            .cast("long")
+            .alias("n_groups_norm"),
         )
         .orderBy("n_copies")
     )
@@ -2713,9 +2739,15 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]"), 0)
         ).alias("c"),
     )
-    cnts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    tot = cnts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    term = cnts.join(tot, "doc_id").select(
+    # per-doc letter total as a WINDOW sum over the (doc, char) counts —
+    # the old groupBy+join branch re-planned the letter-extraction scan
+    # (round-11 scan census: 2 documents scans here)
+    cnts = (
+        ch.groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    )
+    term = cnts.select(
         "doc_id",
         "cnt",
         "n",
@@ -3452,12 +3484,21 @@ register_local(
 # ---------------------------------------------------------------------------
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_langid(spark, sf_dir)
-    cell = pred.groupBy(
-        F.col("lang").alias("stated"), F.col("predicted_lang").alias("predicted")
-    ).agg(F.count("*").alias("n"))
-    tot = cell.groupBy("stated").agg(F.sum("n").alias("n_stated"))
+    # per-stated totals as a WINDOW sum over the (bounded) confusion cells
+    # instead of a groupBy+join branch that re-planned the langid scan
+    # (round-11 scan census: 2 documents scans here)
+    cell = (
+        pred.groupBy(
+            F.col("lang").alias("stated"),
+            F.col("predicted_lang").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "n_stated", F.sum("n").over(Window.partitionBy("stated"))
+        )
+    )
     return (
-        cell.join(tot, "stated")
+        cell
         .select(
             "stated",
             "predicted",
@@ -3553,14 +3594,18 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no .distinct(): fps_arr is array_distinct per doc and doc_id is
     # unique, so (doc_id, fp) is already duplicate-free — the extra
     # exchange would double-shuffle the selected fingerprints
-    fps = sh.select("doc_id", F.explode(fps_arr).alias("fp"))
-    df_ok = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("df"))
+    # document-frequency cap as a WINDOW count over an explicit fp
+    # repartition that the self-join REUSES (the dedup_ngram_jaccard
+    # idiom: one exchange, window + both join sides) — the old
+    # groupBy+semi-join cap re-planned the whole fingerprint scan per
+    # branch (round-11 scan census: 4 documents scans here)
+    capped = (
+        sh.select("doc_id", F.explode(fps_arr).alias("fp"))
+        .repartition(F.col("fp"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("df") <= WINNOW_DF_CAP)
-        .select("fp")
+        .drop("df")
     )
-    capped = fps.join(df_ok, "fp")
     a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
     b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -3744,14 +3789,24 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("x"),
         F.lead("tok", 1).over(w).alias("y"),
     ).filter(F.col("y").isNotNull())
-    n_xy = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
-    n_x = pairs.groupBy("x").agg(F.count("*").alias("c_x"))
-    n_y = pairs.groupBy("y").agg(F.count("*").alias("c_y"))
-    tot = pairs.agg(F.count("*").alias("n"))
+    # marginals as WINDOW sums over the pair-count table (what the oracle
+    # SQL always did: n_x/n_y/tot are sums of c_xy) — the old four
+    # aggregate branches each re-planned the scan+tokenize+lead pipeline
+    # (round-11 scan census: 4 documents scans here). The grand total
+    # comes off the shared cached token index: pairs-per-doc = tokens-1,
+    # so n = (token rows) - (docs with >=1 token).
+    n_xy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .withColumn("c_x", F.sum("c_xy").over(Window.partitionBy("x")))
+        .withColumn("c_y", F.sum("c_xy").over(Window.partitionBy("y")))
+    )
+    idx = _token_postings(spark, sf_dir).filter(F.col("term").isNotNull())
+    tot = idx.agg(
+        (F.count("*") - F.countDistinct("doc_id")).alias("n")
+    )
     j = (
         n_xy.filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
-        .join(n_x, "x")
-        .join(n_y, "y")
         .crossJoin(F.broadcast(tot))
     )
     ratio = (F.col("c_xy").cast("double") * F.col("n")) / (
@@ -4565,19 +4620,19 @@ BM25_TERMS = ("spark", "join", "window")
 BM25_K = 20
 
 
-def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE documents scan → ``(doc_id, term)`` postings behind an explicit
-    doc_id repartition every BM25 consumer REUSES.
+def _token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token-postings index: ONE documents scan →
+    ``(doc_id, source, term)`` rows, repartitioned by doc_id and cached.
 
-    The BM25 queries each need several views of the same corpus (document
-    lengths, corpus stats, one tf aggregate per retrieval pass). Built as
-    separate ``read_table`` subtrees, Catalyst re-plans the scan — and
-    re-runs the regex tokenizer — once PER VIEW (text_bm25_prf paid 14
-    documents scans; round-11 scan census). Referencing this ONE exchange
-    instead dedups them via exchange reuse: the corpus is read and
-    tokenized exactly once, consumers read shuffle files. The dedup
-    self-join in dedup_ngram_jaccard pioneered the idiom (one exchange,
-    three consumers).
+    The sibling of :func:`_doc_shingles` for unigram consumers. The BM25
+    queries, the unigram legs of the LM scorers, and the token-stream
+    sketches each need several views of the same corpus (document
+    lengths, corpus stats, vocabularies, one tf aggregate per retrieval
+    pass). Built as separate ``read_table`` subtrees, Catalyst re-plans
+    the scan — and re-runs the regex tokenizer — once PER VIEW
+    (text_bm25_prf paid 14 documents scans; round-11 scan census).
+    Referencing this ONE materialization instead dedups them: the corpus
+    is read and tokenized exactly once.
 
     Bare exchange reuse is NOT enough here: each branch's own predicates
     (the seed-term ``isin``, join-inferred ``isnotnull`` constraints)
@@ -4603,10 +4658,13 @@ def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     term predicate.
     """
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    base = docs.select(
+        "doc_id", "source", text.tokens(F.col("text")).alias("tok")
+    )
     return (
         base.select(
             "doc_id",
+            "source",
             F.explode_outer("tok").alias("term"),
         )
         .repartition(F.col("doc_id"))
@@ -4630,7 +4688,7 @@ def _bm25_stats(posted: DataFrame) -> DataFrame:
 
 
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    posted = _bm25_postings(spark, sf_dir)
+    posted = _token_postings(spark, sf_dir)
     stats = _bm25_stats(posted)
     dl = _bm25_doc_dl(posted)
     tf = (
@@ -4784,7 +4842,7 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mining, the corpus stats, and the scoring tf — previously four
     # separate scan subtrees re-read and re-tokenized the corpus (round-11
     # scan census: 7 documents scans in this plan)
-    posted = _bm25_postings(spark, sf_dir)
+    posted = _token_postings(spark, sf_dir)
     stats = _bm25_stats(posted)
     dl = _bm25_doc_dl(posted)
     # query table: per query doc, top QTERMS tokens (len>=4) by tf
@@ -5917,7 +5975,7 @@ register_local(
 # the absolute value) so Spark's `div` and DuckDB's `//` cannot disagree
 # on negative contributions.
 #
-# Scale shape: ONE corpus scan+tokenize pass (the shared _bm25_postings
+# Scale shape: ONE corpus scan+tokenize pass (the shared _token_postings
 # exchange; round 11 — this plan previously paid 14 documents scans), then
 # three exchange reads, each individually scale-safe — pass 1 is
 # text_bm25_topk's shape (term predicate above the shared exchange, tf
@@ -5938,7 +5996,7 @@ def text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus stats all read the shared postings exchange — this plan
     # previously re-planned 14 separate documents scans (round-11 scan
     # census), re-tokenizing the corpus each time
-    posted = _bm25_postings(spark, sf_dir)
+    posted = _token_postings(spark, sf_dir)
     stats = _bm25_stats(posted)
     dl = _bm25_doc_dl(posted)
 

@@ -219,13 +219,29 @@ GRADE_QUEUE: dict[str, int] = {
     # round-11 scan-consolidation drift (outputs re-verified on the
     # post-edit sf0.001/sf0.01/edge oracle sweeps; hash re-stamp at the
     # round-12 grade): the BM25 family moved onto the shared single-scan
-    # token-postings index (_bm25_postings), and the quality classifier's
+    # token-postings index (_token_postings), and the quality classifier's
     # scan was refactored into _qclf_inference so the clf prep pipeline
     # shares it (text_bm25_prf and corpus_prep_pipeline_clf themselves
     # are in the round-11 window and re-grade now)
     "text_bm25_topk": 12,
     "text_bm25_batch": 12,
     "corpus_quality_classifier": 12,
+    # round-11 multi-scan consolidation drift (the duplicate documents-
+    # text-scan class, VERDICT r10 #3: 27 multi-scan plans -> 10
+    # documented floors; outputs re-verified on the post-edit sf0.01 +
+    # edge oracle sweeps; hash re-stamp at the round-12 grade)
+    "corpus_kl_divergence": 12,
+    "corpus_split_leakage": 12,
+    "corpus_temperature_mix": 12,
+    "corpus_token_rebalance": 12,
+    "sketch_ams_f2": 12,
+    "sketch_cms_manual": 12,
+    "sketch_kmv_intersection": 12,
+    "sketch_mg_heavyhitters": 12,
+    "text_char_entropy": 12,
+    "text_collocations": 12,
+    "text_lm_score": 12,
+    "text_tfidf_topterms": 12,
 }
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.layout import _interleave
 from ..sources import read_table
+from .llm import _token_postings
 from .registry import QuerySpec, register, register_local
 
 # Relative error band asserted for the HLL estimate. Spark runs at
@@ -430,12 +431,20 @@ _CMS_TOPK = 20
 
 
 def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import hashing, text
+    from ..functions import hashing
 
-    docs = read_table(spark, sf_dir, "documents")
-    hx = docs.select(
-        F.explode(text.tokens(F.col("text"))).alias("token")
-    ).select("token", hashing.poly_hash(F.col("token")).alias("x"))
+    # token stream off the shared cached token index — the counter, the
+    # candidate vocabulary, and the exact-evaluation pass each re-planned
+    # the scan+tokenize as separate subtrees (round-11 scan census: 5
+    # documents scans here)
+    hx = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select(
+            F.col("term").alias("token"),
+            hashing.poly_hash(F.col("term")).alias("x"),
+        )
+    )
 
     def col_r(r: int) -> F.Column:
         a, b = hashing.MINHASH_PERMS[r]
@@ -784,13 +793,19 @@ _KMV_K = 64
 def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions import hashing, text
+    from ..functions import hashing
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        (F.col("doc_id") % 2).cast("int").alias("side"),
-        F.explode(text.tokens(F.col("text"))).alias("token"),
-    ).distinct()
+    # token stream off the shared cached token index (round-11 scan
+    # census: 4 documents scans from the sketch/exact branches)
+    toks = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select(
+            (F.col("doc_id") % 2).cast("int").alias("side"),
+            F.col("term").alias("token"),
+        )
+        .distinct()
+    )
     hx = toks.select(
         "side",
         hashing.minhash_value(
@@ -1020,12 +1035,17 @@ _MG_TOPK = 20
 def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions import text
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        (F.col("doc_id") % _MG_SHARDS).cast("int").alias("shard"),
-        F.explode(text.tokens(F.col("text"))).alias("token"),
+    # token stream off the shared cached token index — the sharded
+    # counters, the merge, the error bound, and the exact-evaluation pass
+    # multiplied the scan subtree through the DAG (round-11 scan census:
+    # 11 documents scans, the fleet's worst)
+    toks = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select(
+            (F.col("doc_id") % _MG_SHARDS).cast("int").alias("shard"),
+            F.col("term").alias("token"),
+        )
     )
     counts = toks.groupBy("shard", "token").agg(F.count("*").alias("cnt"))
 
@@ -1247,12 +1267,18 @@ def _ams_sign(x: F.Column, r: int) -> F.Column:
 
 
 def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import hashing, text
+    from ..functions import hashing
 
-    docs = read_table(spark, sf_dir, "documents")
-    hx = docs.select(
-        F.explode(text.tokens(F.col("text"))).alias("token")
-    ).select("token", hashing.poly_hash(F.col("token")).alias("x"))
+    # token stream off the shared cached token index (round-11 scan
+    # census: 2 documents scans from the sketch/exact branches)
+    hx = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select(
+            F.col("term").alias("token"),
+            hashing.poly_hash(F.col("term")).alias("x"),
+        )
+    )
 
     sums = hx.agg(
         F.count("*").cast("bigint").alias("n_tokens"),
