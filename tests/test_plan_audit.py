@@ -42,6 +42,7 @@ PYTHON_ALLOWED = {
     "multimodal_image_ann",  # Arrow feature pass feeding the cosine top-k
     "multimodal_scene_cut",  # Arrow per-frame byte-energy pass (round 9)
     "multimodal_keyframe_select",  # same Arrow frame-energy pass (round 10)
+    "multimodal_audio_vad_segments",  # same Arrow frame-energy pass (round 11)
     "multimodal_audio_meta",  # Arrow mapInPandas audio metadata
     "corpus_chunk_dedup",  # Arrow-batched chunker (operators/chunking.py)
 }
@@ -115,6 +116,11 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # 4 x |sources| rows (curriculum), 128 rows (top2 components)
     "qc_t_closeness", "text_bm25_prf", "corpus_token_budget_waterfill",
     "corpus_curriculum_phases", "embeddings_top2_components",
+    # round-11 additions with bounded outputs: <=9 logit bins
+    # (calibration), top-15 movers (heavy changers), 64 dim rows (clip
+    # bounds)
+    "corpus_quality_calibration", "sketch_cms_heavy_changers",
+    "embeddings_dim_clip_bounds",
 })
 
 #: Bulk per-row surfaces still carrying a trailing global sort. EMPTY
@@ -159,6 +165,9 @@ MULTI_TEXT_SCAN_ALLOWED: dict[str, tuple[int, str]] = {
     "corpus_split_leakage": (3, "split-table join sides + LSH leg; runtime reuses"),
     # image-ANN: Arrow feature pass + in-plan query-vector leg
     "multimodal_image_ann": (2, "feature pass + query-vector leg"),
+    # round-11 additions at their floors
+    "corpus_soft_dedup_weights": (2, "md5 scan + LSH shingle-index leg"),
+    "text_lm_heldout_perplexity": (2, "bigram scan + token-index backing scan"),
 }
 
 _PASSTHROUGH_OPS = (

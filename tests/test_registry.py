@@ -229,6 +229,19 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green) + gopher-rule (QG1) feature families; queued for 10
         "PIPE7",  # classifier-gated prep pipeline: composes CP8 + the
         # graded PIPE1 dedup legs verbatim; queued for round 10
+        # --- round-11 additions, queued for round 12 ---
+        "DD24",  # SoftDeDup down-weighting: DD1 exact-hash + DD3 LSH
+        "CP11",  # pairs (both driver-green) feeding one weight rule
+        "TX24",  # held-out add-one LM eval: TX13 LM frame (graded) on a
+        # doc_id train/val fold
+        "CP12",  # classifier-vs-rule calibration: CP8 classifier +
+        # TX2 quality rule, both graded r10
+        "MM9",  # energy VAD segments: MM7 frame-energy pass (graded
+        # r10) + gaps-and-islands windows
+        "SK9",  # CMS heavy changers: SK2 CMS machinery (driver-green)
+        # per corpus half + exact eval
+        "IT8",  # per-dim rank-quantile clip bounds: embeddings-infra
+        # family (IT3/IT6 driver-green) + exact rank windows
         # --- round-10 additions, queued for round 11 ---
         "QA3",  # t-closeness audit: QA1/QA2 governance frame + exact
         # ordered-EMD windows; queued for round 11

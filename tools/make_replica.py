@@ -127,7 +127,14 @@ def main() -> None:
                 )
             reps.append(rep)
         out = pd.concat(reps, ignore_index=True)
-        out.to_parquet(dst / f"{t}.parquet", index=False)
+        # row_group_size matters: pandas/pyarrow default writes ONE row
+        # group, and a parquet row group is Spark's minimum split — every
+        # replica-decade probe through round 11 was secretly timing a
+        # SINGLE-task scan (28 of 29 2m-splits no-op'd; the straggler did
+        # all the IO+tokenize work). 20k-row groups give local[32] real
+        # scan parallelism, the multi-row-group shape any production
+        # writer produces.
+        out.to_parquet(dst / f"{t}.parquet", index=False, row_group_size=20_000)
         print(f"{t}: {len(base_df):,} -> {len(out):,} rows")
     print(f"wrote {dst}")
 

@@ -59,6 +59,19 @@ def quality_score(text_col: Column, tok: Column | None = None) -> Column:
     silently desynchronize. SQL twin: :func:`quality_score_sql`."""
     if tok is None:
         tok = tokens(text_col)
+    # non-alnum char count = Σ lengths of the splits BETWEEN [a-zA-Z0-9 ]
+    # runs. NOT regexp_replace("[^a-zA-Z0-9 ]", "") - length-diff: Spark's
+    # RegExpReplace (and RegExpCount) cost ~50x a split on the same text
+    # (round-11 500k-doc micro-probe: 25.4 s vs 0.47 s for the corpus) —
+    # on a quality-gated 100 TB pipeline the replace WAS the scan cost.
+    # Counts verified byte-identical to the old formula on all 500k
+    # replica docs and on the edge corpus; the DuckDB twin keeps the
+    # regexp_replace form (same value, and DuckDB's regex is not hot).
+    non_alnum = F.aggregate(
+        F.split(text_col, "[a-zA-Z0-9 ]+"),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
     # empty or NULL text scores 0.0 (no content == no quality), guarding
     # the alnum-ratio division: length 0 is DIVIDE_BY_ZERO under ANSI
     # Spark but NULL under DuckDB — without the branch the engines
@@ -69,13 +82,7 @@ def quality_score(text_col: Column, tok: Column | None = None) -> Column:
             F.least(F.size(tok).cast("double") / 50.0, F.lit(1.0))
             * (
                 1.0
-                - (
-                    F.length(text_col)
-                    - F.length(
-                        F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", "")
-                    )
-                ).cast("double")
-                / F.length(text_col)
+                - non_alnum.cast("double") / F.length(text_col)
             ),
             6,
         ),

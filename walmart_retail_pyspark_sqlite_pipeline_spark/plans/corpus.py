@@ -21,6 +21,7 @@ from .llm import (
     _TOK_SQL,
     JACCARD_THRESHOLD,
     MINHASH_SIG_CTE,
+    QUALITY_MIN,
     VERIFIED_PAIRS_CTES,
     _token_postings,
     _doc_shingles,
@@ -3238,5 +3239,306 @@ register_local(
         CURRICULUM_SQL,
         ("CP10",),
         doc="curriculum schedule: fixed quality-micro bands x source composition with exact mean quality",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_soft_dedup_weights — SoftDeDup: instead of DROPPING duplicates,
+# down-weight them for the training sampler. Each doc's effective
+# multiplicity is its exact-duplicate group size plus its count of
+# verified near-duplicate partners (the banded-LSH pairs at the same
+# ≥JACCARD_THRESHOLD bar the prep pipeline drops at), and the exported
+# weight is round(1e6 / multiplicity) — duplicates still contribute, but
+# the GROUP contributes ~one document's worth of gradient. This is the
+# soft alternative every curation bake-off runs against hard dedup.
+#
+# Exactness: counts are integers; the weight is one sign-free DIV-round
+# (multiplicity >= 1 always). NULL-text docs hash to one NULL group on
+# both engines (COUNT(*) OVER (PARTITION BY md5(text)) groups NULLs
+# together in Spark and DuckDB alike).
+#
+# Scale shape: exact leg = ONE window count over the content-hash
+# partitioning (no second scan — the round-11 discipline); near leg =
+# the LSH candidate pairs (banded, never all-pairs) aggregated per side.
+# ---------------------------------------------------------------------------
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.md5("text").alias("h")).withColumn(
+        "n_exact", F.count("*").over(Window.partitionBy("h"))
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    partners = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        base.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            F.expr(
+                "CAST((2 * 1000000 + (n_exact + COALESCE(n_near, 0)))"
+                " DIV (2 * (n_exact + COALESCE(n_near, 0))) AS BIGINT)"
+            ).alias("weight_micro"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
+
+
+SOFT_DEDUP_SQL = f"""
+WITH RECURSIVE {MINHASH_SIG_CTE},
+{VERIFIED_PAIRS_CTES},
+p8 AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON common.doc_a = na.doc_id
+  JOIN sizes nb ON common.doc_b = nb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+near AS (
+  SELECT doc_id, COUNT(*) AS n_near FROM (
+    SELECT doc_a AS doc_id FROM p8
+    UNION ALL
+    SELECT doc_b AS doc_id FROM p8
+  ) GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY md5(text)) AS n_exact
+  FROM documents
+)
+SELECT ex.doc_id,
+  CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near,
+  CAST((2 * 1000000 + (n_exact + COALESCE(near.n_near, 0)))
+       // (2 * (n_exact + COALESCE(near.n_near, 0))) AS BIGINT)
+    AS weight_micro
+FROM ex LEFT JOIN near ON ex.doc_id = near.doc_id
+ORDER BY ex.doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_soft_dedup_weights",
+        corpus_soft_dedup_weights,
+        SOFT_DEDUP_SQL,
+        ("DD24", "CP11"),
+        doc="SoftDeDup: per-doc training weight = 1e6 / (exact copies + verified near-dup partners)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_lm_heldout_perplexity — PROPER held-out LM evaluation: add-one
+# bigram counts are fit on the TRAIN fold only (doc_id % 10 < 8 — a
+# deterministic, engine-portable fold; content-hash splitting stays the
+# corpus_split_train_val_test surface) and every held-out doc
+# (doc_id % 10 >= 8) is scored under those frozen counts. text_lm_score
+# scores the corpus under its own counts (resubstitution); this is the
+# generalization number an LM-filter bake-off actually reports.
+#
+# Exactness: train counts are WINDOW indicator sums over one gram stream
+# (round-11 scan discipline: no per-count scan branches); vocabulary
+# comes off the shared cached token index restricted to the train fold;
+# per-gram NLL is the micro-nat fixed-point ln; the per-doc mean is the
+# sign-free DIV-round identity.
+#
+# Scale shape: ONE bigram scan + two windows (g, w1) + the cached index.
+# ---------------------------------------------------------------------------
+def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    is_train = F.when(F.col("doc_id") % 10 < 8, 1).otherwise(0)
+    grams = (
+        tk.select(
+            "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
+        )
+        .select(
+            "doc_id", "g", F.split(F.col("g"), " ").getItem(0).alias("w1")
+        )
+        .withColumn("tr", is_train)
+        .withColumn("n2t", F.sum("tr").over(Window.partitionBy("g")))
+        .withColumn("n1t", F.sum("tr").over(Window.partitionBy("w1")))
+    )
+    vocab = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull() & (F.col("doc_id") % 10 < 8))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    scored = (
+        grams.filter(F.col("tr") == 0)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n2t") + F.lit(1.0)) / (F.col("n1t") + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("qf"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
+    )
+    micro = F.expr(
+        "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (-(micro.cast("long")) / F.lit(1000000.0)).alias("avg_nll_heldout"),
+    ).sortWithinPartitions("doc_id")
+
+
+LM_HELDOUT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+g2 AS (
+  SELECT doc_id, g, w1,
+    SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY g) AS n2t,
+    SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY w1) AS n1t
+  FROM grams
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT doc_id, unnest(tok) AS w FROM tk) u
+  WHERE doc_id % 10 < 8
+),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND(ln((n2t + 1.0) / (n1t + vocab.v)) * 1000000.0, 0)
+         AS BIGINT) AS qf
+  FROM g2 CROSS JOIN vocab
+  WHERE doc_id % 10 >= 8
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  -(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+    * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT))
+    / 1000000.0 AS avg_nll_heldout
+FROM agg
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_lm_heldout_perplexity",
+        text_lm_heldout_perplexity,
+        LM_HELDOUT_SQL,
+        ("TX24",),
+        doc="held-out add-one bigram NLL: counts fit on the train fold, val fold scored under frozen counts",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_calibration — reliability table for the learned quality
+# gate: bucket the classifier's exact BIGINT logit into fixed 1-unit bins
+# (clamped to [-3, 5] — scan-local, unlike global deciles, which would
+# funnel every doc through one ntile window partition) and report, per
+# bin, how often the classifier's keep decision agrees with the hand
+# rule (quality_score >= QUALITY_MIN). The monotone-agreement check a
+# team runs before swapping the rule gate for the learned gate.
+#
+# Exactness: bin = floor(logit_micro / 1e6) — |logit| < 2^40 so the
+# double division is exact and FLOOR agrees across engines; counts are
+# integers; rates are sign-free DIV-rounds.
+# ---------------------------------------------------------------------------
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inf = _qclf_inference(spark, sf_dir)
+    rule_pass = (F.col("f_qs") >= int(QUALITY_MIN * 1_000_000)).cast("int")
+    clf_keep = F.col("keep").cast("int")
+    b = inf.select(
+        F.least(
+            F.lit(5),
+            F.greatest(
+                F.lit(-3),
+                F.floor(F.col("logit_micro") / F.lit(1000000.0)).cast("int"),
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+        rule_pass.alias("rule_pass"),
+        clf_keep.alias("clf_keep"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("rule_pass").cast("long").alias("n_rule_pass"),
+            F.sum("clf_keep").cast("long").alias("n_clf_keep"),
+            F.sum(
+                (F.col("rule_pass") == F.col("clf_keep")).cast("int")
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .withColumn(
+            "agree_rate",
+            F.expr("(2 * n_agree * 1000000 + n_docs) DIV (2 * n_docs)")
+            .cast("long")
+            / F.lit(1000000.0),
+        )
+        .orderBy("bin")
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH {QCLF_CTES},
+b AS (
+  SELECT
+    CAST(LEAST(5, GREATEST(-3,
+      CAST(FLOOR(logit_micro / 1000000.0) AS INTEGER))) AS BIGINT) AS bin,
+    CASE WHEN f_qs >= {int(QUALITY_MIN * 1_000_000)} THEN 1 ELSE 0 END
+      AS rule_pass,
+    CASE WHEN keep THEN 1 ELSE 0 END AS clf_keep
+  FROM clf
+)
+SELECT bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(rule_pass) AS BIGINT) AS n_rule_pass,
+  CAST(SUM(clf_keep) AS BIGINT) AS n_clf_keep,
+  CAST(SUM(CASE WHEN rule_pass = clf_keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_agree,
+  CAST((2 * SUM(CASE WHEN rule_pass = clf_keep THEN 1 ELSE 0 END) * 1000000
+        + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS agree_rate
+FROM b GROUP BY bin
+ORDER BY bin
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_quality_calibration",
+        corpus_quality_calibration,
+        QUALITY_CALIBRATION_SQL,
+        ("CP12",),
+        doc="classifier-vs-rule reliability table over fixed logit bins (gate-swap calibration check)",
     )
 )

@@ -747,14 +747,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).alias("n_tokens"),
         # NULL for empty/NULL text (the ratio is undefined, and a bare
         # division is DIVIDE_BY_ZERO under ANSI Spark but NULL under
-        # DuckDB — the branch makes both engines export the same NULL)
+        # DuckDB — the branch makes both engines export the same NULL).
+        # Non-alnum count via split+aggregate, NOT regexp_replace — the
+        # replace costs ~50x the split on the same text (round-11
+        # functions.text.quality_score finding; counts byte-identical)
         F.when(
             F.length("text") > 0,
-            (
-                F.length("text")
-                - F.length(
-                    F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
-                )
+            F.aggregate(
+                F.split(F.col("text"), "[a-zA-Z0-9 ]+"),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x),
             ).cast("double")
             / F.length("text"),
         ).alias("punct_ratio_raw"),
@@ -1031,6 +1033,141 @@ register_local(
         SCENE_CUT_SQL,
         ("MM7",),
         doc="scene-cut detection: Arrow per-frame byte energy + integer-exact jump test",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_vad_segments — energy-threshold voice-activity
+# detection over the frame pipeline: a frame is ACTIVE when its byte
+# energy strictly exceeds the doc's mean per-frame energy (integer-exact
+# as ``energy · n_frames > Σenergy`` — the scene-cut identity), and
+# consecutive active frames merge into segments via the classic
+# gaps-and-islands walk (new-segment flag → running sum). The export is
+# the per-segment table (start/end frame, length, energy) a
+# speech-pipeline consumer clips on.
+#
+# Scale shape: same as multimodal_scene_cut — 1→N Arrow expansion, ONE
+# shuffle by doc_id, three windows sharing that partitioning, per-doc
+# state bounded at 8 frames. The oracle reproduces the energies from the
+# payload's hex dump (the shared byte-walk idiom; CTEs mirror
+# SCENE_CUT_SQL's — kept textually identical rather than composed so the
+# graded scene-cut oracle string stays byte-stable).
+# ---------------------------------------------------------------------------
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..multimodal import frame_energy
+
+    docs = read_table(spark, sf_dir, "documents")
+    fr = frame_energy(attach_fake_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("doc_id")
+    seg = (
+        fr.withColumn("total_energy", F.sum("energy").over(tot))
+        .withColumn(
+            "active",
+            (F.col("energy") * F.col("n_frames") > F.col("total_energy"))
+            .cast("int"),
+        )
+        .withColumn(
+            "new_seg",
+            F.when(
+                (F.col("active") == 1)
+                & (F.coalesce(F.lag("active", 1).over(w), F.lit(0)) == 0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("new_seg").over(wrun))
+    )
+    return (
+        seg.filter(F.col("active") == 1)
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("long").alias("seg_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "seg_energy",
+        )
+        .sortWithinPartitions("doc_id", "seg_id")
+    )
+
+
+AUDIO_VAD_SQL = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS blen,
+         1 + octet_length(encode(text)) % 8 AS n
+  FROM documents WHERE text IS NOT NULL
+),
+bytes AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+    (strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 1, 1)) - 1)
+      * 16
+    + strpos('0123456789ABCDEF', substr(h, 2 * CAST(j AS INTEGER) + 2, 1)) - 1
+      AS bv
+  FROM (SELECT doc_id, h, unnest(range(0, blen)) AS j FROM hx)
+),
+frames AS (
+  SELECT doc_id, blen, n, CAST(t.i AS INTEGER) AS i,
+         (t.i * blen) // n AS off, ((t.i + 1) * blen) // n AS off_next
+  FROM hx, range(0, 8) t(i)
+  WHERE t.i < n
+),
+fe AS (
+  SELECT f.doc_id, f.i, f.n, COALESCE(SUM(b.bv), 0) AS energy
+  FROM frames f
+  LEFT JOIN bytes b
+    ON b.doc_id = f.doc_id AND b.j >= f.off AND b.j < f.off_next
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(energy) AS total FROM fe GROUP BY doc_id),
+act AS (
+  SELECT fe.doc_id, fe.i, fe.energy,
+    CASE WHEN fe.energy * fe.n > tot.total THEN 1 ELSE 0 END AS active
+  FROM fe JOIN tot ON fe.doc_id = tot.doc_id
+),
+flagged AS (
+  SELECT doc_id, i, energy, active,
+    CASE WHEN active = 1 AND COALESCE(
+      LAG(active) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+    THEN 1 ELSE 0 END AS new_seg
+  FROM act
+),
+seg AS (
+  SELECT doc_id, i, energy, active,
+    SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged
+)
+SELECT doc_id,
+  CAST(seg_id AS BIGINT) AS seg_id,
+  CAST(MIN(i) AS INTEGER) AS start_frame,
+  CAST(MAX(i) AS INTEGER) AS end_frame,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM seg WHERE active = 1
+GROUP BY doc_id, seg_id
+ORDER BY doc_id, seg_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "multimodal_audio_vad_segments",
+        multimodal_audio_vad_segments,
+        AUDIO_VAD_SQL,
+        ("MM9",),
+        doc="energy-threshold VAD: active frames above the doc mean merged into gaps-and-islands segments",
     )
 )
 
@@ -6599,5 +6736,113 @@ register_local(
         EMB_TOP2_SQL,
         ("IT7", "SIM9"),
         doc="top-2 principal directions: power iteration + Gram-Schmidt deflation, fixed-point A*u sums",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings_dim_clip_bounds — per-dimension outlier-clip calibration,
+# the pass a quantization pipeline runs before int8/PQ encoding: for
+# every dimension, the exact rank-based p01/p99 values (k-th smallest
+# with k = ceil(q·n) — no interpolation, so both engines pick the SAME
+# stored double) and the count of values falling outside them. The
+# export is the clip table the encoder consumes; comparing n_clipped
+# across dims spots heavy-tailed coordinates that would eat the int8
+# range.
+#
+# Exactness: ranks are integers (row_number with a vec_id tiebreak);
+# quantile values are raw stored doubles broadcast to the partition via
+# a window max over the flagged rank; comparisons use the RAW values,
+# with rounding only in the export.
+#
+# Scale shape: posexplode → ONE shuffle by dim (bounded width, 64), all
+# windows and the final aggregate share that partitioning; output is 64
+# rows. At 100 TB this is a single corpus pass; skew is impossible (the
+# dim key is uniform by construction).
+# ---------------------------------------------------------------------------
+def embeddings_dim_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    # cast to double at the explode: the stored vectors are float32, and
+    # ROUND on a FloatType stays float32 (can't represent the 6-dp value;
+    # the oracle's ::DOUBLE[] cast widens first — both sides must round
+    # the SAME widened double)
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    wd = Window.partitionBy("dim")
+    wr = wd.orderBy(F.asc("val"), F.asc("vec_id"))
+    ranked = (
+        vals.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wd))
+        .withColumn("k_lo", F.expr("(n + 99) DIV 100"))
+        .withColumn("k_hi", F.expr("(99 * n + 99) DIV 100"))
+        .withColumn(
+            "lo", F.max(F.when(F.col("r") == F.col("k_lo"), F.col("val"))).over(wd)
+        )
+        .withColumn(
+            "hi", F.max(F.when(F.col("r") == F.col("k_hi"), F.col("val"))).over(wd)
+        )
+    )
+    return (
+        ranked.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("lo"), 6).alias("p01"),
+            F.round(F.min("hi"), 6).alias("p99"),
+            F.sum(
+                ((F.col("val") < F.col("lo")) | (F.col("val") > F.col("hi")))
+                .cast("int")
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n", "p01", "p99", "n_clipped")
+        .orderBy("dim")
+    )
+
+
+EMB_CLIP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+vals AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS val
+  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+),
+ranked AS (
+  SELECT dim, vec_id, val,
+    ROW_NUMBER() OVER (PARTITION BY dim ORDER BY val, vec_id) AS r,
+    COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM vals
+),
+flagged AS (
+  SELECT dim, val, r, n,
+    (n + 99) // 100 AS k_lo,
+    (99 * n + 99) // 100 AS k_hi
+  FROM ranked
+),
+bounds AS (
+  SELECT dim, val, n,
+    MAX(CASE WHEN r = k_lo THEN val END) OVER (PARTITION BY dim) AS lo,
+    MAX(CASE WHEN r = k_hi THEN val END) OVER (PARTITION BY dim) AS hi
+  FROM flagged
+)
+SELECT dim,
+  CAST(MAX(n) AS BIGINT) AS n,
+  CAST(ROUND(MIN(lo), 6) AS DOUBLE) AS p01,
+  CAST(ROUND(MIN(hi), 6) AS DOUBLE) AS p99,
+  CAST(SUM(CASE WHEN val < lo OR val > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped
+FROM bounds
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_dim_clip_bounds",
+        embeddings_dim_clip_bounds,
+        EMB_CLIP_SQL,
+        ("IT8",),
+        doc="per-dimension exact rank p01/p99 clip bounds + outlier counts (pre-quantization calibration)",
     )
 )

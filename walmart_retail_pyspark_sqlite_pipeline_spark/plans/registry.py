@@ -242,6 +242,20 @@ GRADE_QUEUE: dict[str, int] = {
     "text_collocations": 12,
     "text_lm_score": 12,
     "text_tfidf_topterms": 12,
+    # round-11 quality_score regex rewrite drift (the 50x-slower
+    # RegExpReplace replaced by split+aggregate counting, values
+    # byte-identical on the 500k replica AND the edge corpus; re-verified
+    # on the post-edit sf0.01 + edge oracle sweeps)
+    "corpus_balanced_sample_topk": 12,
+    "corpus_weighted_sample_topk": 12,
+    "text_quality": 12,
+    # round-11 additions (registered this round, graded next)
+    "corpus_soft_dedup_weights": 12,
+    "text_lm_heldout_perplexity": 12,
+    "corpus_quality_calibration": 12,
+    "multimodal_audio_vad_segments": 12,
+    "sketch_cms_heavy_changers": 12,
+    "embeddings_dim_clip_bounds": 12,
 }
 
 

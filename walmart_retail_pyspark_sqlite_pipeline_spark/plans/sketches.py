@@ -1393,3 +1393,190 @@ register_local(
         ),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_heavy_changers — heavy CHANGE detection between two corpus
+# halves via a pair of Count-Min sketches: build one CMS per half
+# (doc_id parity — the deterministic stand-in for yesterday/today), read
+# every candidate token's estimate out of BOTH sketches, and export the
+# top movers by absolute estimated change with the exact per-half counts
+# alongside (the evaluation harness, same as sketch_cms_manual). This is
+# the drift-triage op a feed-monitoring pipeline runs: "which tokens
+# surged or collapsed between snapshots" without ever materializing the
+# full vocabulary count table twice.
+#
+# Scale shape: the token stream comes off the shared cached token index
+# (one corpus scan+tokenize for the sketches AND the exact pass); the
+# counter table is 2·d·w = bounded rows, broadcast; candidate probes are
+# a broadcast join; top-k is TakeOrderedAndProject. Exact integers
+# everywhere.
+# ---------------------------------------------------------------------------
+_CHG_TOPK = 15
+
+
+def sketch_cms_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashing
+
+    hx = (
+        _token_postings(spark, sf_dir)
+        .filter(F.col("term").isNotNull())
+        .select(
+            (F.col("doc_id") % 2).cast("int").alias("half"),
+            F.col("term").alias("token"),
+            hashing.poly_hash(F.col("term")).alias("x"),
+        )
+    )
+
+    def col_r(r: int) -> F.Column:
+        a, b = hashing.MINHASH_PERMS[r]
+        return ((F.col("x") * a + b) % hashing.MERSENNE_P) % _CMS_W
+
+    cell_arr = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), col_r(r).alias("col"))
+            for r in range(_CMS_D)
+        ]
+    )
+    counters = (
+        hx.select("half", F.explode(cell_arr).alias("cell"))
+        .select("half", "cell.r", "cell.col")
+        .groupBy("half", "r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = hx.select("token", "x").distinct()
+    halves = spark.createDataFrame([(0,), (1,)], "half int")
+    cand = vocab.select(
+        "token", F.explode(cell_arr).alias("cell")
+    ).select("token", "cell.r", "cell.col")
+    est = (
+        cand.crossJoin(F.broadcast(halves))
+        .join(F.broadcast(counters), ["half", "r", "col"], "left")
+        .groupBy("token", "half")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    piv = est.groupBy("token").agg(
+        F.max(F.when(F.col("half") == 0, F.col("est"))).alias("est0"),
+        F.max(F.when(F.col("half") == 1, F.col("est"))).alias("est1"),
+    )
+    top = (
+        piv.withColumn("change_est", F.col("est1") - F.col("est0"))
+        .orderBy(F.abs(F.col("change_est")).desc(), F.asc("token"))
+        .limit(_CHG_TOPK)
+    )
+    exact = (
+        hx.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("true0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("true1"),
+        )
+    )
+    return (
+        top.join(exact, "token")
+        .select(
+            "token",
+            F.col("est0").cast("bigint").alias("est0"),
+            F.col("est1").cast("bigint").alias("est1"),
+            F.col("change_est").cast("bigint").alias("change_est"),
+            "true0",
+            "true1",
+            (F.col("true1") - F.col("true0")).cast("bigint").alias("change_true"),
+        )
+        .orderBy(F.abs(F.col("change_est")).desc(), F.asc("token"))
+    )
+
+
+def _cms_changers_sql() -> str:
+    from ..functions import hashing, text
+
+    P = hashing.MERSENNE_P
+    row_cols = [
+        f"(((x * {a} + {b}) % {P}) % {_CMS_W})"
+        for a, b in hashing.MINHASH_PERMS[:_CMS_D]
+    ]
+    cell_union = "\n  UNION ALL ".join(
+        f"SELECT half, {r} AS r, {c} AS col FROM hx"
+        for r, c in enumerate(row_cols)
+    )
+    cand_union = "\n  UNION ALL ".join(
+        f"SELECT token, {r} AS r, {c} AS col FROM vocab"
+        for r, c in enumerate(row_cols)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest({text.tokens_sql('text')}) AS token
+  FROM documents
+),
+hx AS (
+  SELECT half, token, {hashing.poly_hash_sql('token')} AS x FROM toks
+),
+cells AS (
+  {cell_union}
+),
+counters AS (
+  SELECT half, r, col, COUNT(*) AS cnt FROM cells GROUP BY half, r, col
+),
+vocab AS (
+  SELECT DISTINCT token, x FROM hx
+),
+cand AS (
+  {cand_union}
+),
+halves AS (SELECT 0 AS half UNION ALL SELECT 1 AS half),
+est AS (
+  SELECT token, halves.half, MIN(COALESCE(cnt, 0)) AS est
+  FROM cand
+  CROSS JOIN halves
+  LEFT JOIN counters
+    ON counters.half = halves.half
+   AND counters.r = cand.r AND counters.col = cand.col
+  GROUP BY token, halves.half
+),
+piv AS (
+  SELECT token,
+    MAX(CASE WHEN half = 0 THEN est END) AS est0,
+    MAX(CASE WHEN half = 1 THEN est END) AS est1
+  FROM est GROUP BY token
+),
+top AS (
+  SELECT token, est0, est1, est1 - est0 AS change_est
+  FROM piv
+  ORDER BY ABS(est1 - est0) DESC, token LIMIT {_CHG_TOPK}
+),
+exact AS (
+  SELECT token,
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS true0,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS true1
+  FROM hx
+  WHERE token IN (SELECT token FROM top)
+  GROUP BY token
+)
+SELECT top.token,
+  CAST(est0 AS BIGINT) AS est0,
+  CAST(est1 AS BIGINT) AS est1,
+  CAST(change_est AS BIGINT) AS change_est,
+  CAST(true0 AS BIGINT) AS true0,
+  CAST(true1 AS BIGINT) AS true1,
+  CAST(true1 - true0 AS BIGINT) AS change_true
+FROM top JOIN exact USING (token)
+ORDER BY ABS(change_est) DESC, top.token
+"""
+
+
+SKETCH_CMS_CHANGERS_SQL = _cms_changers_sql()
+
+
+register_local(
+    QuerySpec(
+        "sketch_cms_heavy_changers",
+        sketch_cms_heavy_changers,
+        SKETCH_CMS_CHANGERS_SQL,
+        ("SK9",),
+        doc="heavy-change detection: per-half Count-Min sketches, top movers by |estimated delta| with exact eval",
+    )
+)
