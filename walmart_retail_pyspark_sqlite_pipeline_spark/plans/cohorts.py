@@ -286,40 +286,65 @@ PURCHASE_WIN_H = 24
 
 
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # ONE events scan: the three funnel stages are STACKED conditional-min
+    # windows over the same user partitioning (t_view, then t_click within
+    # its window, then t_purchase within that) — the old per-stage
+    # filter+join+groupBy chains re-planned the scan per stage and doubled
+    # the v subtree (round-11 fact-table scan census: 6 events scans, the
+    # fleet's worst with events_revenue_concentration). Stage semantics
+    # are unchanged: the stage anchor is constant per user, so the
+    # conditional min over the partition equals the old join+filter+min.
     ev = read_table(spark, sf_dir, "events")
-    v = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v.filter(F.col("t_view").isNotNull()), "user_id")
-        .filter(
-            (F.col("ts") >= F.col("t_view"))
-            & (
-                F.col("ts")
-                <= F.col("t_view") + F.expr(f"INTERVAL {CLICK_WIN_MIN} MINUTES")
-            )
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(wu),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("t_click"))
-            & (
-                F.col("ts")
-                <= F.col("t_click") + F.expr(f"INTERVAL {PURCHASE_WIN_H} HOURS")
-            )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_view")
+                        + F.expr(f"INTERVAL {CLICK_WIN_MIN} MINUTES")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(wu),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_click")
+                        + F.expr(f"INTERVAL {PURCHASE_WIN_H} HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
     counts = (
-        v.filter(F.col("t_view").isNotNull())
-        .join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
+        staged.groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
         .agg(
             F.count("*").alias("n_view"),
             F.sum(F.col("t_click").isNotNull().cast("bigint")).alias("n_click"),

@@ -249,6 +249,16 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_balanced_sample_topk": 12,
     "corpus_weighted_sample_topk": 12,
     "text_quality": 12,
+    # round-11 fact-table scan-consolidation drift (the six worst
+    # lineitem/events multi-scan plans, consolidated with the same
+    # window/shared-exchange idioms; outputs re-verified on the
+    # post-edit sf0.01 + edge oracle sweeps)
+    "basket_part_pairs": 12,
+    "events_audience_overlap": 12,
+    "events_funnel_windowed": 12,
+    "events_mad_anomaly": 12,
+    "events_mutual_info": 12,
+    "events_revenue_concentration": 12,
     # round-11 additions (registered this round, graded next)
     "corpus_soft_dedup_weights": 12,
     "text_lm_heldout_perplexity": 12,

@@ -33,10 +33,22 @@ BASKET_TOP_K = 20
 
 
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one explicitly repartitioned distinct-basket subtree serves the
+    # self-join sides AND the count branches — the old li references each
+    # re-planned the lineitem scan (round-11 fact-table scan census: 5
+    # lineitem scans here). The explicit isnotnull filters make every
+    # branch's constraints identical so the exchange stays canonically
+    # shared (the self-join infers them on a/b anyway; keys are non-null
+    # in the data and every consumer is key-null-invariant: NULL keys
+    # never join, and countDistinct skips NULLs on both engines).
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
         .distinct()
+        .repartition(F.col("l_orderkey"))
     )
     n_orders = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
     per_part = li.groupBy("l_partkey").agg(F.count("*").alias("c"))

@@ -375,17 +375,21 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    med = daily.groupBy("event_type").agg(
-        F.percentile("cents", F.lit(0.5)).alias("med")
-    )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("cents") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+    # per-type median and MAD as STACKED window percentiles over one
+    # partitioning — the old groupBy+broadcast-join chains re-planned the
+    # daily-rollup scan per stage (round-11 fact-table scan census: 4
+    # events scans here); the window percentile over the full partition
+    # equals the group percentile
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    dev = (
+        daily.withColumn("med", F.percentile("cents", F.lit(0.5)).over(wt))
+        .withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+        .withColumn("mad", F.percentile("adev", F.lit(0.5)).over(wt))
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev
         .select(
             "event_type",
             "day",
@@ -1332,14 +1336,23 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.hour("ts").cast("bigint").alias("hod")
     )
+    # the marginals and the grand total are WINDOW sums over the BOUNDED
+    # joint table (|types| x 24 cells) — the old mx/my/tot branches each
+    # re-planned the events scan (round-11 fact-table scan census: 4
+    # events scans here); the all-rows window costs nothing on a bounded
+    # contingency table
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     joint = ev.groupBy("event_type", "hod").agg(F.count("*").alias("n_xy"))
-    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
-    my = joint.groupBy("hod").agg(F.sum("n_xy").alias("n_y"))
-    tot = joint.agg(F.sum("n_xy").alias("n"))
     j = (
-        joint.join(mx, "event_type")
-        .join(F.broadcast(my), "hod")
-        .crossJoin(F.broadcast(tot))
+        joint.withColumn(
+            "n_x", F.sum("n_xy").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("n_y", F.sum("n_xy").over(Window.partitionBy("hod")))
+        .withColumn("n", F.sum("n_xy").over(w_all))
     )
     # p(x,y)/(p(x)p(y)) = n_xy·n / (n_x·n_y): the products are formed in
     # DOUBLE (counts cast first) — at 1e11-event scale the int64 product
@@ -1558,27 +1571,40 @@ def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum("cents").alias("total"),
     )
-    rows = []
-    for p in _CONC_PCTS:
-        t = F.col(f"t{int(p * 100)}")
-        rows.append(
-            per_user.crossJoin(F.broadcast(th)).agg(
-                F.lit(p).alias("pct"),
-                F.round(F.first(t), 6).alias("threshold_cents"),
-                F.sum((F.col("cents") >= t).cast("long"))
-                .cast("bigint")
-                .alias("n_users"),
-                F.expr(
-                    f"((2 * SUM(CASE WHEN cents >= t{int(p * 100)} THEN cents"
-                    " ELSE 0 END) * 1000000 + FIRST(total))"
-                    " DIV (2 * FIRST(total))) / CAST(1000000.0 AS DOUBLE)"
-                ).alias("revenue_share"),
-            )
+    # ONE broadcast attach + an exploded per-pct struct replaces the old
+    # per-percentile crossJoin branches, each of which re-planned the
+    # per-user census (round-11 fact-table scan census: 6 events scans).
+    # Floor is TWO passes (quantiles need the full census before the
+    # selection pass — the token_rebalance shape).
+    pcts = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("pct"),
+                    F.col(f"t{int(p * 100)}").alias("threshold"),
+                )
+                for p in _CONC_PCTS
+            ]
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy(F.desc("pct"))
+    ).alias("pc")
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .select("cents", "total", pcts)
+        .select("cents", "total", "pc.pct", "pc.threshold")
+        .groupBy("pct")
+        .agg(
+            F.round(F.first("threshold"), 6).alias("threshold_cents"),
+            F.sum((F.col("cents") >= F.col("threshold")).cast("long"))
+            .cast("bigint")
+            .alias("n_users"),
+            F.expr(
+                "((2 * SUM(CASE WHEN cents >= threshold THEN cents"
+                " ELSE 0 END) * 1000000 + FIRST(total))"
+                " DIV (2 * FIRST(total))) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("revenue_share"),
+        )
+        .orderBy(F.desc("pct"))
+    )
 
 
 _CONC_SELECTS = "\nUNION ALL\n".join(
@@ -1633,22 +1659,41 @@ register_local(
 # and popcounts replace the self-join when |types| is small.
 # ---------------------------------------------------------------------------
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # audience sizes ride the rows as a WINDOW count, and the self-join
+    # sides share one explicitly repartitioned (and identically
+    # constrained) subtree — the old sizes/a/b branches re-planned the
+    # distinct-audience scan each (round-11 fact-table scan census: 4
+    # events scans here)
     ev = read_table(spark, sf_dir, "events")
-    aud = ev.select("event_type", "user_id").distinct()
-    sizes = aud.groupBy("event_type").agg(F.count("*").alias("n"))
-    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
-    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    # NO user_id/event_type null-filter here: the oracle's audience sizes
+    # count NULL-user distinct rows (the join drops them from pairs on
+    # both engines, but they stay in the denominators — edge sweep)
+    aud = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .repartition(F.col("user_id"))
+    )
+    a = aud.select(
+        F.col("event_type").alias("type_a"), "user_id", F.col("n").alias("n_a")
+    )
+    b = aud.select(
+        F.col("event_type").alias("type_b"), "user_id", F.col("n").alias("n_b")
+    )
     both = (
         a.join(b, "user_id")
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
-        .agg(F.count("*").alias("n_both"))
+        .agg(
+            F.count("*").alias("n_both"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
     return (
-        both.join(F.broadcast(na), "type_a")
-        .join(F.broadcast(nb), "type_b")
+        both
         .select(
             "type_a",
             "type_b",
