@@ -170,6 +170,50 @@ MULTI_TEXT_SCAN_ALLOWED: dict[str, tuple[int, str]] = {
     "text_lm_heldout_perplexity": (2, "bigram scan + token-index backing scan"),
 }
 
+#: Round-11 extension of the same ratchet to the FACT tables
+#: (lineitem / orders / events — the 100 TB row volume). STATIC scan
+#: counts per table, asserted exactly: the six worst offenders were
+#: consolidated this round (funnel 6→1, revenue 6→2, mad 4→1,
+#: mutual_info 4→1, audience 4→2 static/1 executed, basket 5 static/1
+#: executed via shared constrained exchanges — runtime reuse verified on
+#: final adaptive plans); the floors below are recorded from the
+#: round-11 census so any REGRESSION (or any new multi-scan query)
+#: fails immediately. Entries marked "recorded floor" are the round-12
+#: consolidation/justification backlog (PLANS.md census note).
+FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
+    "basket_part_pairs": {"lineitem": (5, "self-join + count branches over one shared constrained exchange; 1 scan executed")},
+    "events_active_users_7d": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_asof_two_stream": {"events": (2, "the two as-of streams are type-filtered views of one table")},
+    "events_audience_overlap": {"events": (2, "self-join sides; 1 scan executed (ReusedExchange)")},
+    "events_autocorr": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_bounce_rate": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_cohort_retention": {"events": (3, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_cusum_changepoint": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_gapfill_locf": {"events": (3, "date-bounds anchor + user grid + observation rollup")},
+    "events_markov_transitions": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_new_vs_returning": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "events_range_join": {"events": (2, "probe and anchor sides are views of one table")},
+    "events_retention_bitmap": {"events": (4, "day-zero anchor embedded in both the bitmap and span passes")},
+    "events_revenue_concentration": {"events": (2, "census pass + threshold-selection pass (quantiles need the full census)")},
+    "events_seasonal_naive": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "layout_zorder_clustering": {"orders": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "q06_dup_stats": {"lineitem": (2, "full-row and subset dup detection are two aggregate views")},
+    "q13_semi_anti": {"orders": (2, "semi and anti legs of the demonstrated operator pair")},
+    "q28_multiset_ops": {"lineitem": (4, "INTERSECT ALL / EXCEPT ALL sides ARE the demonstrated operator")},
+    "q31_scalar_subquery": {"orders": (3, "scalar subqueries per spec; the SQL surface is the operator")},
+    "q34_correlated_scalar": {"orders": (2, "correlated scalar subquery is the demonstrated operator")},
+    "q41_rfm_segments": {"orders": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "q42_abc_analysis": {"lineitem": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "qc_benford_totalprice": {"orders": (2, "digit histogram + total anchor")},
+    "qc_constraint_suite": {"orders": (3, "independent constraint checks over one table")},
+    "qc_drift_chi2": {"orders": (2, "baseline and current distribution legs")},
+    "qc_drift_ks": {"orders": (2, "baseline and current distribution legs")},
+    "qc_drift_psi": {"orders": (2, "baseline and current distribution legs")},
+    "qc_drift_wasserstein": {"orders": (3, "baseline/current legs + normalizer")},
+    "sketch_hll_manual": {"events": (2, "sketch pass + exact-evaluation pass")},
+    "sketch_quantile_manual": {"orders": (3, "recorded round-11 floor; consolidate or justify in round 12")},
+}
+
 _PASSTHROUGH_OPS = (
     "Project", "ColumnarToRow", "InputAdapter", "WholeStageCodegen",
     "AdaptiveSparkPlan", "Coalesce", "CollectLimit", "GlobalLimit",
@@ -192,16 +236,22 @@ def _ends_in_global_sort(plan: str) -> bool:
     return False
 
 
-def _count_documents_text_scans(spark, df) -> int:
-    """Distinct parquet Scan nodes in the FORMATTED static plan that read
-    the documents TEXT column. A cached index (InMemoryRelation) backing
-    scan counts once — that is the point: it is materialized once however
-    many consumers read it."""
-    plan = df._jdf.queryExecution().explainString(
+_FACT_TABLES = ("lineitem", "orders", "events")
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
+
+
+def _count_documents_text_scans(plan: str) -> int:
+    """Distinct parquet Scan nodes in the FORMATTED static plan that read
+    the documents TEXT column. A cached index (InMemoryRelation) backing
+    scan counts once — that is the point: it is materialized once however
+    many consumers read it."""
     count = 0
     cur = None
     loc_doc = False
@@ -220,6 +270,29 @@ def _count_documents_text_scans(spark, df) -> int:
                 count += 1
             cur, loc_doc = None, False
     return count
+
+
+def _count_fact_scans(plan: str) -> dict[str, int]:
+    """Distinct parquet Scan nodes per fact table (any column set)."""
+    counts = {t: 0 for t in _FACT_TABLES}
+    cur = None
+    loc = None
+    for line in plan.splitlines():
+        s = line.strip()
+        if re.match(r"^\(\d+\) Scan parquet", s):
+            cur, loc = True, None
+            continue
+        if cur is None:
+            continue
+        if s.startswith("Location"):
+            for t in _FACT_TABLES:
+                if f"{t}.parquet" in s:
+                    loc = t
+        elif s.startswith("ReadSchema"):
+            if loc:
+                counts[loc] += 1
+            cur, loc = None, None
+    return counts
 
 
 def _specs():
@@ -276,7 +349,8 @@ def test_plan_has_no_scale_hazards(spark, name, spec):
     # duplicate documents-text-scan guard (VERDICT r10 #3): at 100 TB the
     # text read dominates, so re-planning the scan per view is a
     # scale-regime cost. One scan is the norm; listed floors are exact.
-    n_text_scans = _count_documents_text_scans(spark, df)
+    fmt_plan = _formatted_plan(spark, df)
+    n_text_scans = _count_documents_text_scans(fmt_plan)
     if name in MULTI_TEXT_SCAN_ALLOWED:
         allowed, reason = MULTI_TEXT_SCAN_ALLOWED[name]
         assert n_text_scans == allowed, (
@@ -294,6 +368,26 @@ def test_plan_has_no_scale_hazards(spark, name, spec):
             "cached index / window aggregates / one unpivoted stream) or "
             "whitelist the floor in MULTI_TEXT_SCAN_ALLOWED with a reason."
         )
+
+    # the same ratchet over the fact tables (lineitem/orders/events — the
+    # 100 TB row volume): one scan per table unless a floor is recorded
+    fact = _count_fact_scans(fmt_plan)
+    allowed_fact = FACT_MULTI_SCAN_ALLOWED.get(name, {})
+    for t, n in fact.items():
+        if t in allowed_fact:
+            want, reason = allowed_fact[t]
+            assert n == want, (
+                f"{name}: plans {n} {t} scans but the recorded floor is "
+                f"{want} ({reason}). If it improved, tighten/remove the "
+                "FACT_MULTI_SCAN_ALLOWED entry; if it regressed, "
+                "consolidate (window aggregates / shared constrained "
+                "exchange / bounded-window totals)."
+            )
+        else:
+            assert n <= 1, (
+                f"{name}: plans {n} {t} scans — consolidate or record the "
+                "floor in FACT_MULTI_SCAN_ALLOWED with a reason."
+            )
 
 
 def _exported_specs():

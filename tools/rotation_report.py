@@ -62,11 +62,13 @@ re-grades). GRADE_QUEUE now holds, all targeting round 12:
 
 That is ~35 queue entries + 14 bench headliners = ~49 slots; any
 overflow (youngest-evidence drifted entries) rolls to round 13 per the
-standing rule. Round-12 engineering lead: extend the hard
-duplicate-scan plan-audit ratchet from documents-text to the
-lineitem/orders/events fact tables (the census is in PLANS.md — ~25
-remaining 2-3-scan floors to either consolidate or whitelist with
-reasons).
+standing rule. The fact-table duplicate-scan ratchet was pulled FORWARD
+into round 11 (tests/test_plan_audit.py::FACT_MULTI_SCAN_ALLOWED now
+enforces exact per-table floors over lineitem/orders/events); the
+round-12 engineering lead is shrinking the entries still marked
+"recorded round-11 floor" — consolidate each with the window /
+shared-exchange idioms or replace the placeholder with a per-query
+justification.
 """
 
 def driver_greens() -> dict[str, int]:
