@@ -70,30 +70,29 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-11 window (VERDICT r10 "Next round" #1; ROTATION.md "Round-11
-# window plan", written in round 10):
-# - 14 bench headliners: the standing bench.py lines (now including
-#   ann_rerank_two_stage and corpus_prep_pipeline_clf, promoted in r10).
-#   corpus_prep_pipeline and corpus_prep_pipeline_clf are also this
-#   round's planned free-drift edits (the text-scan consolidation,
-#   VERDICT r10 "What's wrong" #1) — being bench headliners they re-grade
-#   in-window automatically;
-# - 8 queue drains: the round-10 operator batch, never driver-graded —
-#   t_closeness / bm25_prf / waterfill / b_bit / keyframe_select /
-#   lm_interpolated / curriculum_phases / top2_components;
-# - 28 hash-drift re-grades, oldest-evidence-first (sorted by last green
-#   round, then green count): the round-10 sortWithinPartitions second
-#   pass + capture-fix drift cohort. Outputs were unchanged on clean data
-#   (the post-edit 209/209 sf0.01 sweep, re-confirmed by the r10 judge in
-#   three session modes plus the edge sweep); the re-grade is the
-#   convergence formality. Several ARE r5-r7 single/double-greens
-#   (q12/q15/q18/q08, events_ohlc, q45_rank_surface,
-#   corpus_importance_weights, ...), so the deepening pass (VERDICT r10
-#   #5) rides along for free.
-# The 5 YOUNGEST drifted greens (last green r9: q24_string_funcs,
-# q25_date_funcs, q34_correlated_scalar, dedup_embedding_ivf_pairs,
-# dedup_embedding_cosine) did not fit the 50-slot window and stay in
-# GRADE_QUEUE for round 12 (legal while hash-drifted).
+# Round-12 window (VERDICT r11 "Next round" #1; ROTATION.md "Round-12
+# window plan", written in round 11):
+# - 14 bench headliners: the standing bench.py lines, unchanged from
+#   round 11;
+# - 6 queue drains: the round-11 operator batch, never driver-graded —
+#   soft_dedup_weights / lm_heldout_perplexity / quality_calibration /
+#   audio_vad_segments / cms_heavy_changers / dim_clip_bounds;
+# - 29 hash-drift re-grades: the round-11 perf-program drift cohort —
+#   the duplicate-text-scan retirement (BM25/sketch/LM/tfidf/
+#   collocations/kl/temperature/rebalance/split_leakage/char_entropy/
+#   quality-classifier families), the quality_score regex rewrite
+#   (text_quality + weighted/balanced samplers), the six worst
+#   fact-table multi-scan consolidations (funnel_windowed,
+#   revenue_concentration, audience_overlap, mad_anomaly, mutual_info,
+#   basket_part_pairs) — plus the 5 round-10 overflow re-grades
+#   (q24/q25/q34 + the two embedding-dedup queries). Outputs were all
+#   re-verified on the post-edit sf0.001/sf0.01/edge oracle sweeps and
+#   independently by the r11 judge at 215/215 in three session modes;
+#   the grades are hash re-stamps.
+# 14 + 6 + 29 = 49 slots, inside the driver's 50-query window. The
+# round-11 drains and drift re-grades all landed green in
+# CORRECTNESS_r11.json (50/50) and were stamped into GRADED_HASHES.json
+# at round-12 start, so they park cleanly.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -111,49 +110,46 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "corpus_shingle_index",
         "ann_rerank_two_stage",
         "corpus_prep_pipeline_clf",
-        # --- queue drains: round-10 operators, first grade ---
-        "qc_t_closeness",
-        "text_bm25_prf",
-        "corpus_token_budget_waterfill",
-        "dedup_minhash_b_bit",
-        "multimodal_keyframe_select",
-        "text_lm_interpolated",
-        "corpus_curriculum_phases",
-        "embeddings_top2_components",
-        # --- hash-drift re-grades, oldest evidence first ---
-        # last green r2-r3
-        "q12_building_customers",
-        "q15_top_orders_per_customer",
-        "q18_rolling_avg",
-        "dedup_incremental_new_docs",
-        "q08_supplier_rank_in_nation",
-        # last green r4-r5
-        "events_asof_join",
-        "events_sliding_windows",
-        "scd2_customer_history",
-        "corpus_pack_tokens",
-        "events_asof_two_stream",
-        "events_gapfill_locf",
-        "events_range_join",
-        # last green r6-r7
-        "events_ohlc",
-        "q45_rank_surface",
-        "corpus_importance_weights",
-        "events_session_native",
-        "q32_window_depth",
-        "q40_map_type",
-        "q41_rfm_segments",
-        # last green r8
-        "corpus_novelty_curve",
-        "dedup_containment",
-        "dedup_winnowing_pairs",
-        "text_lang_confusion",
-        "corpus_quality_weighted_sample",
-        "dedup_incremental_near_docs",
-        "corpus_split_train_val_test",
-        # last green r9 (2 of 7; the other 5 roll to round 12)
-        "dedup_substring_ngrams",
-        "events_range_rolling",
+        # --- queue drains: round-11 operators, first grade ---
+        "corpus_soft_dedup_weights",
+        "text_lm_heldout_perplexity",
+        "corpus_quality_calibration",
+        "multimodal_audio_vad_segments",
+        "sketch_cms_heavy_changers",
+        "embeddings_dim_clip_bounds",
+        # --- round-10 overflow re-grades (last green r9) ---
+        "q24_string_funcs",
+        "q25_date_funcs",
+        "q34_correlated_scalar",
+        "dedup_embedding_ivf_pairs",
+        "dedup_embedding_cosine",
+        # --- round-11 text-scan-consolidation drift re-grades ---
+        "text_bm25_topk",
+        "text_bm25_batch",
+        "corpus_quality_classifier",
+        "corpus_kl_divergence",
+        "corpus_split_leakage",
+        "corpus_temperature_mix",
+        "corpus_token_rebalance",
+        "sketch_ams_f2",
+        "sketch_cms_manual",
+        "sketch_kmv_intersection",
+        "sketch_mg_heavyhitters",
+        "text_char_entropy",
+        "text_collocations",
+        "text_lm_score",
+        "text_tfidf_topterms",
+        # --- round-11 quality_score regex-rewrite drift re-grades ---
+        "corpus_balanced_sample_topk",
+        "corpus_weighted_sample_topk",
+        "text_quality",
+        # --- round-11 fact-scan-consolidation drift re-grades ---
+        "basket_part_pairs",
+        "events_audience_overlap",
+        "events_funnel_windowed",
+        "events_mad_anomaly",
+        "events_mutual_info",
+        "events_revenue_concentration",
     }
 )
 
@@ -205,68 +201,12 @@ COVERED_BY: dict[str, str] = {
 # Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
 # new capabilities OR parked greens whose spec hash drifted and which did
 # not fit the current 50-slot window (allowed only while hash-drifted —
-# tests/test_rotation.py). Round 11 drained the whole round-10 queue
-# except the 5 youngest drifted re-grades (last green r9 — outputs
-# re-verified on the post-edit 209/209 sf0.01 sweep and by the r10
-# judge's three-mode + edge sweeps; the grade is a hash re-stamp), which
-# overflow to round 12 per the written plan in ROTATION.md.
-GRADE_QUEUE: dict[str, int] = {
-    "q24_string_funcs": 12,
-    "q25_date_funcs": 12,
-    "q34_correlated_scalar": 12,
-    "dedup_embedding_ivf_pairs": 12,
-    "dedup_embedding_cosine": 12,
-    # round-11 scan-consolidation drift (outputs re-verified on the
-    # post-edit sf0.001/sf0.01/edge oracle sweeps; hash re-stamp at the
-    # round-12 grade): the BM25 family moved onto the shared single-scan
-    # token-postings index (_token_postings), and the quality classifier's
-    # scan was refactored into _qclf_inference so the clf prep pipeline
-    # shares it (text_bm25_prf and corpus_prep_pipeline_clf themselves
-    # are in the round-11 window and re-grade now)
-    "text_bm25_topk": 12,
-    "text_bm25_batch": 12,
-    "corpus_quality_classifier": 12,
-    # round-11 multi-scan consolidation drift (the duplicate documents-
-    # text-scan class, VERDICT r10 #3: 27 multi-scan plans -> 10
-    # documented floors; outputs re-verified on the post-edit sf0.01 +
-    # edge oracle sweeps; hash re-stamp at the round-12 grade)
-    "corpus_kl_divergence": 12,
-    "corpus_split_leakage": 12,
-    "corpus_temperature_mix": 12,
-    "corpus_token_rebalance": 12,
-    "sketch_ams_f2": 12,
-    "sketch_cms_manual": 12,
-    "sketch_kmv_intersection": 12,
-    "sketch_mg_heavyhitters": 12,
-    "text_char_entropy": 12,
-    "text_collocations": 12,
-    "text_lm_score": 12,
-    "text_tfidf_topterms": 12,
-    # round-11 quality_score regex rewrite drift (the 50x-slower
-    # RegExpReplace replaced by split+aggregate counting, values
-    # byte-identical on the 500k replica AND the edge corpus; re-verified
-    # on the post-edit sf0.01 + edge oracle sweeps)
-    "corpus_balanced_sample_topk": 12,
-    "corpus_weighted_sample_topk": 12,
-    "text_quality": 12,
-    # round-11 fact-table scan-consolidation drift (the six worst
-    # lineitem/events multi-scan plans, consolidated with the same
-    # window/shared-exchange idioms; outputs re-verified on the
-    # post-edit sf0.01 + edge oracle sweeps)
-    "basket_part_pairs": 12,
-    "events_audience_overlap": 12,
-    "events_funnel_windowed": 12,
-    "events_mad_anomaly": 12,
-    "events_mutual_info": 12,
-    "events_revenue_concentration": 12,
-    # round-11 additions (registered this round, graded next)
-    "corpus_soft_dedup_weights": 12,
-    "text_lm_heldout_perplexity": 12,
-    "corpus_quality_calibration": 12,
-    "multimodal_audio_vad_segments": 12,
-    "sketch_cms_heavy_changers": 12,
-    "embeddings_dim_clip_bounds": 12,
-}
+# tests/test_rotation.py). Round 12 exported the ENTIRE round-11 queue
+# (35 entries: 6 round-11 first grades + 24 round-11 perf-program drift
+# re-grades + 5 round-10 overflow re-grades) — it fit the window exactly
+# (49/50 slots with the 14 headliners). New round-12 operators and any
+# round-12 consolidation drift queue here for round 13.
+GRADE_QUEUE: dict[str, int] = {}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name
