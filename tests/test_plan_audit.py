@@ -182,28 +182,18 @@ MULTI_TEXT_SCAN_ALLOWED: dict[str, tuple[int, str]] = {
 #: consolidation/justification backlog (PLANS.md census note).
 FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "basket_part_pairs": {"lineitem": (5, "self-join + count branches over one shared constrained exchange; 1 scan executed")},
-    "events_active_users_7d": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
     "events_asof_two_stream": {"events": (2, "the two as-of streams are type-filtered views of one table")},
     "events_audience_overlap": {"events": (2, "self-join sides; 1 scan executed (ReusedExchange)")},
-    "events_autocorr": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
-    "events_bounce_rate": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
-    "events_cohort_retention": {"events": (3, "recorded round-11 floor; consolidate or justify in round 12")},
-    "events_cusum_changepoint": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
     "events_gapfill_locf": {"events": (3, "date-bounds anchor + user grid + observation rollup")},
-    "events_markov_transitions": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
-    "events_new_vs_returning": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
     "events_range_join": {"events": (2, "probe and anchor sides are views of one table")},
     "events_retention_bitmap": {"events": (4, "day-zero anchor embedded in both the bitmap and span passes")},
     "events_revenue_concentration": {"events": (2, "census pass + threshold-selection pass (quantiles need the full census)")},
-    "events_seasonal_naive": {"events": (2, "recorded round-11 floor; consolidate or justify in round 12")},
-    "layout_zorder_clustering": {"orders": (2, "recorded round-11 floor; consolidate or justify in round 12")},
+    "layout_zorder_clustering": {"orders": (2, "bucket bounds need a global min/max pass before any row can be bucketed (the revenue_concentration census+selection shape); at scale the bounds pass reads only parquet footer min/max stats, not rows")},
     "q06_dup_stats": {"lineitem": (2, "full-row and subset dup detection are two aggregate views")},
     "q13_semi_anti": {"orders": (2, "semi and anti legs of the demonstrated operator pair")},
     "q28_multiset_ops": {"lineitem": (4, "INTERSECT ALL / EXCEPT ALL sides ARE the demonstrated operator")},
     "q31_scalar_subquery": {"orders": (3, "scalar subqueries per spec; the SQL surface is the operator")},
     "q34_correlated_scalar": {"orders": (2, "correlated scalar subquery is the demonstrated operator")},
-    "q41_rfm_segments": {"orders": (2, "recorded round-11 floor; consolidate or justify in round 12")},
-    "q42_abc_analysis": {"lineitem": (2, "recorded round-11 floor; consolidate or justify in round 12")},
     "qc_benford_totalprice": {"orders": (2, "digit histogram + total anchor")},
     "qc_constraint_suite": {"orders": (3, "independent constraint checks over one table")},
     "qc_drift_chi2": {"orders": (2, "baseline and current distribution legs")},
@@ -211,7 +201,6 @@ FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "qc_drift_psi": {"orders": (2, "baseline and current distribution legs")},
     "qc_drift_wasserstein": {"orders": (3, "baseline/current legs + normalizer")},
     "sketch_hll_manual": {"events": (2, "sketch pass + exact-evaluation pass")},
-    "sketch_quantile_manual": {"orders": (3, "recorded round-11 floor; consolidate or justify in round 12")},
 }
 
 _PASSTHROUGH_OPS = (

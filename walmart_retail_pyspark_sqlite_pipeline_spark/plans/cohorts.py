@@ -19,31 +19,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import read_table
 from .registry import QuerySpec, register, register_local
 
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention from ONE events scan.
+
+    Round-12 consolidation (was 3 scans: weeks -> first groupBy+join back,
+    plus a sizes branch). The cohort week is a min() window over the
+    distinct (user, week) exchange instead of a groupBy+join; and because
+    rows are DISTINCT per (user, week) and each distinct week maps to a
+    distinct week_offset within a user, COUNT(*) per (cohort, offset)
+    equals the old countDistinct(user_id). cohort_size is the offset-0
+    count (every user is active in their cohort week by construction), so
+    it rides a max-when window over the |cohorts x offsets|-bounded
+    aggregate rather than a third pass.
+
+    NULL user_id rows are dropped explicitly: the pre-consolidation inner
+    join on user_id (and the oracle's JOIN USING) never matched them, and
+    a window partition WOULD keep them — the edge sweep caught exactly
+    this divergence.
+    """
     ev = read_table(spark, sf_dir, "events")
-    weeks = ev.select(
-        "user_id",
-        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
-    ).distinct()
-    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
-    act = weeks.join(first, "user_id")
+    weeks = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    act = weeks.withColumn(
+        "cohort", F.min("week").over(Window.partitionBy("user_id"))
+    )
     counts = (
         act.withColumn(
             "week_offset", F.expr("datediff(week, cohort) DIV 7")
         )
         .groupBy("cohort", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count("*").alias("n_active"))
     )
-    sizes = first.groupBy("cohort").agg(
-        F.countDistinct("user_id").alias("cohort_size")
-    )
+    w_cohort = Window.partitionBy("cohort")
     return (
-        counts.join(sizes, "cohort")
+        counts.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_active"))
+            ).over(w_cohort),
+        )
         .select(
             "cohort",
             "week_offset",
@@ -202,7 +228,6 @@ def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(
         F.to_date("ts").alias("d"), "user_id"
     ).distinct()
-    bounds = daily.agg(F.max("d").alias("max_d"))
     exploded = daily.select(
         "user_id",
         "d",
@@ -210,16 +235,23 @@ def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obs_day"
         ),
     )
+    # Round-12 consolidation (was 2 scans: a broadcast max-date bounds
+    # branch pre-filtered the fanout). The max_d trim only drops GROUPS
+    # (obs_day is the group key), so it moves after the aggregate: carry
+    # max(d) per group, take the global max over the |days|-bounded
+    # aggregate with a single-partition window, and filter there. One
+    # events scan; the lone-partition window sees ~date-range rows.
     return (
-        exploded.join(F.broadcast(bounds))
-        .filter(F.col("obs_day") <= F.col("max_d"))
-        .groupBy("obs_day")
+        exploded.groupBy("obs_day")
         .agg(
             F.countDistinct(
                 F.when(F.col("d") == F.col("obs_day"), F.col("user_id"))
             ).alias("dau"),
             F.countDistinct("user_id").alias("wau"),
+            F.max("d").alias("d_max_local"),
         )
+        .withColumn("max_d", F.max("d_max_local").over(Window.partitionBy()))
+        .filter(F.col("obs_day") <= F.col("max_d"))
         .select(
             "obs_day",
             "dau",

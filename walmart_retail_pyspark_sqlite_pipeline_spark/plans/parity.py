@@ -1694,7 +1694,11 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     orders = read_table(spark, sf_dir, "orders")
-    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    # Round-12 consolidation (was 2 scans: a global max-date anchor branch
+    # crossJoined back). The anchor is max(last_order) over the per-customer
+    # rollup — an unpartitioned window, but the ntile quartile windows below
+    # are already global over the same customer-cardinality frame, so this
+    # adds no new scale ceiling and removes the second orders scan.
     per_cust = (
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
@@ -1704,7 +1708,14 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
             ).alias("monetary_cents"),
         )
-        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "anchor",
+            F.max("last_order").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .select(
             "c_custkey",
             F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),

@@ -206,7 +206,31 @@ COVERED_BY: dict[str, str] = {
 # re-grades + 5 round-10 overflow re-grades) — it fit the window exactly
 # (49/50 slots with the 14 headliners). New round-12 operators and any
 # round-12 consolidation drift queue here for round 13.
-GRADE_QUEUE: dict[str, int] = {}
+GRADE_QUEUE: dict[str, int] = {
+    # round-12 fact-scan consolidation drift (VERDICT r11 "What's wrong"
+    # #1): the 11 remaining "recorded round-11 floor" multi-scan plans
+    # rewritten to ONE fact scan each with the proven idioms — window
+    # aggregates instead of groupBy+join-back (cohort_retention,
+    # new_vs_returning, cusum, markov, rfm anchor, abc total), explode
+    # unpivot instead of unionAll re-plan (autocorr), pinned-range window
+    # instead of a calendar self-join (seasonal_naive), one conditional
+    # per-session aggregate (bounce_rate), post-aggregate bound trim
+    # (active_users_7d), and a single value-level rollup feeding both the
+    # histogram and exact quantile selections (sketch_quantile_manual).
+    # Outputs re-verified on the post-edit sf0.001/sf0.01/edge oracle
+    # sweeps; the round-13 grade is a hash re-stamp.
+    "events_active_users_7d": 13,
+    "events_autocorr": 13,
+    "events_bounce_rate": 13,
+    "events_cohort_retention": 13,
+    "events_cusum_changepoint": 13,
+    "events_markov_transitions": 13,
+    "events_new_vs_returning": 13,
+    "events_seasonal_naive": 13,
+    "q41_rfm_segments": 13,
+    "q42_abc_analysis": 13,
+    "sketch_quantile_manual": 13,
+}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name

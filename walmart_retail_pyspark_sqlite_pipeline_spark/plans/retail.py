@@ -263,10 +263,21 @@ def q42_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("revenue_cents"), "p_brand").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = rev.agg(F.sum("revenue_cents").alias("total_cents"))
+    # Round-12 consolidation (was 2 lineitem scans: a totals branch
+    # crossJoined back). The grand total is an unpartitioned whole-frame
+    # window over the |brands|-bounded rollup — the exact shape the oracle
+    # already used (SUM(...) OVER ()) — sharing the cum window's single
+    # partition. One lineitem scan.
     return (
         rev.withColumn("cum_cents", F.sum("revenue_cents").over(w))
-        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "total_cents",
+            F.sum("revenue_cents").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .select(
             "p_brand",
             F.col("revenue_cents").cast("bigint").alias("revenue_cents"),

@@ -608,50 +608,45 @@ def sketch_quantile_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    hist = o.groupBy(
-        "o_orderpriority", (F.col("cents") - F.col("cents") % _QSK_B).alias("b0")
-    ).agg(F.count("*").alias("cnt"))
-    wh = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("b0")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    hist = hist.select(
-        "o_orderpriority",
-        "b0",
-        F.sum("cnt").over(wh).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy("o_orderpriority").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    # Round-12 consolidation (was 3 orders scans: separate histogram and
+    # exact-values branches, re-joined twice). The bucket histogram is a
+    # pure function of the value-level rollup, so EVERYTHING derives from
+    # the one (priority, cents) aggregate: the value-level running count
+    # gives the exact quantiles; the bucket's cumulative count is the MAX
+    # running count within (priority, b0) — identical to the old per-bucket
+    # cumsum because the running count is monotone in cents; and both
+    # selections collapse in ONE final aggregate. One scan; the three
+    # windows share the o_orderpriority exchange (the (priority, b0)
+    # partition is a refinement hash-clustering on priority satisfies).
     vals = o.groupBy("o_orderpriority", "cents").agg(F.count("*").alias("cnt"))
     wv = (
         Window.partitionBy("o_orderpriority")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    vals = vals.select(
-        "o_orderpriority", "cents", F.sum("cnt").over(wv).alias("cum")
-    )
-
-    est_cols, exact_cols = [], []
-    for p in _QSK_PS:
-        tgt = F.expr(f"({p} * n + 99) DIV 100")
-        est_cols.append(
-            F.min(F.when(F.col("cum") >= tgt, F.col("b0"))).alias(f"b_{p}")
+    cum = (
+        vals.withColumn("b0", F.col("cents") - F.col("cents") % _QSK_B)
+        .withColumn("cum", F.sum("cnt").over(wv))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("o_orderpriority"))
         )
-    ests = hist.groupBy("o_orderpriority", "n").agg(*est_cols)
-    joined = vals.join(ests.select("o_orderpriority", "n"), "o_orderpriority")
+        .withColumn(
+            "bcum",
+            F.max("cum").over(Window.partitionBy("o_orderpriority", "b0")),
+        )
+    )
+    sel_cols = []
     for p in _QSK_PS:
         tgt = F.expr(f"({p} * n + 99) DIV 100")
-        exact_cols.append(
+        sel_cols.append(
+            F.min(F.when(F.col("bcum") >= tgt, F.col("b0"))).alias(f"b_{p}")
+        )
+        sel_cols.append(
             F.min(F.when(F.col("cum") >= tgt, F.col("cents"))).alias(
                 f"exact_q{p}"
             )
         )
-    exacts = joined.groupBy("o_orderpriority").agg(*exact_cols)
+    ests = cum.groupBy("o_orderpriority", "n").agg(*sel_cols)
     out_cols = ["o_orderpriority", F.col("n").cast("bigint").alias("n")]
     for p in _QSK_PS:
         out_cols.append(
@@ -663,16 +658,12 @@ def sketch_quantile_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"abs_err_q{p}")
         )
-    return (
-        ests.join(exacts, "o_orderpriority")
-        .select(*out_cols)
-        .orderBy("o_orderpriority")
-    )
+    return ests.select(*out_cols).orderBy("o_orderpriority")
 
 
 def _qsk_sql() -> str:
     est_sel = ",\n    ".join(
-        f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN b0 END) AS b_{p}"
+        f"MIN(CASE WHEN bcum >= ({p} * n + 99) // 100 THEN b0 END) AS b_{p}"
         for p in _QSK_PS
     )
     exact_sel = ",\n    ".join(
@@ -687,48 +678,41 @@ def _qsk_sql() -> str:
         f" AS abs_err_q{p}"
         for p in _QSK_PS
     )
+    # Round-12: mirrors the consolidated single-rollup Spark shape (one
+    # value-level aggregate; the bucket cumulative is MAX(cum) within
+    # (priority, b0)) so both engines share identical NULL-key semantics.
     return f"""
 WITH c AS (
   SELECT o_orderpriority,
     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders
 ),
-hist AS (
-  SELECT o_orderpriority, cents - cents % {_QSK_B} AS b0, COUNT(*) AS cnt
-  FROM c GROUP BY 1, 2
-),
-hcum AS (
-  SELECT o_orderpriority, b0,
-    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY b0
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
-  FROM hist
-),
-ests AS (
-  SELECT o_orderpriority, n,
-    {est_sel}
-  FROM hcum GROUP BY o_orderpriority, n
-),
 vals AS (
   SELECT o_orderpriority, cents, COUNT(*) AS cnt
   FROM c GROUP BY 1, 2
 ),
 vcum AS (
-  SELECT o_orderpriority, cents,
+  SELECT o_orderpriority, cents, cents - cents % {_QSK_B} AS b0,
     SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
   FROM vals
 ),
-exacts AS (
-  SELECT v.o_orderpriority,
+bcum AS (
+  SELECT *,
+    MAX(cum) OVER (PARTITION BY o_orderpriority, b0) AS bcum
+  FROM vcum
+),
+ests AS (
+  SELECT o_orderpriority, n,
+    {est_sel},
     {exact_sel}
-  FROM vcum v JOIN ests e ON v.o_orderpriority = e.o_orderpriority
-  GROUP BY v.o_orderpriority
+  FROM bcum GROUP BY o_orderpriority, n
 )
-SELECT e.o_orderpriority, CAST(n AS BIGINT) AS n,
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
   {out_sel}
-FROM ests e JOIN exacts x ON e.o_orderpriority = x.o_orderpriority
-ORDER BY e.o_orderpriority
+FROM ests
+ORDER BY o_orderpriority
 """
 
 

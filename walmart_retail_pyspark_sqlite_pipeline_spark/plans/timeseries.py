@@ -529,9 +529,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     cnt = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
-    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    # Round-12 consolidation (was 2 scans: a groupBy+join-back row-sum
+    # branch re-planned the lead-window subtree). The row normalizer is a
+    # whole-partition window over the |types|^2-bounded transition counts —
+    # one events scan, one tiny window exchange on from_type.
     return (
-        cnt.join(tot, "from_type")
+        cnt.withColumn(
+            "n_from", F.sum("n").over(Window.partitionBy("from_type"))
+        )
         .selectExpr(
             "from_type",
             "to_type",
@@ -554,14 +559,18 @@ cnt AS (
   SELECT from_type, to_type, COUNT(*) AS n
   FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
 ),
-tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1)
-SELECT cnt.from_type, to_type,
+norm AS (
+  SELECT from_type, to_type, n,
+    SUM(n) OVER (PARTITION BY from_type) AS n_from
+  FROM cnt
+)
+SELECT from_type, to_type,
   CAST(n AS BIGINT) AS n,
   CAST(n_from AS BIGINT) AS n_from,
   CAST((2 * n * 1000000 + n_from) // (2 * n_from) AS BIGINT)
     / CAST(1000000.0 AS DOUBLE) AS p
-FROM cnt JOIN tot ON cnt.from_type = tot.from_type
-ORDER BY cnt.from_type, to_type
+FROM norm
+ORDER BY from_type, to_type
 """
 
 
@@ -611,13 +620,28 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("x", 1).over(w).alias("y1"),
         F.lag("x", 7).over(w).alias("y7"),
     )
-    pairs = lagged.select(
-        "event_type", F.lit(1).alias("lag"), "x", F.col("y1").alias("y")
-    ).unionAll(
+    # Round-12 consolidation (was 2 scans: unionAll of two selects of the
+    # same lagged frame re-planned the daily-rollup subtree per branch).
+    # An exploded 2-element (lag, y) array unpivots both lags out of ONE
+    # pass over the window output — same rows, same types.
+    pairs = (
         lagged.select(
-            "event_type", F.lit(7).alias("lag"), "x", F.col("y7").alias("y")
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("lag"), F.col("y1").alias("y")
+                    ),
+                    F.struct(
+                        F.lit(7).alias("lag"), F.col("y7").alias("y")
+                    ),
+                )
+            ).alias("p"),
         )
-    ).filter(F.col("y").isNotNull())
+        .select("event_type", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
     m = pairs.groupBy("event_type", "lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -710,14 +734,25 @@ def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    fc = daily.select(
-        "event_type",
-        F.date_add("day", 7).alias("day"),
-        F.col("cents").alias("forecast_cents"),
+    # Round-12 consolidation (was 2 scans: a day+7 self-join of the daily
+    # rollup re-planned the events subtree per side). The calendar-exact
+    # 7-day offset is a RANGE window pinned at exactly 7 preceding on the
+    # integer day number — max() over a frame holding at most the one
+    # (event_type, day-7) row, NULL (then filtered, matching the old inner
+    # join) when that weekday is a gap day. One scan, one exchange on
+    # event_type.
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff("day", F.lit("1970-01-01")))
+        .rangeBetween(-7, -7)
     )
-    scored = daily.join(fc, ["event_type", "day"]).select(
-        "event_type",
-        F.abs(F.col("cents") - F.col("forecast_cents")).alias("abs_err"),
+    scored = (
+        daily.withColumn("forecast_cents", F.max("cents").over(w7))
+        .filter(F.col("forecast_cents").isNotNull())
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("forecast_cents")).alias("abs_err"),
+        )
     )
     return (
         scored.groupBy("event_type")
@@ -744,11 +779,16 @@ WITH daily AS (
     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
+fc AS (
+  SELECT event_type, cents,
+    MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                AND INTERVAL 7 DAYS PRECEDING) AS forecast_cents
+  FROM daily
+),
 scored AS (
-  SELECT d.event_type, ABS(d.cents - f.cents) AS abs_err
-  FROM daily d
-  JOIN daily f
-    ON d.event_type = f.event_type AND f.day = d.day - INTERVAL 7 DAY
+  SELECT event_type, ABS(cents - forecast_cents) AS abs_err
+  FROM fc WHERE forecast_cents IS NOT NULL
 )
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_scored,
@@ -1209,8 +1249,12 @@ register_local(
 def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    # NULL user_id rows are dropped explicitly (matches the
+    # pre-consolidation sizes⋈entries inner join and the oracle's JOIN
+    # USING, both of which never matched NULL keys).
     tagged = (
-        ev.select(
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
             "user_id",
             "event_id",
             "event_type",
@@ -1235,14 +1279,17 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the session's entry row IS the new_sess=1 row (exactly one per
-    # session) — no arg_min/struct-ordering needed on either engine
-    sizes = tagged.groupBy("user_id", "session_idx").agg(
-        F.count("*").alias("n_events")
+    # session), so its type is a conditional max with exactly one non-NULL
+    # argument — round-12 consolidation: ONE per-session aggregate replaces
+    # the old sizes-branch + entries-branch join (2 events scans), and the
+    # groupBy keys prefix the window's user_id partitioning so the session
+    # rollup reuses the window exchange.
+    sess = tagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("new_sess") == 1, F.col("event_type"))
+        ).alias("entry_type"),
     )
-    entries = tagged.filter(F.col("new_sess") == 1).select(
-        "user_id", "session_idx", F.col("event_type").alias("entry_type")
-    )
-    sess = sizes.join(entries, ["user_id", "session_idx"])
     return (
         sess.groupBy("entry_type")
         .agg(
@@ -1497,10 +1544,16 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    active = ev.distinct()
-    first = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    # Round-12 consolidation (was 2 scans: first-day groupBy joined back to
+    # the distinct frame). first_d is a min() window over the per-user
+    # partitioning of the SAME distinct exchange output — one events scan.
+    # NULL user_id rows are dropped explicitly: the old inner join (and the
+    # oracle's JOIN USING) never matched them; a window partition would.
+    active = ev.filter(F.col("user_id").isNotNull()).distinct()
     return (
-        active.join(first, "user_id")
+        active.withColumn(
+            "first_d", F.min("d").over(Window.partitionBy("user_id"))
+        )
         .groupBy(F.col("d").alias("day"))
         .agg(
             F.sum((F.col("d") == F.col("first_d")).cast("long"))
@@ -1780,16 +1833,22 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    tot = daily.groupBy("event_type").agg(
-        F.sum("cents").alias("t_sum"), F.count("*").alias("n_days")
-    )
+    # Round-12 consolidation (was 2 scans: a per-type totals groupBy
+    # broadcast-joined back to the daily rollup). The totals are
+    # whole-partition windows over the SAME event_type partitioning the
+    # cumulative windows below need — one events scan, one exchange.
+    w_type = Window.partitionBy("event_type")
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dev = daily.join(F.broadcast(tot), "event_type").withColumn(
-        "dev", F.col("cents") * F.col("n_days") - F.col("t_sum")
+    dev = (
+        daily.withColumn("t_sum", F.sum("cents").over(w_type))
+        .withColumn("n_days", F.count("*").over(w_type))
+        .withColumn(
+            "dev", F.col("cents") * F.col("n_days") - F.col("t_sum")
+        )
     )
     return (
         dev.withColumn("cusum_scaled", F.sum("dev").over(w))
@@ -1817,14 +1876,12 @@ WITH daily AS (
     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
-tot AS (
-  SELECT event_type, SUM(cents) AS t_sum, COUNT(*) AS n_days
-  FROM daily GROUP BY 1
-),
 dev AS (
-  SELECT daily.event_type, day, cents,
-         cents * n_days - t_sum AS dev, t_sum
-  FROM daily JOIN tot USING (event_type)
+  SELECT event_type, day, cents,
+         cents * COUNT(*) OVER (PARTITION BY event_type)
+           - SUM(cents) OVER (PARTITION BY event_type) AS dev,
+         SUM(cents) OVER (PARTITION BY event_type) AS t_sum
+  FROM daily
 ),
 cs AS (
   SELECT event_type, day, cents, t_sum,
