@@ -203,6 +203,35 @@ FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "sketch_hll_manual": {"events": (2, "sketch pass + exact-evaluation pass")},
 }
 
+#: Round-12 extension of the same ratchet to the payload/dim tables
+#: (VERDICT r11 "Next round" #5): the census over customer / part /
+#: embeddings found 45 multi-scan plans. The iterative vector algorithms
+#: (up to 45 static embeddings scans in dedup_semantic_ivf, 24 in the
+#: power iteration) now read ONE cached vector store (plans/llm._emb_base,
+#: the embeddings analogue of the shared shingle index), and the
+#: derive-inputs-from-one-table demos (scd2/cdc/t-closeness) cache their
+#: pruned snapshot/census once. What remains is the irreducible two-view
+#: shape: a broadcast query/anchor side plus the corpus side, self-join
+#: sides, or set-op legs — recorded exactly below. documents scans are
+#: governed by MULTI_TEXT_SCAN_ALLOWED (the text column is the payload;
+#: the non-text columns are narrow), and part has no multi-scan plans.
+PAYLOAD_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
+    "ann_hamming_packed": {"embeddings": (2, "sign-quantized corpus side + 1-row broadcast query side of one table")},
+    "ann_hamming_topk": {"embeddings": (2, "sign-quantized corpus side + 1-row broadcast query side of one table")},
+    "ann_int8_topk": {"embeddings": (2, "int8-quantized corpus side + 1-row broadcast query side of one table")},
+    "ann_ivf_recall": {"embeddings": (3, "exact-baseline leg (query + corpus views) + the IVF leg's cached-store build; the recall audit NEEDS the exact leg")},
+    "ann_knn_join": {"embeddings": (2, "query-batch side + corpus side are views of one table; query side is broadcast")},
+    "ann_rerank_batch": {"embeddings": (2, "int8 coarse-scan leg + exact rerank leg of the candidate set")},
+    "ann_rerank_two_stage": {"embeddings": (2, "int8 coarse-scan leg + exact rerank leg of the candidate set")},
+    "ann_topk_cosine": {"embeddings": (2, "1-row broadcast query side + corpus side of one table")},
+    "dedup_embedding_cosine": {"embeddings": (2, "self-join sides; executed via one shared exchange")},
+    "entity_match_customers": {"customer": (2, "blocking self-join sides of one table")},
+    "q10_nation_set_ops": {"customer": (3, "INTERSECT/EXCEPT legs ARE the demonstrated operator (q28 precedent)")},
+    "q13_semi_anti": {"customer": (2, "semi and anti legs of the demonstrated operator pair")},
+}
+
+_PAYLOAD_TABLES = ("customer", "part", "embeddings")
+
 _PASSTHROUGH_OPS = (
     "Project", "ColumnarToRow", "InputAdapter", "WholeStageCodegen",
     "AdaptiveSparkPlan", "Coalesce", "CollectLimit", "GlobalLimit",
@@ -261,9 +290,11 @@ def _count_documents_text_scans(plan: str) -> int:
     return count
 
 
-def _count_fact_scans(plan: str) -> dict[str, int]:
-    """Distinct parquet Scan nodes per fact table (any column set)."""
-    counts = {t: 0 for t in _FACT_TABLES}
+def _count_fact_scans(
+    plan: str, tables: tuple[str, ...] = _FACT_TABLES
+) -> dict[str, int]:
+    """Distinct parquet Scan nodes per listed table (any column set)."""
+    counts = {t: 0 for t in tables}
     cur = None
     loc = None
     for line in plan.splitlines():
@@ -274,7 +305,7 @@ def _count_fact_scans(plan: str) -> dict[str, int]:
         if cur is None:
             continue
         if s.startswith("Location"):
-            for t in _FACT_TABLES:
+            for t in tables:
                 if f"{t}.parquet" in s:
                     loc = t
         elif s.startswith("ReadSchema"):
@@ -294,6 +325,12 @@ def _specs():
 
 @pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
 def test_plan_has_no_scale_hazards(spark, name, spec):
+    # round-12: the scan-floor ratchets assert EXACT static counts, and a
+    # cached plan registered by an earlier query in this session (e.g.
+    # _emb_base) substitutes into a later query's identical subtree,
+    # silently changing its count — clear the cache so every query is
+    # audited on its own cold plan.
+    spark.catalog.clearCache()
     df = spec.fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().sparkPlan().toString()
 
@@ -376,6 +413,28 @@ def test_plan_has_no_scale_hazards(spark, name, spec):
             assert n <= 1, (
                 f"{name}: plans {n} {t} scans — consolidate or record the "
                 "floor in FACT_MULTI_SCAN_ALLOWED with a reason."
+            )
+
+    # round-12: the same exact-floor ratchet over the payload/dim tables
+    # (customer / part / embeddings — the census that found the 45-scan
+    # IVF plan; see PAYLOAD_MULTI_SCAN_ALLOWED above)
+    payload = _count_fact_scans(fmt_plan, _PAYLOAD_TABLES)
+    allowed_payload = PAYLOAD_MULTI_SCAN_ALLOWED.get(name, {})
+    for t, n in payload.items():
+        if t in allowed_payload:
+            want, reason = allowed_payload[t]
+            assert n == want, (
+                f"{name}: plans {n} {t} scans but the recorded floor is "
+                f"{want} ({reason}). If it improved, tighten/remove the "
+                "PAYLOAD_MULTI_SCAN_ALLOWED entry; if it regressed, "
+                "consolidate (shared cached store / window aggregates / "
+                "shared constrained exchange)."
+            )
+        else:
+            assert n <= 1, (
+                f"{name}: plans {n} {t} scans — read the shared cached "
+                "store (_emb_base for embeddings) or record the floor in "
+                "PAYLOAD_MULTI_SCAN_ALLOWED with a reason."
             )
 
 

@@ -403,6 +403,33 @@ FROM votes ORDER BY doc_id
 """
 
 
+def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (vec_id, label, v float64[]) vector store.
+
+    The embeddings analogue of the shared shingle index (``_doc_shingles``)
+    and BM25 postings (``_token_postings``): the round-12 payload-table
+    scan census found the multi-pass vector algorithms (two-level IVF,
+    Lloyd refinement, power iteration, PQ codebooks) re-planning the
+    parquet read once per reference — up to 45 static embeddings scans in
+    one plan. Every multi-reference consumer now reads THIS one
+    materialization (Spark caches by logical plan, so repeated calls with
+    the same sf_dir share one cache entry). At 100 TB this is the vector
+    table an iterative job persists before its first pass — MLlib's own
+    clustering does exactly this — instead of re-reading object storage
+    per iteration. The float→double widening is pinned here too, so the
+    cache holds the arithmetic-ready array.
+
+    Single-reference queries (one corpus pass + a broadcast query side)
+    deliberately stay on the raw scan: column pruning there reaches the
+    parquet reader, and a cache would only add a materialization they
+    never reuse.
+    """
+    emb = read_embeddings(spark, sf_dir)
+    return emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    ).cache()
+
+
 # ---------------------------------------------------------------------------
 # dedup_embedding_cosine — near-dup pairs by embedding cosine within label
 # blocks (blocking bounds the pair count; at scale the block key is an LSH
@@ -584,10 +611,8 @@ def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    # round-12: seeds and assignment read the shared cached vector store
+    e = _emb_base(spark, sf_dir)
     cent = _mean_centroids(e, "label")
     return _assign_nearest(e, cent).select("vec_id", "cell")
 
@@ -641,10 +666,8 @@ ANN_IVF_CELLS_SQL = f"WITH {_IVF_CELLS_CTE} SELECT vec_id, cell FROM cells ORDER
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
     cells = _ivf_cells(spark, sf_dir)
     e_cells = e.join(cells, "vec_id")
     qcell = cells.filter(F.col("vec_id") == 0).select(
@@ -1614,8 +1637,8 @@ register_local(
 # so this query's self-join is Exchange-free.
 # ---------------------------------------------------------------------------
 def dedup_embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v")).join(
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v").join(
         _ivf_cells(spark, sf_dir), "vec_id"
     )
     a, b = e.alias("a"), e.alias("b")
@@ -2316,10 +2339,7 @@ register(
 # total is independent of summation order; assignment ties break by cell.
 # ---------------------------------------------------------------------------
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    e = _emb_base(spark, sf_dir)  # round-12: shared cached vector store
     seed = _mean_centroids(e, "label")
     a1 = _assign_nearest(e, seed).select("vec_id", F.col("cell").alias("c1"))
     c1 = _mean_centroids(
@@ -2556,8 +2576,8 @@ register_local(
 # in dimension order. Output loadings rounded to 9 dp.
 # ---------------------------------------------------------------------------
 def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
 
     vcur = spark.range(1).select(
         F.transform(F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)).alias(
@@ -3052,8 +3072,8 @@ RRF_K0 = 60
 
 
 def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos_list = (
         e.filter(F.col("vec_id") != 0)
@@ -3505,10 +3525,7 @@ IVFPQ_NPROBE = 2
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    e = _emb_base(spark, sf_dir)  # round-12: shared cached vector store
     cent = _mean_centroids(e, "label")
     dist = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -3813,8 +3830,8 @@ register_local(
 # engines), ranked by (rounded d2, vec_id) for a total order.
 # ---------------------------------------------------------------------------
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
     q = e.filter(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_N_QUERIES)
     ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
@@ -4447,15 +4464,14 @@ _SEMDEDUP_C_MIN = 8  # cluster-count floor at tiny scales
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
     # repartition BEFORE the n·C distance evaluation: the assignment stage
     # is compute-bound (n·C·d flops), and a single-file parquet source
     # would otherwise run it on one partition — one O(n·d) round-robin
     # shuffle buys full-cluster parallelism on the dominant term (the
     # round-8 200k-vector probe ran single-threaded without this)
-    e = emb.select(
-        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    e = _emb_base(spark, sf_dir).select("vec_id", "v").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
     # cluster count from the data (same formula as the oracle's cfg CTE)
     n_clusters = max(_SEMDEDUP_C_MIN, e.count() // _SEMDEDUP_TARGET)
     # label-free learned clustering: data-vector seeds -> assign ->
@@ -4626,8 +4642,8 @@ register_local(
 def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
     m = e.agg(
         F.max(F.sqrt(vectors.dot(F.col("v"), F.col("v")))).alias("m")
     )
@@ -5158,9 +5174,10 @@ JL_SAMPLE = 40
 
 
 def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    comp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "v")
+    # round-12: shared cached vector store (identical values — the cached
+    # column is as_double(embedding), a per-element cast)
+    comp = _emb_base(spark, sf_dir).select(
+        "vec_id", F.posexplode("v").alias("i", "v")
     ).select(
         "vec_id",
         "i",
@@ -5314,10 +5331,8 @@ MRL_KS = (1, 5, 10)
 
 
 def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    # round-12: shared cached vector store (_emb_base)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
     kmax = max(MRL_KS)
 
     def topk(m: int | None) -> DataFrame:
@@ -5466,10 +5481,12 @@ register_local(
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # round-12: the two-level assignment + Lloyd step referenced the raw
+    # scan 45 times in the static plan — now every pass reads the one
+    # cached vector store (_emb_base).
+    e = _emb_base(spark, sf_dir).select("vec_id", "v").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
     n = e.count()
     c_total = max(_SEMDEDUP_C_MIN, n // _SEMDEDUP_TARGET)
     c1 = max(2, math.isqrt(c_total))
@@ -5792,12 +5809,12 @@ register(
 # export (VERDICT r8 #7).
 # ---------------------------------------------------------------------------
 def ann_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    v = vectors.as_double(F.col("embedding"))
-    base = emb.select(
+    # round-12: shared cached vector store (_emb_base); int8 codes derive
+    # from the cached double array (identical values — as_double is a cast)
+    base = _emb_base(spark, sf_dir).select(
         "vec_id",
-        v.alias("v"),
-        vectors.int8_quantize(v).alias("q"),
+        "v",
+        vectors.int8_quantize(F.col("v")).alias("q"),
     )
     qrow = base.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("q").alias("qq")
@@ -6575,8 +6592,9 @@ register_local(
 # free (stays in a DataFrame).
 # ---------------------------------------------------------------------------
 def embeddings_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    # round-12: shared cached vector store — the power iterations below
+    # re-reference e once per A*u multiply (24 static scans pre-cache)
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
 
     def power_step(vcur: DataFrame) -> DataFrame:
         """one A*u multiply with the fixed-point per-dim sum; returns a

@@ -919,6 +919,10 @@ def qc_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_nationkey", "c_mktsegment", "band")
         .agg(F.count("*").alias("cnt_gb"))
+        # round-12: the QI-cell census is read by the group totals, band
+        # totals, corpus totals AND the grid join — cache the bounded
+        # |nations x segments x bands| aggregate once (4 scans -> 1)
+        .cache()
     )
     gtot = cell.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("cnt_gb").alias("n_g")

@@ -230,6 +230,34 @@ GRADE_QUEUE: dict[str, int] = {
     "q41_rfm_segments": 13,
     "q42_abc_analysis": 13,
     "sketch_quantile_manual": 13,
+    # round-12 payload-table census drift (VERDICT r11 "Next round" #5):
+    # the multi-pass vector algorithms re-planned the embeddings parquet
+    # read once per reference (up to 45 static scans in dedup_semantic_ivf,
+    # 24 in the power iteration); all now read the ONE cached vector store
+    # (_emb_base — the embeddings analogue of the shared shingle index).
+    # Outputs re-verified on the post-edit sf0.001/sf0.01/edge oracle
+    # sweeps; the round-13 grade is a hash re-stamp.
+    "ann_ivfpq_topk": 13,
+    "ann_mips_topk": 13,
+    "ann_pq_recall": 13,
+    "ann_rrf_fusion": 13,
+    "dedup_semantic_ivf": 13,
+    "embeddings_jl_projection": 13,
+    "embeddings_kmeans": 13,
+    "embeddings_matryoshka_recall": 13,
+    "embeddings_top2_components": 13,
+    "embeddings_top_component": 13,
+    # round-12 cached-input consolidations on the customer table (scd2/cdc
+    # derive their change feeds from the snapshot they read — 8/4 scans ->
+    # 1 via a cached pruned snapshot; t-closeness caches its bounded
+    # QI-cell census — 4 scans -> 1). Same sweep evidence as above.
+    "scd2_customer_history": 13,
+    "cdc_apply_changes": 13,
+    "qc_t_closeness": 13,
+    # _ivf_cells (the shared coarse-assignment helper) moved onto the
+    # cached store too — its parked consumers drift with it
+    "ann_ivf_topk": 13,
+    "ann_ivf_recall": 13,
 }
 
 

@@ -28,9 +28,13 @@ _MOD = 10  # customers with c_custkey % 10 == 0 change segment at T1
 
 
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-12: the demo derives BOTH scd2 inputs (initial history and the
+    # changed second snapshot) from one table, and the close/open/unchanged
+    # legs re-planned that scan 8 times — cache the 2-column snapshot once
+    # (a real pipeline's snapshot is a materialized input to begin with).
     customer = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
-    )
+    ).cache()
     history = scd2_init(customer, ["c_custkey"], ["c_mktsegment"], _T0)
     snapshot2 = customer.withColumn(
         "c_mktsegment",
@@ -99,10 +103,13 @@ CDC_INSERTS = 10
 
 
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-12: the change feed, merge, max-key and delete legs all derive
+    # from the one snapshot — cache the 2-column input (4 scans -> 1); a
+    # real CDC batch receives the feed as its own input.
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
-    )
+    ).cache()
     op = (
         F.when(F.col("c_custkey") % 13 == 0, "delete")
         .when(F.col("c_custkey") % 7 == 0, "update")
