@@ -281,9 +281,13 @@ def q42_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            # round-12: the rounding DIV runs in DECIMAL(38,0) — at the 6M-row
+            # replica total_cents ~ 2e13, so 2*cum*1e6 overflows BIGINT
+            # (found by the four-decade probe; DuckDB twin uses HUGEINT)
             F.expr(
-                "((2 * cum_cents * 1000000 + total_cents)"
-                " DIV (2 * total_cents)) / CAST(1000000.0 AS DOUBLE)"
+                "CAST((2 * CAST(cum_cents AS DECIMAL(38,0)) * 1000000"
+                " + total_cents) DIV (2 * CAST(total_cents AS DECIMAL(38,0)))"
+                " AS BIGINT) / CAST(1000000.0 AS DOUBLE)"
             ).alias("cum_share"),
             F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
             .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
@@ -312,7 +316,8 @@ cum AS (
   FROM rev
 )
 SELECT p_brand, revenue_cents,
-  CAST((2 * cum_cents * 1000000 + total_cents) // (2 * total_cents)
+  CAST((2 * CAST(cum_cents AS HUGEINT) * 1000000 + total_cents)
+       // (2 * CAST(total_cents AS HUGEINT))
        AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS cum_share,
   CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
        WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
