@@ -84,6 +84,10 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     "dedup_semantic_ivf", "dedup_threshold_curve",
     "embeddings_jl_projection", "embeddings_kmeans",
     "embeddings_matryoshka_recall", "embeddings_top_component",
+    # round-12 additions: outputs bounded by dims (64) / source x lang /
+    # source enums
+    "embeddings_whitening_stats", "corpus_tokenizer_fertility",
+    "text_pii_detect",
     "entity_match_customers", "events_active_users_7d",
     "events_activity_streaks", "events_anomaly_zscore",
     "events_audience_overlap", "events_autocorr", "events_bounce_rate",
@@ -152,6 +156,7 @@ MULTI_TEXT_SCAN_ALLOWED: dict[str, tuple[int, str]] = {
     # scan (unigram stats come off the cache; bigrams need token order)
     "text_lm_score": (2, "bigram scan + token-index backing scan"),
     "text_lm_interpolated": (2, "bigram scan + token-index backing scan"),
+    "corpus_lm_kneser_ney": (2, "gram-stream window pass + the 1-row bigram-type census anchor (qc_benford scalar-anchor shape)"),
     "corpus_importance_weights": (2, "bigram scan + token-index backing scan"),
     "text_collocations": (2, "pair scan + token-index backing scan"),
     # census -> sample is inherently two passes over (n_tokens, u) unless

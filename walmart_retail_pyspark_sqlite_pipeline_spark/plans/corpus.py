@@ -3542,3 +3542,328 @@ register_local(
         doc="classifier-vs-rule reliability table over fixed logit bins (gate-swap calibration check)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_lm_kneser_ney — absolute-discount Kneser-Ney bigram LM scoring,
+# the third leg of the smoothing ablation (text_lm_score = add-one,
+# text_lm_interpolated = Jelinek-Mercer, this = KN — the smoothing modern
+# n-gram filters default to). With discount D = 3/4:
+#   P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+#                 + (D * N1+(w1 .)/c(w1)) * N1+(. w2)/NT
+# where N1+(w1 .) = distinct continuations of w1, N1+(. w2) = distinct
+# histories of w2 (the continuation probability — KN's defining idea:
+# "how many contexts has w2 followed", not "how often"), NT = distinct
+# bigram types.
+#
+# Exactness: with D = 3/4 the mixture is ONE exact integer rational
+#   P = (max(4*n2 - 3, 0) * NT + 3*nf1*nb2) / (4*n1*NT)
+# (DECIMAL(38,0) products on Spark, HUGEINT on DuckDB), so the only float
+# step is the ln of exact integers, micro-rounded like every LM scorer
+# here; the per-doc mean is the sign-aware DIV identity.
+#
+# Plan shape: counts come from WINDOWS over one gram stream — n2/n1 as
+# plain counts, the two continuation counts via the first-of-type flag
+# (row_number over the bigram partition == 1; every row of a type shares
+# w1 and w2, so summing the flag over the w1/w2 partitions IS the
+# distinct-type count, no countDistinct window needed). The scalar NT
+# rides a second census pass (the qc_benford scalar-anchor shape) —
+# documents-text floor 2, recorded.
+# ---------------------------------------------------------------------------
+def corpus_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    gstream = tk.select(
+        "doc_id", F.explode(text.word_shingles(F.col("tok"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        "g",
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    grams = (
+        gstream.withColumn(
+            "is_first",
+            (
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy("doc_id")
+                )
+                == 1
+            ).cast("long"),
+        )
+        .withColumn("n2", F.count("*").over(Window.partitionBy("g")))
+        .withColumn("n1", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("nf1", F.sum("is_first").over(Window.partitionBy("w1")))
+        .withColumn("nb2", F.sum("is_first").over(Window.partitionBy("w2")))
+    )
+    nt = gstream.agg(F.countDistinct("g").alias("nt"))
+    scored = grams.crossJoin(F.broadcast(nt)).select(
+        "doc_id",
+        F.round(
+            F.log(
+                (
+                    F.greatest(
+                        F.lit(4).cast("decimal(38,0)") * F.col("n2") - 3,
+                        F.lit(0).cast("decimal(38,0)"),
+                    )
+                    * F.col("nt")
+                    + F.lit(3).cast("decimal(38,0)")
+                    * F.col("nf1")
+                    * F.col("nb2")
+                ).cast("double")
+                / (
+                    F.lit(4).cast("decimal(38,0)") * F.col("n1") * F.col("nt")
+                ).cast("double")
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("qf"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("qf").alias("sq")
+    )
+    micro = F.expr(
+        "CASE WHEN sq < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(sq) + n_bigrams) DIV (2 * n_bigrams))"
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (-(micro.cast("long")) / F.lit(1000000.0)).alias("avg_nll_kn"),
+    ).sortWithinPartitions("doc_id")
+
+
+LM_KN_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (
+    SELECT doc_id, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+c2 AS (SELECT g, COUNT(*) AS n2 FROM grams GROUP BY g),
+cf1 AS (
+  SELECT w1, COUNT(*) AS n1, COUNT(DISTINCT w2) AS nf1 FROM grams GROUP BY w1
+),
+cb2 AS (SELECT w2, COUNT(DISTINCT w1) AS nb2 FROM grams GROUP BY w2),
+ntc AS (SELECT COUNT(DISTINCT g) AS nt FROM grams),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(ln(
+      CAST(GREATEST(CAST(4 AS HUGEINT) * c2.n2 - 3, CAST(0 AS HUGEINT)) * ntc.nt
+           + CAST(3 AS HUGEINT) * cf1.nf1 * cb2.nb2 AS DOUBLE)
+      / CAST(CAST(4 AS HUGEINT) * cf1.n1 * ntc.nt AS DOUBLE)
+    ) * 1000000.0, 0) AS BIGINT) AS qf
+  FROM grams
+  JOIN c2 USING (g)
+  JOIN cf1 USING (w1)
+  JOIN cb2 USING (w2)
+  CROSS JOIN ntc
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  -(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+    * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT))
+    / 1000000.0 AS avg_nll_kn
+FROM agg
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_lm_kneser_ney",
+        corpus_lm_kneser_ney,
+        LM_KN_SQL,
+        ("TX24",),
+        doc="Kneser-Ney bigram LM scoring: continuation counts via first-of-type window flags, exact rational mixture",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_tokenizer_fertility — tokenizer efficiency stats per (source,
+# lang): characters per token and tokens per document. THE table a team
+# reads when choosing a tokenizer for a corpus mix (fertility differences
+# across languages decide vocab allocation) and the denominator behind
+# every token-budget plan. Token counts ride the shared cached postings
+# index (one documents-text scan, counted once however many consumers);
+# the lang/n_chars metadata leg reads only narrow non-text columns.
+# Ratios are HUGEINT/DECIMAL(38,0)-safe: at 100 TB the per-(source,lang)
+# char totals (~1e13) overflow the naive 2*x*1e6 BIGINT idiom.
+# ---------------------------------------------------------------------------
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posted = _token_postings(spark, sf_dir)
+    dl = posted.groupBy("doc_id", "source").agg(
+        F.count("term").cast("long").alias("dl")
+    )
+    meta = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    per = dl.join(meta, "doc_id")
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("tot_tokens"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("bigint")
+            .alias("tot_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "tot_tokens",
+            "tot_chars",
+            F.when(
+                F.col("tot_tokens") > 0,
+                F.expr(
+                    "CAST((2 * CAST(tot_chars AS DECIMAL(38,0)) * 1000000"
+                    " + tot_tokens) DIV (2 * CAST(tot_tokens AS DECIMAL(38,0)))"
+                    " AS BIGINT) / CAST(1000000.0 AS DOUBLE)"
+                ),
+            ).alias("chars_per_token"),
+            F.expr(
+                "CAST((2 * CAST(tot_tokens AS DECIMAL(38,0)) * 1000000"
+                " + n_docs) DIV (2 * CAST(n_docs AS DECIMAL(38,0)))"
+                " AS BIGINT) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+FERTILITY_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, lang, n_chars,
+    COALESCE(len({_TOK_SQL}), 0) AS dl
+  FROM documents
+),
+agg AS (
+  SELECT source, lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS BIGINT) AS tot_tokens,
+    CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS tot_chars
+  FROM tk GROUP BY source, lang
+)
+SELECT source, lang, n_docs, tot_tokens, tot_chars,
+  CASE WHEN tot_tokens > 0 THEN
+    CAST((2 * CAST(tot_chars AS HUGEINT) * 1000000 + tot_tokens)
+         // (2 * CAST(tot_tokens AS HUGEINT)) AS BIGINT)
+      / CAST(1000000.0 AS DOUBLE)
+  END AS chars_per_token,
+  CAST((2 * CAST(tot_tokens AS HUGEINT) * 1000000 + n_docs)
+       // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS tokens_per_doc
+FROM agg
+ORDER BY source, lang
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_tokenizer_fertility",
+        corpus_tokenizer_fertility,
+        FERTILITY_SQL,
+        ("CP12",),
+        doc="chars-per-token / tokens-per-doc fertility by (source, lang): the tokenizer-choice and budget table",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# text_pii_detect — PII risk screen per source: documents containing
+# email-like tokens (@ with a dotted domain) or long digit runs (7+ =
+# phone-like, 12+ = account/id-like). The pre-release scrub every
+# training-data pipeline runs; this is the DETECTION census that decides
+# which sources need a redaction pass. Detection is split-based (the
+# round-11 finding: RegExpReplace/Count cost ~50x a split on the same
+# text — whitespace-split + LIKE for emails, non-digit-split + length for
+# digit runs keep the scan JVM-side and cheap). NULL text counts as a
+# clean document. One documents-text scan.
+# ---------------------------------------------------------------------------
+def text_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    email = F.exists(
+        F.split(F.lower(t), "\\s+"), lambda w: w.like("%@%.%")
+    )
+    runs = F.split(t, "[^0-9]+")
+    phone = F.exists(runs, lambda r: F.length(r) >= 7)
+    longid = F.exists(runs, lambda r: F.length(r) >= 12)
+    flagged = docs.select(
+        "source",
+        email.cast("long").alias("e"),
+        phone.cast("long").alias("p"),
+        longid.cast("long").alias("i"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("e").cast("bigint").alias("n_email_like"),
+            F.sum("p").cast("bigint").alias("n_digit7"),
+            F.sum("i").cast("bigint").alias("n_digit12"),
+            F.sum(
+                F.greatest(F.col("e"), F.col("p"), F.col("i"))
+            ).alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_email_like",
+            "n_digit7",
+            "n_digit12",
+            F.expr(
+                "((2 * n_flagged * 1000000 + n_docs) DIV (2 * n_docs))"
+                " / CAST(1000000.0 AS DOUBLE)"
+            ).alias("flagged_share"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SQL = """
+WITH f AS (
+  SELECT source,
+    CASE WHEN len(list_filter(
+      string_split_regex(lower(COALESCE(text, '')), '\\s+'),
+      w -> w LIKE '%@%.%')) > 0 THEN 1 ELSE 0 END AS e,
+    CASE WHEN len(list_filter(
+      string_split_regex(COALESCE(text, ''), '[^0-9]+'),
+      r -> len(r) >= 7)) > 0 THEN 1 ELSE 0 END AS p,
+    CASE WHEN len(list_filter(
+      string_split_regex(COALESCE(text, ''), '[^0-9]+'),
+      r -> len(r) >= 12)) > 0 THEN 1 ELSE 0 END AS i
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(e) AS BIGINT) AS n_email_like,
+  CAST(SUM(p) AS BIGINT) AS n_digit7,
+  CAST(SUM(i) AS BIGINT) AS n_digit12,
+  CAST((2 * SUM(GREATEST(e, p, i)) * 1000000 + COUNT(*))
+       // (2 * COUNT(*)) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+    AS flagged_share
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+register_local(
+    QuerySpec(
+        "text_pii_detect",
+        text_pii_detect,
+        PII_SQL,
+        ("TX25",),
+        doc="split-based PII census per source: email-like tokens and 7+/12+ digit runs, no regex hot path",
+    )
+)

@@ -6864,3 +6864,325 @@ register_local(
         doc="per-dimension exact rank p01/p99 clip bounds + outlier counts (pre-quantization calibration)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_hamming_pairs — near-dup PAIRS from a WIDE SimHash
+# fingerprint (the retrieval layer a fuzzy-dedup pass runs; dedup_simhash
+# exports the narrow 16-bit diagnostic fingerprint, which is deliberately
+# NOT the blocking key here: with 4-bit bands there are only 16 buckets
+# per band, so the bucket join degenerates to ~n^2/16 candidate pairs —
+# the first probe of this op measured 15.4x/decade, a quadratic signature.
+# Manku et al.'s production design uses a wide fingerprint exactly so the
+# band keys have entropy; this is that design).
+#
+# Fingerprint: 60 sign bits from three independent 31-bit token-hash
+# streams (the rolling poly hash and two of the minhash affine
+# transforms), bit b voting on bit (b DIV 3) of stream (b MOD 3). Banded
+# pigeonhole LSH: 4 bands x 15 bits — any pair within Hamming distance 3
+# differs in at most 3 bits, so at least one 15-bit band matches exactly
+# (pigeonhole), and each band has 2^15 buckets, so bucket sizes stay
+# ~n/32768 per band instead of n/16. Candidates verify with
+# bit_count(XOR) and only verified pairs export. The fingerprint table is
+# materialized once (cache); both join sides read it — one documents-text
+# scan in the static plan.
+# ---------------------------------------------------------------------------
+SIMHASH_HAM_MAX = 3
+_SIMHASH64_BITS = 60
+_SIMHASH64_BANDS = 4  # 4 bands x 15 bits
+
+
+def _simhash64_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, simhash60) wide-fingerprint store."""
+    docs = read_table(spark, sf_dir, "documents")
+    tt = docs.select(
+        "doc_id", F.explode_outer(text.tokens(F.col("text"))).alias("t")
+    )
+    h0 = hashing.poly_hash(F.col("t"))
+    hh = tt.select(
+        "doc_id",
+        h0.alias("h0"),
+        hashing.minhash_value(h0, PERMS[0]).alias("h1"),
+        hashing.minhash_value(h0, PERMS[1]).alias("h2"),
+    )
+    votes = hh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{b % 3}"), b // 3)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH64_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(_SIMHASH64_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash60"),
+    )
+    return sim.cache()
+
+
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _simhash64_index(spark, sf_dir)
+    bits_per_band = _SIMHASH64_BITS // _SIMHASH64_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash60",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("simhash60"), bits_per_band * b
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(_SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash60",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash60").alias("ha"),
+            F.col("b.simhash60").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+_SIM64_VOTES = ",\n  ".join(
+    f"SUM(CASE WHEN (h{b % 3} >> {b // 3}) & 1 = 1 THEN 1 ELSE -1 END)"
+    f" AS s{b}"
+    for b in range(_SIMHASH64_BITS)
+)
+_SIM64_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_SIMHASH64_BITS)
+)
+_SIM64_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash60, {b} AS band,"
+    f" (simhash60 >> {15 * b}) & {(1 << 15) - 1} AS bkey FROM fp"
+    for b in range(_SIMHASH64_BANDS)
+)
+
+DEDUP_SIMHASH_HAM_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+tt AS (
+  SELECT doc_id, unnest(
+    CASE WHEN tok IS NULL OR len(tok) = 0 THEN [NULL] ELSE tok END
+  ) AS t FROM tk
+),
+hh AS (
+  SELECT doc_id, h0,
+    {hashing.minhash_value_sql('h0', PERMS[0])} AS h1,
+    {hashing.minhash_value_sql('h0', PERMS[1])} AS h2
+  FROM (SELECT doc_id, {hashing.poly_hash_sql('t')} AS h0 FROM tt)
+),
+votes AS (
+  SELECT doc_id, {_SIM64_VOTES}
+  FROM hh GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({_SIM64_ASSEMBLE} AS BIGINT) AS simhash60 FROM votes
+),
+bands AS ({_SIM64_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash60 AS ha, b.simhash60 AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_simhash_hamming_pairs",
+        dedup_simhash_hamming_pairs,
+        DEDUP_SIMHASH_HAM_SQL,
+        ("DD9",),
+        doc="banded pigeonhole LSH over a 60-bit SimHash: 15-bit band buckets + exact Hamming verify, never all-pairs",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_range_search_cosine — radius search: every corpus vector within
+# cosine >= tau of EACH query vector (the retrieval mode dedup and
+# contamination filters use — "give me everything this close", not top-k).
+# The query batch (vec_id < KNN_Q) broadcasts; the corpus side streams in
+# one scan; output is candidate-bounded by the threshold. The batch twin
+# of ann_knn_join's top-k-per-query, sharing its query-batch convention.
+# ---------------------------------------------------------------------------
+RANGE_TAU = 0.35
+
+
+def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single corpus pass + broadcast query side -> both views read the
+    # shared cached store; 1 static scan
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= RANGE_TAU)
+        .sortWithinPartitions("q_id", "vec_id")
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {KNN_Q})
+SELECT q_id, vec_id,
+  ROUND({vectors.cosine_sql('e.v', 'q.qv')}, 6) AS cos
+FROM e CROSS JOIN q
+WHERE vec_id <> q_id
+  AND ROUND({vectors.cosine_sql('e.v', 'q.qv')}, 6) >= {RANGE_TAU}
+ORDER BY q_id, vec_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_range_search_cosine",
+        ann_range_search_cosine,
+        ANN_RANGE_SQL,
+        ("SIM9",),
+        doc="batch radius search: all corpus vectors within cosine >= tau of each query (threshold retrieval mode)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings_whitening_stats — per-dimension mean/variance calibration (the
+# whitening / feature-standardization precompute): exact integer micro
+# moments (sum of round(x*1e6) and its square per dim), variance from the
+# n*Sxx - Sx^2 identity, each exported stat ONE division of exact integers
+# rounded at 6 dp. The stats table a whitening transform broadcasts; also
+# the drift monitor for embedding providers (a dim whose mean wanders from
+# 0 flags a model change). One scan, one |dims|-keyed map-side-combinable
+# aggregate — the canonical 100 TB profile shape.
+# ---------------------------------------------------------------------------
+def embeddings_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_embeddings(spark, sf_dir)
+    vals = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.round(F.col("val").cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias("xm"),
+    )
+    # square in DECIMAL: a 1e4-magnitude element (edge corpus) puts xm at
+    # ~1e10 and xm^2 past 2^63
+    m = vals.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm")).alias("sxx"),
+    )
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("sx").cast("double") / (F.col("n") * F.lit(1000000.0)), 6
+        ).alias("mean"),
+        F.round(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double")
+            / (
+                F.col("n").cast("decimal(38,0)")
+                * F.col("n")
+                * F.lit(1000000000000).cast("decimal(38,0)")
+            ).cast("double"),
+            6,
+        ).alias("variance"),
+    ).orderBy("dim")
+
+
+EMB_WHITEN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+vals AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+    CAST(ROUND(v[i] * 1000000.0, 0) AS BIGINT) AS xm
+  FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)
+),
+m AS (
+  SELECT dim, COUNT(*) AS n, SUM(xm) AS sx,
+    SUM(CAST(xm AS HUGEINT) * xm) AS sxx
+  FROM vals GROUP BY dim
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(sx AS DOUBLE) / (n * 1000000.0), 6) AS mean,
+  ROUND(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * n * 1000000000000 AS DOUBLE), 6)
+    AS variance
+FROM m
+ORDER BY dim
+"""
+
+
+register_local(
+    QuerySpec(
+        "embeddings_whitening_stats",
+        embeddings_whitening_stats,
+        EMB_WHITEN_SQL,
+        ("IT9",),
+        doc="per-dimension exact-moment mean/variance: the whitening precompute and provider-drift monitor",
+    )
+)

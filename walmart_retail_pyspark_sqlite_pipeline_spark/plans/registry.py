@@ -258,6 +258,16 @@ GRADE_QUEUE: dict[str, int] = {
     # cached store too — its parked consumers drift with it
     "ann_ivf_topk": 13,
     "ann_ivf_recall": 13,
+    # round-12 operator additions (registered this round, graded next):
+    # SimHash banded-pigeonhole LSH pairs, batch cosine radius search,
+    # per-dim whitening moments, Kneser-Ney bigram LM, tokenizer
+    # fertility, and the split-based PII census
+    "dedup_simhash_hamming_pairs": 13,
+    "ann_range_search_cosine": 13,
+    "embeddings_whitening_stats": 13,
+    "corpus_lm_kneser_ney": 13,
+    "corpus_tokenizer_fertility": 13,
+    "text_pii_detect": 13,
 }
 
 
