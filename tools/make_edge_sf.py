@@ -61,12 +61,21 @@ def build(src: str, out: str) -> None:
         # diverge on these unless the oracle walks encoded bytes too
         "héllo wörld naïve café résumé",
         "日本語のテキスト and some ascii 123",
+        # round-12: PII-bearing docs so text_pii_detect's email/digit-run
+        # predicates execute non-trivially on the edge sweep (the
+        # synthetic corpus is clean word soup) — an email-like token, a
+        # phone whose punctuation splits it into sub-7 runs EXCEPT the
+        # 7-digit tail (boundary of the phone rule), and a 13-digit
+        # id-like run that must count as BOTH a 7+ and a 12+ run
+        "write to alice@example.org for details",
+        "call 555-123-4567 or +1 (800) 5551212 now",
+        "account 1234567890123 was flagged",
     ]
     extra = pd.DataFrame(
         {
             "doc_id": [mx + 1 + i for i in range(len(texts))],
             "text": texts,
-            "lang": ["en", "en", "en", "en", "fr", "ja"],
+            "lang": ["en", "en", "en", "en", "fr", "ja", "en", "en", "en"],
             "source": [df.source.iloc[0]] * len(texts),
             "n_chars": [0 if t is None else len(t) for t in texts],
         }
@@ -140,7 +149,7 @@ def build(src: str, out: str) -> None:
         out_p / "events.parquet",
     )
     print(
-        f"wrote {out_p}: {len(merged)} documents (6 edge), "
+        f"wrote {out_p}: {len(merged)} documents ({len(texts)} edge), "
         f"{len(me)} embeddings (6 edge), {len(mv)} events (2 edge)"
     )
 
