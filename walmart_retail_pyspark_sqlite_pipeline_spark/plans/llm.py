@@ -2048,19 +2048,71 @@ register_local(
 # merge-candidate queue an MDM pipeline reviews).
 # ---------------------------------------------------------------------------
 def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: blocked edit-distance-1 entity matching.
+
+    Round-12 rewrite of the blocking key. The original blocked on
+    (nation, name length) — on fixed-format ids (every TPC-H name is
+    ``Customer#{9 digits}``) EVERY name in a nation shares one block, so
+    the candidate set degenerated to n^2/|nations| levenshtein evals (the
+    6M-row replica drive sat >20 min in one near-serial stage; a
+    quadratic signature invisible to the scan census). A 2-of-3 chunk
+    pigeonhole was tried first and ALSO degenerates: the constant
+    "Customer#0…" prefix makes two of three chunks constant, so the
+    chunk-pair combo that skips the varying tail is the whole nation
+    again. The exact scheme that survives constant affixes is the
+    deletion neighborhood (FastSS/SymSpell): one wildcard key per
+    position — the name with position i removed. The join restricts to
+    EQUAL length, where distance 1 is exactly one substitution, so two
+    qualifying names share PRECISELY the wildcard key at the substituted
+    position; every key carries ALL the other positions' entropy, so no
+    block can degenerate unless the names themselves are duplicates.
+    Exact (the verify only removes equal-name pairs), linear fanout
+    (len keys per row — at 100 TB you'd xxhash64 the key before the
+    shuffle), same output, same oracle semantics.
+    """
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("len")
     )
-    a, b = cust.alias("a"), cust.alias("b")
-    pairs = (
+    keyed = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        "len",
+        # the join key is the xxhash64 of the wildcard string — Spark-side
+        # only (the oracle joins the string; a hash collision can only ADD
+        # a candidate, which the levenshtein verify then rejects, so
+        # exactness is unaffected) — shuffling 8 bytes instead of the name
+        F.expr(
+            "explode(transform(sequence(1, len), i -> struct("
+            "i AS pos, xxhash64(concat(substr(c_name, 1, i - 1),"
+            " substr(c_name, i + 1))) AS wkey)))"
+        ).alias("bk"),
+    ).select(
+        "c_custkey", "c_nationkey", "c_name", "len",
+        F.col("bk.pos").alias("pos"),
+        F.col("bk.wkey").alias("wkey"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.len") == F.col("b.len"))
+            & (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.wkey") == F.col("b.wkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
-        .select(F.col("a.c_nationkey").alias("nation"))
+        .select(
+            F.col("a.c_nationkey").alias("nation"),
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            F.col("a.c_name").alias("na"),
+            F.col("b.c_name").alias("nb"),
+        )
+        .distinct()
+    )
+    pairs = cand.filter(F.levenshtein(F.col("na"), F.col("nb")) == 1).select(
+        "nation"
     )
     return (
         pairs.groupBy("nation")
@@ -2072,12 +2124,30 @@ def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENTITY_MATCH_SQL = """
 WITH c AS (
   SELECT c_custkey, c_nationkey, c_name, length(c_name) AS len FROM customer
+),
+pos AS (
+  SELECT c_custkey, c_nationkey, c_name, len,
+    unnest(range(1, len + 1)) AS i
+  FROM c
+),
+keyed AS (
+  SELECT c_custkey, c_nationkey, c_name, len, i AS pos,
+    substr(c_name, 1, CAST(i - 1 AS INTEGER))
+      || substr(c_name, CAST(i + 1 AS INTEGER)) AS wkey
+  FROM pos
+),
+cand AS (
+  SELECT DISTINCT a.c_nationkey AS nation,
+    a.c_custkey AS ka, b.c_custkey AS kb,
+    a.c_name AS na, b.c_name AS nb
+  FROM keyed a JOIN keyed b
+    ON a.c_nationkey = b.c_nationkey AND a.len = b.len
+   AND a.pos = b.pos AND a.wkey = b.wkey
+   AND a.c_custkey < b.c_custkey
 )
-SELECT a.c_nationkey AS nation, COUNT(*) AS n_pairs
-FROM c a JOIN c b
-  ON a.c_nationkey = b.c_nationkey AND a.len = b.len
- AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) = 1
+SELECT nation, COUNT(*) AS n_pairs
+FROM cand
+WHERE levenshtein(na, nb) = 1
 GROUP BY 1 ORDER BY 1
 """
 

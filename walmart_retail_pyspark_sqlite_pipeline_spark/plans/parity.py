@@ -1206,10 +1206,16 @@ def q32_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "quartile",
+        # rn is row_number's INT32 — cast before the micro-scale multiply
+        # (6k rows/partition at the replica already pushes rn*1e6 past
+        # 2^31; caught by the round-12 replica overflow drive)
         F.when(
-            F.col("cnt") > 1, F.expr("((rn - 1) * 1000000) div (cnt - 1)")
+            F.col("cnt") > 1,
+            F.expr("((CAST(rn AS BIGINT) - 1) * 1000000) div (cnt - 1)"),
         ).alias("pct_rank_micro"),
-        F.expr("(rn * 1000000) div cnt").alias("cum_dist_micro"),
+        F.expr(
+            "(CAST(rn AS BIGINT) * 1000000) div cnt"
+        ).alias("cum_dist_micro"),
         F.round(F.col("c_acctbal") - F.col("prev_bal"), 2).alias("gap_prev"),
         F.round(F.col("next_bal") - F.col("c_acctbal"), 2).alias("gap_next"),
     ).sortWithinPartitions("c_custkey")

@@ -268,6 +268,13 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_lm_kneser_ney": 13,
     "corpus_tokenizer_fertility": 13,
     "text_pii_detect": 13,
+    # round-12 replica-drive finds: entity blocking rewritten to the exact
+    # deletion-neighborhood (FastSS) scheme after the (nation, length)
+    # block went n^2/25 on fixed-format names; q32's row_number micro
+    # arithmetic cast to BIGINT after INT32 overflow at replica partition
+    # sizes. Both re-verified at sf0.001/sf0.01/edge and on the replica.
+    "entity_match_customers": 13,
+    "q32_window_depth": 13,
 }
 
 
