@@ -259,6 +259,19 @@ def test_rotation_never_orphans_a_capability_tag():
         # source composition; queued for round 11
         "IT7",  # deflated power iteration (top-2 components): IT3
         # power-method frame + Gram-Schmidt step; queued for round 11
+        # --- round-12 additions, queued for round 13 ---
+        "DD25",  # 60-bit SimHash banded-LSH pairs: DD3 band-bucket-verify
+        # frame (driver-green) on the simhash fingerprint family
+        "SIM20",  # cosine radius search: SIM1 exact-cosine scan
+        # (driver-green) with a threshold instead of top-k
+        "IT9",  # per-dim whitening moments: embeddings-infra family
+        # (IT3/IT6/IT8) + the exact-moments frame (TS6)
+        "TX26",  # Kneser-Ney LM: TX13/TX23 LM frame (graded) with
+        # continuation-count windows
+        "CP13",  # tokenizer fertility: CP1 source-mix census (graded) off
+        # the shared postings index
+        "TX25",  # PII census: TX2 text-quality predicate frame
+        # (driver-green), split-based detection
     }
     orphaned = {
         t

@@ -43,7 +43,7 @@ NEXT_ROUND_PLAN = """\
 ## Round-13 window plan (written round 12)
 
 Round 12 exported the entire round-11 queue (49/50 slots). GRADE_QUEUE
-now holds 32 entries, all targeting round 13:
+now holds 34 entries, all targeting round 13:
 
 1. **6 round-12 operator additions** (first grades): SimHash 60-bit
    banded-LSH pairs, cosine radius search, embeddings whitening stats,
@@ -57,8 +57,12 @@ now holds 32 entries, all targeting round 13:
    moved onto the shared cached vector store (_emb_base, incl. the
    _ivf_cells helper), and scd2/cdc/t-closeness cache their derived
    snapshot/census inputs.
+4. **2 replica-drive fixes**: entity_match_customers (exact
+   deletion-neighborhood blocking replacing the degenerate
+   (nation, length) block) and q32_window_depth (row_number INT32
+   overflow at replica partition sizes).
 
-That is 32 queue entries + 14 bench headliners = 46 slots; 4 spare
+That is 34 queue entries + 14 bench headliners = 48 slots; 2 spare
 slots go to the oldest single-green parked queries per the deepening
 rule. Outputs were all re-verified on the post-edit sf0.001/sf0.01/edge
 sweeps this round (and on the 6M-row replica overflow drive), so every

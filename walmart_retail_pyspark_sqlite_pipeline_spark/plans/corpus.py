@@ -3681,7 +3681,7 @@ register_local(
         "corpus_lm_kneser_ney",
         corpus_lm_kneser_ney,
         LM_KN_SQL,
-        ("TX24",),
+        ("TX26",),
         doc="Kneser-Ney bigram LM scoring: continuation counts via first-of-type window flags, exact rational mixture",
     )
 )
@@ -3772,7 +3772,7 @@ register_local(
         "corpus_tokenizer_fertility",
         corpus_tokenizer_fertility,
         FERTILITY_SQL,
-        ("CP12",),
+        ("CP13",),
         doc="chars-per-token / tokens-per-doc fertility by (source, lang): the tokenizer-choice and budget table",
     )
 )

@@ -7117,7 +7117,7 @@ register_local(
         "dedup_simhash_hamming_pairs",
         dedup_simhash_hamming_pairs,
         DEDUP_SIMHASH_HAM_SQL,
-        ("DD9",),
+        ("DD25",),
         doc="banded pigeonhole LSH over a 60-bit SimHash: 15-bit band buckets + exact Hamming verify, never all-pairs",
     )
 )
@@ -7171,7 +7171,7 @@ register_local(
         "ann_range_search_cosine",
         ann_range_search_cosine,
         ANN_RANGE_SQL,
-        ("SIM9",),
+        ("SIM20",),
         doc="batch radius search: all corpus vectors within cosine >= tau of each query (threshold retrieval mode)",
     )
 )
