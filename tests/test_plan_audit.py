@@ -85,9 +85,9 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     "embeddings_jl_projection", "embeddings_kmeans",
     "embeddings_matryoshka_recall", "embeddings_top_component",
     # round-12 additions: outputs bounded by dims (64) / source x lang /
-    # source enums
+    # source / event_type enums
     "embeddings_whitening_stats", "corpus_tokenizer_fertility",
-    "text_pii_detect",
+    "text_pii_detect", "events_attribution_last_touch",
     "entity_match_customers", "events_active_users_7d",
     "events_activity_streaks", "events_anomaly_zscore",
     "events_audience_overlap", "events_autocorr", "events_bounce_rate",

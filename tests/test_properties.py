@@ -317,3 +317,54 @@ def test_int8_quantize_equals_captured_lambda_formulation(spark, rows):
     ).collect()
     for r in got:
         assert r.q_new == r.q_old, (r.vec_id, r.q_new, r.q_old)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    names=st.lists(
+        st.text(st.sampled_from("ab1"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=24,
+    ),
+    nations=st.data(),
+)
+def test_entity_match_fastss_equals_brute_force(spark, tmp_path_factory, names, nations):
+    """The deletion-neighborhood blocking must be EXACT: the blocked +
+    levenshtein-verified pair counts equal brute-force equal-length
+    distance-1 counting, for arbitrary names over a tiny alphabet (which
+    maximizes collisions, the regime where a lossy blocking scheme would
+    over- or under-count)."""
+    import itertools
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        entity_match_customers,
+    )
+
+    nat = [nations.draw(st.integers(0, 1)) for _ in names]
+    rows = [
+        Row(c_custkey=i, c_name=n, c_nationkey=nk, c_acctbal=0.0,
+            c_mktsegment="S", c_address="", c_phone="", c_comment="")
+        for i, (n, nk) in enumerate(zip(names, nat))
+    ]
+    d = tmp_path_factory.mktemp("fastss")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(d / "customer.parquet")
+    )
+    got = {
+        r.nation: r.n_pairs
+        for r in entity_match_customers(spark, str(d)).collect()
+    }
+
+    def lev1(a: str, b: str) -> bool:
+        return (
+            len(a) == len(b)
+            and sum(x != y for x, y in zip(a, b)) == 1
+        )
+
+    want: dict[int, int] = {}
+    for (i, (na, ka)), (j, (nb, kb)) in itertools.combinations(
+        enumerate(zip(names, nat)), 2
+    ):
+        if ka == kb and lev1(na, nb):
+            want[ka] = want.get(ka, 0) + 1
+    assert got == want

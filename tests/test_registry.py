@@ -272,6 +272,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # the shared postings index
         "TX25",  # PII census: TX2 text-quality predicate frame
         # (driver-green), split-based detection
+        "TS26",  # last-touch attribution: lead/lag-window family
+        # (TS9/TS11 driver-green) + the q42 whole-frame total idiom
     }
     orphaned = {
         t

@@ -156,3 +156,44 @@ def test_pii_detect_clean_synthetic_corpus(spark):
     assert rows
     assert all(r.n_email_like == 0 for r in rows)
     assert all(r.flagged_share == 0.0 for r in rows)
+
+
+def test_attribution_last_touch_planted(spark, tmp_path):
+    """Planted stream: user 1 view->click->purchase(10) credits click;
+    user 2 purchase(5) with no prior touch credits direct; user 3's
+    purchase(2) after a view credits view; a NULL-value purchase counts a
+    row but no revenue."""
+    import datetime as dt
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, val, s):
+        return Row(event_id=eid, ts=t0 + dt.timedelta(seconds=s),
+                   user_id=uid, event_type=typ, value=val, props="{}")
+
+    rows = [
+        ev(1, 1, "view", 0.0, 0),
+        ev(2, 1, "click", 0.0, 10),
+        ev(3, 1, "purchase", 10.0, 20),
+        ev(4, 2, "purchase", 5.0, 5),
+        ev(5, 3, "view", 0.0, 1),
+        ev(6, 3, "purchase", 2.0, 9),
+        ev(7, 3, "purchase", None, 12),  # still last-touched by the view
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.channel: r
+        for r in events_attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert out["click"].attributed_cents == 1000
+    assert out["direct"].attributed_cents == 500
+    assert out["view"].n_purchases == 2  # the NULL-value purchase counts
+    assert out["view"].attributed_cents == 200
+    total = 1000 + 500 + 200
+    assert abs(out["click"].revenue_share - round(1000 / total, 6)) < 2e-6

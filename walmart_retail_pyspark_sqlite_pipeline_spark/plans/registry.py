@@ -275,6 +275,9 @@ GRADE_QUEUE: dict[str, int] = {
     # sizes. Both re-verified at sf0.001/sf0.01/edge and on the replica.
     "entity_match_customers": 13,
     "q32_window_depth": 13,
+    # round-12 batch 2 (registered after the r13 window filled to 48; the
+    # standing rule rolls overflow to the next round)
+    "events_attribution_last_touch": 14,
 }
 
 

@@ -2025,3 +2025,100 @@ register_local(
         doc="weekly additive decomposition: exact-integer day-of-week effects",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_last_touch — marketing attribution: every purchase
+# credits the LAST non-purchase event the same user made before it (ties
+# broken by event_id); purchases with no prior touch credit 'direct'. The
+# channel-performance rollup every growth team reads. One shuffle on
+# user_id for the ignore-nulls last() window, then a |event_type|-keyed
+# aggregate; revenue is integer cents, the share is the whole-frame
+# window over the bounded channel rollup (the q42 total idiom). NULL
+# purchase values contribute rows but no revenue (SUM skips NULL on both
+# engines); NULL user_ids form their own attribution stream on both
+# engines (window partitions, unlike joins, keep NULL keys — pinned
+# semantics, same partition rule in DuckDB).
+# ---------------------------------------------------------------------------
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "credit_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    purch = touched.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("credit_type"), F.lit("direct")).alias("channel"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = purch.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("attributed_cents"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn(
+            "total_cents", F.sum("attributed_cents").over(w_all)
+        )
+        .select(
+            "channel",
+            "n_purchases",
+            "attributed_cents",
+            F.expr(
+                "CAST((2 * CAST(attributed_cents AS DECIMAL(38,0)) * 1000000"
+                " + total_cents) DIV (2 * CAST(total_cents AS DECIMAL(38,0)))"
+                " AS BIGINT) / CAST(1000000.0 AS DOUBLE)"
+            ).alias("revenue_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH touched AS (
+  SELECT event_type, value,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS credit_type
+  FROM events
+),
+purch AS (
+  SELECT COALESCE(credit_type, 'direct') AS channel,
+    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM touched WHERE event_type = 'purchase'
+),
+per AS (
+  SELECT channel,
+    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+    CAST(SUM(cents) AS BIGINT) AS attributed_cents
+  FROM purch GROUP BY channel
+)
+SELECT channel, n_purchases, attributed_cents,
+  CAST((2 * CAST(attributed_cents AS HUGEINT) * 1000000
+        + SUM(attributed_cents) OVER ())
+       // (2 * CAST(SUM(attributed_cents) OVER () AS HUGEINT)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS revenue_share
+FROM per
+ORDER BY channel
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_attribution_last_touch",
+        events_attribution_last_touch,
+        ATTRIBUTION_SQL,
+        ("TS26",),
+        doc="last-touch revenue attribution: ignore-nulls last() window credits the prior touch, integer-cent shares",
+    )
+)
