@@ -70,29 +70,34 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-12 window (VERDICT r11 "Next round" #1; ROTATION.md "Round-12
-# window plan", written in round 11):
+# Round-13 window (VERDICT r12 "Next round" #1; ROTATION.md "Round-13
+# window plan", written in round 12):
 # - 14 bench headliners: the standing bench.py lines, unchanged from
-#   round 11;
-# - 6 queue drains: the round-11 operator batch, never driver-graded —
-#   soft_dedup_weights / lm_heldout_perplexity / quality_calibration /
-#   audio_vad_segments / cms_heavy_changers / dim_clip_bounds;
-# - 29 hash-drift re-grades: the round-11 perf-program drift cohort —
-#   the duplicate-text-scan retirement (BM25/sketch/LM/tfidf/
-#   collocations/kl/temperature/rebalance/split_leakage/char_entropy/
-#   quality-classifier families), the quality_score regex rewrite
-#   (text_quality + weighted/balanced samplers), the six worst
-#   fact-table multi-scan consolidations (funnel_windowed,
-#   revenue_concentration, audience_overlap, mad_anomaly, mutual_info,
-#   basket_part_pairs) — plus the 5 round-10 overflow re-grades
-#   (q24/q25/q34 + the two embedding-dedup queries). Outputs were all
-#   re-verified on the post-edit sf0.001/sf0.01/edge oracle sweeps and
-#   independently by the r11 judge at 215/215 in three session modes;
-#   the grades are hash re-stamps.
-# 14 + 6 + 29 = 49 slots, inside the driver's 50-query window. The
-# round-11 drains and drift re-grades all landed green in
-# CORRECTNESS_r11.json (50/50) and were stamped into GRADED_HASHES.json
-# at round-12 start, so they park cleanly.
+#   round 12;
+# - 6 queue drains: the round-12 operator batch, never driver-graded —
+#   simhash_hamming_pairs / range_search_cosine / whitening_stats /
+#   lm_kneser_ney / tokenizer_fertility / pii_detect;
+# - 11 fact-scan consolidation re-grades: the round-11 "recorded floor"
+#   list rewritten in round 12 to ONE fact scan each (window aggregates,
+#   explode unpivot, pinned-range window, conditional per-session
+#   aggregate, post-aggregate bound trim, single value-level quantile
+#   rollup) plus q42's DECIMAL(38,0) overflow fix;
+# - 15 payload-table consolidation re-grades: the embeddings family on
+#   the shared cached vector store (_emb_base, incl. the _ivf_cells
+#   helper feeding ann_ivf_topk/ann_ivf_recall), and scd2/cdc/
+#   t-closeness on their cached snapshot/census inputs;
+# - 2 replica-drive fixes: entity_match_customers (FastSS deletion-
+#   neighborhood blocking) and q32_window_depth (BIGINT row_number
+#   arithmetic);
+# - 2 spare slots by the deepening rule (oldest single-green parked
+#   first): q38_nullsafe_join (green r5) and corpus_dup_rate_by_source
+#   (green r6).
+# 14 + 6 + 11 + 15 + 2 + 2 = 50 slots — the full driver window. All 34
+# queue entries were re-verified on the post-edit sf0.001/sf0.01/edge
+# oracle sweeps (and the 6M-row replica drive) in round 12 and
+# independently by the r12 judge at 222/222 twice, so the re-grades are
+# hash re-stamps. events_attribution_last_touch stays queued for r14 by
+# the standing overflow rule.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -110,46 +115,47 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "corpus_shingle_index",
         "ann_rerank_two_stage",
         "corpus_prep_pipeline_clf",
-        # --- queue drains: round-11 operators, first grade ---
-        "corpus_soft_dedup_weights",
-        "text_lm_heldout_perplexity",
-        "corpus_quality_calibration",
-        "multimodal_audio_vad_segments",
-        "sketch_cms_heavy_changers",
-        "embeddings_dim_clip_bounds",
-        # --- round-10 overflow re-grades (last green r9) ---
-        "q24_string_funcs",
-        "q25_date_funcs",
-        "q34_correlated_scalar",
-        "dedup_embedding_ivf_pairs",
-        "dedup_embedding_cosine",
-        # --- round-11 text-scan-consolidation drift re-grades ---
-        "text_bm25_topk",
-        "text_bm25_batch",
-        "corpus_quality_classifier",
-        "corpus_kl_divergence",
-        "corpus_split_leakage",
-        "corpus_temperature_mix",
-        "corpus_token_rebalance",
-        "sketch_ams_f2",
-        "sketch_cms_manual",
-        "sketch_kmv_intersection",
-        "sketch_mg_heavyhitters",
-        "text_char_entropy",
-        "text_collocations",
-        "text_lm_score",
-        "text_tfidf_topterms",
-        # --- round-11 quality_score regex-rewrite drift re-grades ---
-        "corpus_balanced_sample_topk",
-        "corpus_weighted_sample_topk",
-        "text_quality",
-        # --- round-11 fact-scan-consolidation drift re-grades ---
-        "basket_part_pairs",
-        "events_audience_overlap",
-        "events_funnel_windowed",
-        "events_mad_anomaly",
-        "events_mutual_info",
-        "events_revenue_concentration",
+        # --- queue drains: round-12 operators, first grade ---
+        "dedup_simhash_hamming_pairs",
+        "ann_range_search_cosine",
+        "embeddings_whitening_stats",
+        "corpus_lm_kneser_ney",
+        "corpus_tokenizer_fertility",
+        "text_pii_detect",
+        # --- round-12 fact-scan consolidation re-grades ---
+        "events_active_users_7d",
+        "events_autocorr",
+        "events_bounce_rate",
+        "events_cohort_retention",
+        "events_cusum_changepoint",
+        "events_markov_transitions",
+        "events_new_vs_returning",
+        "events_seasonal_naive",
+        "q41_rfm_segments",
+        "q42_abc_analysis",
+        "sketch_quantile_manual",
+        # --- round-12 payload-table consolidation re-grades ---
+        "ann_ivf_topk",
+        "ann_ivf_recall",
+        "ann_ivfpq_topk",
+        "ann_mips_topk",
+        "ann_pq_recall",
+        "ann_rrf_fusion",
+        "dedup_semantic_ivf",
+        "embeddings_jl_projection",
+        "embeddings_kmeans",
+        "embeddings_matryoshka_recall",
+        "embeddings_top2_components",
+        "embeddings_top_component",
+        "scd2_customer_history",
+        "cdc_apply_changes",
+        "qc_t_closeness",
+        # --- round-12 replica-drive fixes ---
+        "entity_match_customers",
+        "q32_window_depth",
+        # --- deepening spares (oldest single-green parked first) ---
+        "q38_nullsafe_join",
+        "corpus_dup_rate_by_source",
     }
 )
 
@@ -201,80 +207,12 @@ COVERED_BY: dict[str, str] = {
 # Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
 # new capabilities OR parked greens whose spec hash drifted and which did
 # not fit the current 50-slot window (allowed only while hash-drifted —
-# tests/test_rotation.py). Round 12 exported the ENTIRE round-11 queue
-# (35 entries: 6 round-11 first grades + 24 round-11 perf-program drift
-# re-grades + 5 round-10 overflow re-grades) — it fit the window exactly
-# (49/50 slots with the 14 headliners). New round-12 operators and any
-# round-12 consolidation drift queue here for round 13.
+# tests/test_rotation.py). Round 13 exported the entire 34-entry
+# round-13 queue (6 round-12 first grades + 26 consolidation re-grades
+# + 2 replica-drive fixes); only the round-12 overflow entry remains,
+# plus any round-13 operator additions (registered this round, graded
+# next) appended below as they land.
 GRADE_QUEUE: dict[str, int] = {
-    # round-12 fact-scan consolidation drift (VERDICT r11 "What's wrong"
-    # #1): the 11 remaining "recorded round-11 floor" multi-scan plans
-    # rewritten to ONE fact scan each with the proven idioms — window
-    # aggregates instead of groupBy+join-back (cohort_retention,
-    # new_vs_returning, cusum, markov, rfm anchor, abc total), explode
-    # unpivot instead of unionAll re-plan (autocorr), pinned-range window
-    # instead of a calendar self-join (seasonal_naive), one conditional
-    # per-session aggregate (bounce_rate), post-aggregate bound trim
-    # (active_users_7d), and a single value-level rollup feeding both the
-    # histogram and exact quantile selections (sketch_quantile_manual).
-    # Outputs re-verified on the post-edit sf0.001/sf0.01/edge oracle
-    # sweeps; the round-13 grade is a hash re-stamp.
-    "events_active_users_7d": 13,
-    "events_autocorr": 13,
-    "events_bounce_rate": 13,
-    "events_cohort_retention": 13,
-    "events_cusum_changepoint": 13,
-    "events_markov_transitions": 13,
-    "events_new_vs_returning": 13,
-    "events_seasonal_naive": 13,
-    "q41_rfm_segments": 13,
-    "q42_abc_analysis": 13,
-    "sketch_quantile_manual": 13,
-    # round-12 payload-table census drift (VERDICT r11 "Next round" #5):
-    # the multi-pass vector algorithms re-planned the embeddings parquet
-    # read once per reference (up to 45 static scans in dedup_semantic_ivf,
-    # 24 in the power iteration); all now read the ONE cached vector store
-    # (_emb_base — the embeddings analogue of the shared shingle index).
-    # Outputs re-verified on the post-edit sf0.001/sf0.01/edge oracle
-    # sweeps; the round-13 grade is a hash re-stamp.
-    "ann_ivfpq_topk": 13,
-    "ann_mips_topk": 13,
-    "ann_pq_recall": 13,
-    "ann_rrf_fusion": 13,
-    "dedup_semantic_ivf": 13,
-    "embeddings_jl_projection": 13,
-    "embeddings_kmeans": 13,
-    "embeddings_matryoshka_recall": 13,
-    "embeddings_top2_components": 13,
-    "embeddings_top_component": 13,
-    # round-12 cached-input consolidations on the customer table (scd2/cdc
-    # derive their change feeds from the snapshot they read — 8/4 scans ->
-    # 1 via a cached pruned snapshot; t-closeness caches its bounded
-    # QI-cell census — 4 scans -> 1). Same sweep evidence as above.
-    "scd2_customer_history": 13,
-    "cdc_apply_changes": 13,
-    "qc_t_closeness": 13,
-    # _ivf_cells (the shared coarse-assignment helper) moved onto the
-    # cached store too — its parked consumers drift with it
-    "ann_ivf_topk": 13,
-    "ann_ivf_recall": 13,
-    # round-12 operator additions (registered this round, graded next):
-    # SimHash banded-pigeonhole LSH pairs, batch cosine radius search,
-    # per-dim whitening moments, Kneser-Ney bigram LM, tokenizer
-    # fertility, and the split-based PII census
-    "dedup_simhash_hamming_pairs": 13,
-    "ann_range_search_cosine": 13,
-    "embeddings_whitening_stats": 13,
-    "corpus_lm_kneser_ney": 13,
-    "corpus_tokenizer_fertility": 13,
-    "text_pii_detect": 13,
-    # round-12 replica-drive finds: entity blocking rewritten to the exact
-    # deletion-neighborhood (FastSS) scheme after the (nation, length)
-    # block went n^2/25 on fixed-format names; q32's row_number micro
-    # arithmetic cast to BIGINT after INT32 overflow at replica partition
-    # sizes. Both re-verified at sf0.001/sf0.01/edge and on the replica.
-    "entity_match_customers": 13,
-    "q32_window_depth": 13,
     # round-12 batch 2 (registered after the r13 window filled to 48; the
     # standing rule rolls overflow to the next round)
     "events_attribution_last_touch": 14,
