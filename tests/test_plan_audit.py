@@ -237,6 +237,81 @@ PAYLOAD_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
 
 _PAYLOAD_TABLES = ("customer", "part", "embeddings")
 
+#: Round-13 ratchet (VERDICT r12 "What's wrong" #2): an UNPARTITIONED
+#: Window (no PARTITION BY) forces every input row through ONE task — the
+#: single window shape that walls at 100 TB when its input is data-sized.
+#: Every unpartitioned Window in the fleet must therefore sit on a
+#: provably BOUNDED input, recorded here as (exact count, the bound).
+#: Three bounded shapes are in use: (a) a TakeOrderedAndProject top-k
+#: candidate set directly under the window, (b) a grouped aggregate over a
+#: bounded enum (sources / buckets / channels / event-type cells / brands
+#: / sketch width), (c) q41's partition-count table (one row per shuffle
+#: partition — cluster-config-bounded). The one DATA-sized site this
+#: census found — q41's customer-grain ntile(4) — was rewritten in round
+#: 13 to the distributed exact-rank scheme (plans/parity.py
+#: _ntile4_distributed) rather than whitelisted. Counts are exact: an
+#: improvement must tighten the entry; a regression (or any new
+#: unpartitioned window) fails loudly.
+UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
+    "ann_mips_topk": (2, "ranks over a TakeOrderedAndProject(limit=10) candidate set"),
+    "ann_rerank_audit": (1, "rank over the limit-bounded rerank candidate set"),
+    "ann_rerank_two_stage": (1, "rank over the limit-bounded rerank candidate set"),
+    "ann_rrf_fusion": (2, "ranks over the two limit-bounded retrieval lists"),
+    "corpus_novelty_curve": (1, "cumulative sum over the bounded bucket grid"),
+    "corpus_temperature_mix": (1, "whole-frame total over |sources| rows"),
+    "corpus_token_budget_waterfill": (4, "waterfill passes over |sources| rows"),
+    "corpus_token_rebalance": (1, "whole-frame total over |sources| rows"),
+    "corpus_weighted_sample_topk": (1, "rank over a TakeOrderedAndProject top-k"),
+    "embeddings_matryoshka_recall": (3, "ranks over three limit-bounded top-k lists"),
+    "events_active_users_7d": (1, "bound trim over the bounded day-grid aggregate"),
+    "events_attribution_last_touch": (1, "whole-frame total over |channels| rows"),
+    "events_mutual_info": (1, "total over the |event_type|^2 contingency cells"),
+    "q41_rfm_segments": (3, "cumulative offsets over the partition-count table (one row per shuffle partition), one per quartile pass"),
+    "q42_abc_analysis": (2, "total + cumulative share over |brand| rows"),
+    "qc_drift_ks": (1, "CDF cumulative sum over the bounded bucket grid"),
+    "qc_drift_wasserstein": (1, "CDF cumulative sum over the bounded bucket grid"),
+    "sketch_mg_heavyhitters": (4, "ranks over sketch-width-bounded summaries"),
+    "text_bm25_prf": (1, "rank over a TakeOrderedAndProject top-k"),
+    "text_bm25_topk": (1, "rank over a TakeOrderedAndProject top-k"),
+    "text_zipf_slope": (1, "rank over the TakeOrderedAndProject top-N terms"),
+}
+
+
+def _top_bracket_groups(line: str) -> list[str]:
+    """Top-level [...] groups of a plan line, in order."""
+    groups: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start:i])
+    return groups
+
+
+def _count_unpartitioned_windows(plan: str) -> int:
+    """Window nodes with an empty partition spec. The node prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` with empty groups
+    omitted: two trailing groups = partitioned+ordered; one trailing group
+    is the partition spec unless it carries sort directions (ASC/DESC —
+    order specs always print them); zero = bare whole-frame window."""
+    count = 0
+    for raw in plan.splitlines():
+        s = raw.strip().lstrip("+-: *")
+        if not s.startswith("Window "):
+            continue
+        tail = _top_bracket_groups(s)[1:]
+        if len(tail) >= 2:
+            continue
+        if len(tail) == 1 and not (" ASC" in tail[0] or " DESC" in tail[0]):
+            continue
+        count += 1
+    return count
+
 _PASSTHROUGH_OPS = (
     "Project", "ColumnarToRow", "InputAdapter", "WholeStageCodegen",
     "AdaptiveSparkPlan", "Coalesce", "CollectLimit", "GlobalLimit",
@@ -375,6 +450,28 @@ def test_plan_has_no_scale_hazards(spark, name, spec):
         assert name not in GLOBAL_SORT_MIGRATION_PENDING, (
             f"{name}: migrated off the trailing global sort — remove it "
             "from GLOBAL_SORT_MIGRATION_PENDING"
+        )
+
+    # unpartitioned-window guard (VERDICT r12 #2): a Window with no
+    # PARTITION BY funnels its whole input through one task — allowed only
+    # on the whitelisted bounded inputs above, at their exact counts
+    n_unpart = _count_unpartitioned_windows(plan)
+    if name in UNPARTITIONED_WINDOW_ALLOWED:
+        want, reason = UNPARTITIONED_WINDOW_ALLOWED[name]
+        assert n_unpart == want, (
+            f"{name}: plans {n_unpart} unpartitioned Window nodes but is "
+            f"whitelisted for exactly {want} ({reason}). If it improved, "
+            "tighten/remove the UNPARTITIONED_WINDOW_ALLOWED entry; if it "
+            "regressed, re-bound the window input (top-k limit, bounded "
+            "enum aggregate) or partition it."
+        )
+    else:
+        assert n_unpart == 0, (
+            f"{name}: plans {n_unpart} unpartitioned Window nodes — a "
+            "single-partition pass over the window input. Bound the input "
+            "(TakeOrdered top-k / bounded-enum aggregate), partition the "
+            "window, or — if the input is genuinely bounded — whitelist it "
+            "in UNPARTITIONED_WINDOW_ALLOWED with the bound."
         )
 
     # duplicate documents-text-scan guard (VERDICT r10 #3): at 100 TB the

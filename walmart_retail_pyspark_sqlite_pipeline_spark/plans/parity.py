@@ -1686,26 +1686,77 @@ register_local(QuerySpec("q40_map_type", q40_map_type, Q40_SQL, ("MAP1",)))
 # reference's domain (cf. /root/reference/testing/sql_queries.ipynb's
 # store-level aggs): per customer, days since last order (vs the
 # table-wide anchor date), order count, and lifetime cents; each scored
-# into quartiles (ntile) and concatenated into the familiar "444"-style
-# segment code.
+# into quartiles (exact ntile semantics) and concatenated into the
+# familiar "444"-style segment code.
 #
-# Plan: one shuffle to the per-customer rollup; each ntile is a global
-# sort over the CUSTOMER-sized table (not orders) — at 100 TB the rollup
-# is map-side-combined off the fact table, and the three quartile sorts
-# run on a table ~1000x smaller. Determinism: recency/cents are exact
-# integers; every ntile orders by (metric, c_custkey), so tie placement
-# is identical in both engines.
+# Plan: one shuffle to the per-customer rollup (map-side-combined off the
+# fact table, ~1000x smaller than orders), then three DISTRIBUTED exact
+# quartile passes. A naive ntile(4) window here is unpartitioned over the
+# CUSTOMER-cardinality frame — a single-partition sort, the one window
+# shape that walls at 100 TB (round-13 unpartitioned-window ratchet,
+# tests/test_plan_audit.py) — so each pass instead range-repartitions on
+# the sort key, sorts within partitions, derives the exact global rank
+# from monotonically_increasing_id's (partition, offset) bit layout plus
+# broadcast cumulative partition counts, and applies ntile's equal-count
+# bucket formula with exact integer arithmetic. The only unpartitioned
+# window left runs over the partition-COUNT table (one row per shuffle
+# partition — cluster-config-bounded, never data-bounded). Determinism:
+# recency/cents are exact integers; every pass orders by
+# (metric, c_custkey) — a total order — so the global rank, and hence
+# every bucket, is identical in both engines regardless of partitioning.
 # ---------------------------------------------------------------------------
-def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ntile4_distributed(df: DataFrame, sort_cols, n_col: str, out: str) -> DataFrame:
+    """Exact ntile(4) over the total order ``sort_cols`` without a
+    data-sized single-partition window. ``n_col`` must hold the frame's
+    total row count (broadcast in by the caller's anchor aggregate).
+
+    Rank: range-repartition on the sort key + sortWithinPartitions gives
+    each row a dense local index via monotonically_increasing_id (upper 31
+    bits = partition id, lower 33 = record offset); adding the broadcast
+    cumulative count of earlier partitions yields the exact 1-based global
+    rank r. Bucket: with n rows, q = n div 4 and rem = n mod 4, ntile
+    gives the first rem buckets q+1 rows — bucket(r) = ceil(r/(q+1)) while
+    r <= rem*(q+1), else rem + ceil((r-rem*(q+1))/q). All divisions are
+    subtract-mod-then-divide, exact in integer space.
+    """
     from pyspark.sql.window import Window
 
+    def idiv(a, b):  # exact integer division of non-negative bigint columns
+        return ((a - a % b) / b).cast("long")
+
+    ranked = (
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn("_idx", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    )
+    r = F.col("_idx") + F.col("_off") + F.lit(1)
+    n = F.col(n_col)
+    q = F.shiftright(n, 2)
+    rem = n.bitwiseAND(F.lit(3))
+    bucket = F.when(
+        r <= rem * (q + 1), idiv(r + q, q + 1)
+    ).otherwise(rem + idiv(r - rem * (q + 1) + q - 1, F.greatest(q, F.lit(1))))
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, bucket.cast("bigint"))
+        .drop("_mid", "_pid", "_idx", "_off")
+    )
+
+
+def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    # Round-12 consolidation (was 2 scans: a global max-date anchor branch
-    # crossJoined back). The anchor is max(last_order) over the per-customer
-    # rollup — an unpartitioned window, but the ntile quartile windows below
-    # are already global over the same customer-cardinality frame, so this
-    # adds no new scale ceiling and removes the second orders scan.
-    per_cust = (
+    # Round-12 consolidation kept the orders scan at 1 via an unpartitioned
+    # max-anchor window; round 13 replaces it with a cached rollup + 1-row
+    # broadcast anchor (same single parquet scan — the cache is the scan),
+    # which also supplies the exact total count the bucket formula needs.
+    per_cust_base = (
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -1714,32 +1765,27 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
             ).alias("monetary_cents"),
         )
-        .withColumn(
-            "anchor",
-            F.max("last_order").over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .select(
-            "c_custkey",
-            F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
+        .cache()
     )
-    r_w = Window.orderBy(F.desc("recency_days"), "c_custkey")
-    f_w = Window.orderBy("frequency", "c_custkey")
-    m_w = Window.orderBy("monetary_cents", "c_custkey")
-    scored = per_cust.select(
+    anchor = per_cust_base.agg(
+        F.max("last_order").alias("anchor"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    per_cust = per_cust_base.crossJoin(F.broadcast(anchor)).select(
         "c_custkey",
-        "recency_days",
+        F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+        "_n",
+    )
+    scored = _ntile4_distributed(
+        per_cust, [F.desc("recency_days"), F.col("c_custkey")], "_n", "r_score"
+    )
+    scored = _ntile4_distributed(
+        scored, [F.col("frequency"), F.col("c_custkey")], "_n", "f_score"
+    )
+    scored = _ntile4_distributed(
+        scored, [F.col("monetary_cents"), F.col("c_custkey")], "_n", "m_score"
     )
     return scored.select(
         "c_custkey",
