@@ -125,6 +125,10 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # bounds)
     "corpus_quality_calibration", "sketch_cms_heavy_changers",
     "embeddings_dim_clip_bounds",
+    # round-13 additions with bounded outputs: 4 FK-edge rows, |channels|
+    # rows, 3 rows per language
+    "qc_referential_integrity", "events_attribution_position",
+    "corpus_ccnet_perplexity_buckets",
 })
 
 #: Bulk per-row surfaces still carrying a trailing global sort. EMPTY
@@ -173,6 +177,9 @@ MULTI_TEXT_SCAN_ALLOWED: dict[str, tuple[int, str]] = {
     # round-11 additions at their floors
     "corpus_soft_dedup_weights": (2, "md5 scan + LSH shingle-index leg"),
     "text_lm_heldout_perplexity": (2, "bigram scan + token-index backing scan"),
+    # round-13 addition: composes text_lm_score unchanged, inheriting its
+    # floor (the lang join reads a non-text projection, uncounted here)
+    "corpus_ccnet_perplexity_buckets": (2, "bigram scan + token-index backing scan"),
 }
 
 #: Round-11 extension of the same ratchet to the FACT tables
@@ -206,6 +213,9 @@ FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "qc_drift_psi": {"orders": (2, "baseline and current distribution legs")},
     "qc_drift_wasserstein": {"orders": (3, "baseline/current legs + normalizer")},
     "sketch_hll_manual": {"events": (2, "sketch pass + exact-evaluation pass")},
+    # round-13 additions
+    "q48_global_rank": {"orders": (2, "ranked side + partition-count side of one range exchange; runtime reuses one scan (ReusedExchange)")},
+    "qc_referential_integrity": {"orders": (2, "parent key set of the lineitem FK edge + child side of the customer FK edge")},
 }
 
 #: Round-12 extension of the same ratchet to the payload/dim tables
@@ -248,7 +258,7 @@ _PAYLOAD_TABLES = ("customer", "part", "embeddings")
 #: / sketch width), (c) q41's partition-count table (one row per shuffle
 #: partition — cluster-config-bounded). The one DATA-sized site this
 #: census found — q41's customer-grain ntile(4) — was rewritten in round
-#: 13 to the distributed exact-rank scheme (plans/parity.py
+#: 13 to the distributed exact-rank scheme (operators/ranking.py
 #: _ntile4_distributed) rather than whitelisted. Counts are exact: an
 #: improvement must tighten the entry; a regression (or any new
 #: unpartitioned window) fails loudly.
@@ -274,6 +284,9 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     "text_bm25_prf": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_bm25_topk": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_zipf_slope": (1, "rank over the TakeOrderedAndProject top-N terms"),
+    # round-13 addition: the distributed-rank primitive itself — its only
+    # unpartitioned window is the scheme's defining bounded one
+    "q48_global_rank": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
 }
 
 

@@ -274,6 +274,15 @@ def test_rotation_never_orphans_a_capability_tag():
         # (driver-green), split-based detection
         "TS26",  # last-touch attribution: lead/lag-window family
         # (TS9/TS11 driver-green) + the q42 whole-frame total idiom
+        # round-13 additions, queued in GRADE_QUEUE for the round-14 window
+        "RK1",  # distributed exact global rank: the q41 ntile machinery
+        # (driver re-grade r13) exposed as operators/ranking.py
+        "QR1",  # FK orphan census: constraint-suite (QC5 driver-green) +
+        # anti/left-join families proven
+        "TS27",  # U-shaped position attribution: last-touch twin (TS26) +
+        # partitioned journey windows (TS3/TS9 driver-green)
+        "CP14",  # CCNet perplexity terciles: bigram-LM scoring (TX13
+        # driver-green r12) + partitioned ntile (W5/W6)
     }
     orphaned = {
         t

@@ -133,8 +133,11 @@ def main() -> None:
         # SINGLE-task scan (28 of 29 2m-splits no-op'd; the straggler did
         # all the IO+tokenize work). 20k-row groups give local[32] real
         # scan parallelism, the multi-row-group shape any production
-        # writer produces.
-        out.to_parquet(dst / f"{t}.parquet", index=False, row_group_size=20_000)
+        # writer produces. embeddings gets 4k groups for the same reason:
+        # a 20k-vector replica in one 20k group is again a 1-task scan
+        # (round-13 vector-family drive).
+        rg = 4_000 if t == "embeddings" else 20_000
+        out.to_parquet(dst / f"{t}.parquet", index=False, row_group_size=rg)
         print(f"{t}: {len(base_df):,} -> {len(out):,} rows")
     print(f"wrote {dst}")
 

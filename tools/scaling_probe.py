@@ -107,11 +107,9 @@ def main() -> None:
     # family-focused replicas (make_replica --tables) may omit lineitem;
     # use documents as the row-scale metric for EVERY column in that case
     # so the per-column counts stay comparable
-    fact = "lineitem.parquet"
-    if any(
-        not os.path.exists(os.path.join(s, fact)) for s in sf_dirs
-    ):
-        fact = "documents.parquet"
+    for fact in ("lineitem.parquet", "documents.parquet", "embeddings.parquet"):
+        if all(os.path.exists(os.path.join(s, fact)) for s in sf_dirs):
+            break
     for sf_dir in sf_dirs:
         fact_rows[sf_dir] = (
             spark.read.parquet(os.path.join(sf_dir, fact)).count()

@@ -3867,3 +3867,123 @@ register_local(
         doc="split-based PII census per source: email-like tokens and 7+/12+ digit runs, no regex hot path",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_ccnet_perplexity_buckets — the CCNet head/middle/tail split
+# (Wenzek et al. 2020, public): per LANGUAGE, rank every document by its
+# corpus-LM perplexity proxy (the text_lm_score avg negative logprob) and
+# cut exact terciles; "head" (most fluent) is what CCNet keeps for
+# pretraining, "tail" is the boilerplate/gibberish band. Composes the
+# proven bigram-LM scoring pass unchanged, so the plan inherits its ONE
+# gram-stream text scan + token-index backing scan; the tercile window is
+# PARTITIONED by lang — per-language sorts, no data-sized single-partition
+# stage (unlike a corpus-global ntile). Output is bounded: 3 rows per
+# language.
+#
+# Cross-engine exactness: avg_nll is the micro-rounded double both
+# engines already agree on bit-for-bit; (avg_nll, doc_id) is a total
+# order so NTILE(3) buckets match exactly; per-bucket means go through
+# the integer (2*sum+n) DIV 2n identity in micro units.
+# ---------------------------------------------------------------------------
+def corpus_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = text_lm_score(spark, sf_dir)
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = scored.join(langs, "doc_id").withColumn(
+        "m", F.round(F.col("avg_nll") * 1000000.0, 0).cast("long")
+    )
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    b = d.withColumn("tile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("tile") == 1, F.lit("head"))
+        .when(F.col("tile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("(2 * sum(m) + count(*)) DIV (2 * count(*))").alias("_mm"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            (F.col("_mm").cast("long") / F.lit(1000000.0)).alias("mean_nll"),
+            "min_nll",
+            "max_nll",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id, unnest({text.word_shingles_sql("tok", 2)}) AS g FROM tk
+  )
+),
+c2 AS (SELECT g, COUNT(*) AS n2 FROM grams GROUP BY g),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM grams GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(tok) AS w FROM tk)
+),
+qscored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(ln((c2.n2 + 1.0) / (c1.n1 + vocab.v)) * 1000000.0, 0)
+         AS BIGINT) AS qf
+  FROM grams
+  JOIN c2 USING (g)
+  JOIN c1 USING (w1)
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(qf) AS sq
+  FROM qscored GROUP BY doc_id
+),
+nll AS (
+  SELECT doc_id,
+    CAST(-(CAST(CASE WHEN sq < 0 THEN -1 ELSE 1 END
+                * ((2 * ABS(sq) + n_bigrams) // (2 * n_bigrams)) AS BIGINT))
+         AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS avg_nll
+  FROM agg
+),
+tiled AS (
+  SELECT d.lang, nll.avg_nll,
+    CAST(ROUND(nll.avg_nll * 1000000.0, 0) AS BIGINT) AS m,
+    NTILE(3) OVER (PARTITION BY d.lang
+                   ORDER BY nll.avg_nll, nll.doc_id) AS tile
+  FROM nll JOIN documents d USING (doc_id)
+)
+SELECT lang,
+  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST((2 * SUM(m) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS mean_nll,
+  MIN(avg_nll) AS min_nll,
+  MAX(avg_nll) AS max_nll
+FROM tiled
+GROUP BY lang, tile
+ORDER BY lang, bucket
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_ccnet_perplexity_buckets",
+        corpus_ccnet_perplexity_buckets,
+        CCNET_BUCKETS_SQL,
+        ("CP14",),
+        doc="CCNet-style per-language head/middle/tail perplexity terciles over the corpus bigram LM; partitioned ntile, bounded output",
+    )
+)

@@ -1705,52 +1705,8 @@ register_local(QuerySpec("q40_map_type", q40_map_type, Q40_SQL, ("MAP1",)))
 # (metric, c_custkey) — a total order — so the global rank, and hence
 # every bucket, is identical in both engines regardless of partitioning.
 # ---------------------------------------------------------------------------
-def _ntile4_distributed(df: DataFrame, sort_cols, n_col: str, out: str) -> DataFrame:
-    """Exact ntile(4) over the total order ``sort_cols`` without a
-    data-sized single-partition window. ``n_col`` must hold the frame's
-    total row count (broadcast in by the caller's anchor aggregate).
-
-    Rank: range-repartition on the sort key + sortWithinPartitions gives
-    each row a dense local index via monotonically_increasing_id (upper 31
-    bits = partition id, lower 33 = record offset); adding the broadcast
-    cumulative count of earlier partitions yields the exact 1-based global
-    rank r. Bucket: with n rows, q = n div 4 and rem = n mod 4, ntile
-    gives the first rem buckets q+1 rows — bucket(r) = ceil(r/(q+1)) while
-    r <= rem*(q+1), else rem + ceil((r-rem*(q+1))/q). All divisions are
-    subtract-mod-then-divide, exact in integer space.
-    """
-    from pyspark.sql.window import Window
-
-    def idiv(a, b):  # exact integer division of non-negative bigint columns
-        return ((a - a % b) / b).cast("long")
-
-    ranked = (
-        df.repartitionByRange(*sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn("_idx", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
-    )
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
-    )
-    r = F.col("_idx") + F.col("_off") + F.lit(1)
-    n = F.col(n_col)
-    q = F.shiftright(n, 2)
-    rem = n.bitwiseAND(F.lit(3))
-    bucket = F.when(
-        r <= rem * (q + 1), idiv(r + q, q + 1)
-    ).otherwise(rem + idiv(r - rem * (q + 1) + q - 1, F.greatest(q, F.lit(1))))
-    return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, bucket.cast("bigint"))
-        .drop("_mid", "_pid", "_idx", "_off")
-    )
-
-
 def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
     orders = read_table(spark, sf_dir, "orders")
     # Round-12 consolidation kept the orders scan at 1 via an unpartitioned
     # max-anchor window; round 13 replaces it with a cached rollup + 1-row
@@ -1778,14 +1734,14 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_cents",
         "_n",
     )
-    scored = _ntile4_distributed(
-        per_cust, [F.desc("recency_days"), F.col("c_custkey")], "_n", "r_score"
+    scored = global_ntile(
+        per_cust, [F.desc("recency_days"), F.col("c_custkey")], "_n", 4, "r_score"
     )
-    scored = _ntile4_distributed(
-        scored, [F.col("frequency"), F.col("c_custkey")], "_n", "f_score"
+    scored = global_ntile(
+        scored, [F.col("frequency"), F.col("c_custkey")], "_n", 4, "f_score"
     )
-    scored = _ntile4_distributed(
-        scored, [F.col("monetary_cents"), F.col("c_custkey")], "_n", "m_score"
+    scored = global_ntile(
+        scored, [F.col("monetary_cents"), F.col("c_custkey")], "_n", 4, "m_score"
     )
     return scored.select(
         "c_custkey",
@@ -1983,4 +1939,55 @@ Q46_SQL = _Q46_BODY  # identical ANSI SQL runs on both engines
 
 register_local(
     QuerySpec("q46_recursive_spine", q46_recursive_spine, Q46_SQL, ("RC1",))
+)
+
+
+# ---------------------------------------------------------------------------
+# q48_global_rank — the distributed exact global-ranking primitive
+# (operators/ranking.py:global_row_number) as a first-class query: every
+# order's exact 1-based rank by lifetime value over the WHOLE table. The
+# naive spelling is ROW_NUMBER() OVER (ORDER BY ...) — an unpartitioned
+# window the round-13 plan-audit ratchet bans on data-sized inputs because
+# it funnels the full table through one task. This plan instead pays one
+# range exchange + a partition-count broadcast (the same machinery a
+# global sort already needs), so rank assignment is partition-parallel at
+# any scale. The sort key (cents DESC, o_orderkey) is a total order, so
+# the rank matches the oracle's ROW_NUMBER exactly, tie-free. Bulk
+# per-row export -> sortWithinPartitions tail (round-9 rule).
+# ---------------------------------------------------------------------------
+def q48_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = global_row_number(
+        orders, [F.desc("cents"), F.col("o_orderkey")], out="value_rank"
+    )
+    return ranked.select(
+        "o_orderkey", "cents", "value_rank"
+    ).sortWithinPartitions("o_orderkey")
+
+
+Q48_SQL = """
+SELECT o_orderkey,
+  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey
+  ) AS BIGINT) AS value_rank
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+register_local(
+    QuerySpec(
+        "q48_global_rank",
+        q48_global_rank,
+        Q48_SQL,
+        ("RK1",),
+        doc="exact global row_number without a single-partition window: "
+        "range exchange + broadcast partition-count offsets",
+    )
 )

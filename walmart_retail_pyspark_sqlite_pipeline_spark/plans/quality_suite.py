@@ -1099,3 +1099,148 @@ register_local(
         doc="t-closeness audit: per-QI-group ordered-EMD of the sensitive distribution vs global, thresholds in micro units",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# qc_referential_integrity — foreign-key orphan census over the full star:
+# for each FK edge, how many child rows point at a missing parent. The
+# reference implicitly trusts its joins (src/transform_spark.py left-joins
+# train->features/stores with no orphan audit); at 100 TB a silent orphan
+# class is how a left join quietly nulls a feature column fleet-wide, so
+# the census is the QC gate a lakehouse runs before publishing.
+#
+# Plan shape: ONE scan of each child table. All three lineitem FK edges
+# ride the SAME lineitem scan (three sequential left joins against
+# key-projected parents, one conditional-sum aggregate, then a bounded
+# stack unpivot); orders is scanned twice — once as the parent key set of
+# lineitem, once as the child of customer (recorded exactly in
+# FACT_MULTI_SCAN_ALLOWED). Parents join on their pruned key column only,
+# so each parent-side shuffle ships one bigint per row; no broadcast hint
+# is pinned — at sf the dims broadcast, at 100 TB AQE falls back to SMJ.
+# Output: 4 rows (one per FK edge), orphan counts + micro-rounded share.
+# ---------------------------------------------------------------------------
+def qc_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    o_keys = orders.select(F.col("o_orderkey").alias("pk_o")).distinct()
+    p_keys = (
+        read_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("pk_p"))
+        .distinct()
+    )
+    s_keys = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("pk_s"))
+        .distinct()
+    )
+    c_keys = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("pk_c"))
+        .distinct()
+    )
+
+    li_checked = (
+        li.join(o_keys, li.l_orderkey == F.col("pk_o"), "left")
+        .join(p_keys, li.l_partkey == F.col("pk_p"), "left")
+        .join(s_keys, li.l_suppkey == F.col("pk_s"), "left")
+    )
+    li_agg = li_checked.agg(
+        F.count("*").cast("bigint").alias("n_li"),
+        F.sum(F.when(F.col("pk_o").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orph_o"),
+        F.sum(F.when(F.col("pk_p").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orph_p"),
+        F.sum(F.when(F.col("pk_s").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orph_s"),
+    )
+    li_rows = li_agg.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem.l_orderkey->orders', n_li, orph_o,"
+            " 'lineitem.l_partkey->part', n_li, orph_p,"
+            " 'lineitem.l_suppkey->supplier', n_li, orph_s)"
+        ).alias("fk_edge", "n_child_rows", "n_orphans")
+    )
+    ord_rows = (
+        orders.select("o_custkey")
+        .join(c_keys, F.col("o_custkey") == F.col("pk_c"), "left")
+        .agg(
+            F.lit("orders.o_custkey->customer").alias("fk_edge"),
+            F.count("*").cast("bigint").alias("n_child_rows"),
+            F.sum(F.when(F.col("pk_c").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+    )
+    return (
+        li_rows.unionByName(ord_rows)
+        .select(
+            "fk_edge",
+            "n_child_rows",
+            "n_orphans",
+            F.expr(
+                "CAST((2 * n_orphans * 1000000 + n_child_rows)"
+                " DIV (2 * n_child_rows) AS BIGINT)"
+                " / CAST(1000000.0 AS DOUBLE)"
+            ).alias("orphan_share"),
+        )
+        .orderBy("fk_edge")
+    )
+
+
+QC_REF_INTEGRITY_SQL = """
+WITH li AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_li,
+    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_o,
+    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_p,
+    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_s
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+),
+edges AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+         n_li AS n_child_rows, orph_o AS n_orphans FROM li
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', n_li, orph_p FROM li
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', n_li, orph_s FROM li
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o2
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o2.o_custkey = c.c_custkey
+)
+SELECT fk_edge, n_child_rows, n_orphans,
+  CAST((2 * n_orphans * 1000000 + n_child_rows)
+       // (2 * n_child_rows) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS orphan_share
+FROM edges
+ORDER BY fk_edge
+"""
+
+
+register_local(
+    QuerySpec(
+        "qc_referential_integrity",
+        qc_referential_integrity,
+        QC_REF_INTEGRITY_SQL,
+        ("QR1",),
+        doc="FK orphan census over the star: one scan per child table, three lineitem edges on one scan, micro-rounded orphan shares",
+    )
+)

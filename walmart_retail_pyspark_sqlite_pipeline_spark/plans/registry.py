@@ -216,6 +216,15 @@ GRADE_QUEUE: dict[str, int] = {
     # round-12 batch 2 (registered after the r13 window filled to 48; the
     # standing rule rolls overflow to the next round)
     "events_attribution_last_touch": 14,
+    # round-13 operator additions (registered this round, graded next):
+    # the distributed exact global-rank primitive (the scale-safe
+    # replacement for unpartitioned ranking windows, operators/ranking.py),
+    # the FK orphan census, U-shaped position-based attribution, and the
+    # CCNet per-language head/middle/tail perplexity terciles
+    "q48_global_rank": 14,
+    "qc_referential_integrity": 14,
+    "events_attribution_position": 14,
+    "corpus_ccnet_perplexity_buckets": 14,
 }
 
 

@@ -2122,3 +2122,156 @@ register_local(
         doc="last-touch revenue attribution: ignore-nulls last() window credits the prior touch, integer-cent shares",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_position — U-shaped (position-based) multi-touch
+# attribution, the standard 40/20/40 complement to last-touch: each
+# purchase's value is credited 40% to the journey's first touch, 40% to
+# its last, and the middle 20% split evenly across interior touches
+# (1 touch -> 100%, 2 -> 50/50, purchase with no prior touch -> 'direct').
+# Journeys are segmented per user by prior-purchase count (a purchase
+# closes its journey), so every window is PARTITIONED by (user_id, jid) —
+# one events scan, no data-sized single-partition stage. Credits are
+# exact micro-cents via integer DIV with identical truncation on both
+# engines; NULL-user events form one journey stream in both engines
+# (the pinned last-touch semantics), and NULL purchase values contribute
+# credit rows but no revenue.
+# ---------------------------------------------------------------------------
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    w_journey = Window.partitionBy("user_id", "jid")
+    w_pos = (
+        Window.partitionBy("user_id", "jid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_touch = F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+    cents_row = F.round(F.col("value") * 100, 0).cast("long")
+    jj = j.select(
+        "event_type",
+        F.sum(is_touch).over(w_journey).alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", cents_row)
+        ).over(w_journey).alias("conv_cents"),
+        F.sum(is_touch).over(w_pos).alias("pos"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_journey).alias("has_conv"),
+    )
+    # ONE branch covers both credit kinds (a union of two filtered views
+    # would re-plan the journey-window subtree statically): a row earns a
+    # credit either as a converting journey's touch or as a touch-less
+    # purchase ('direct'); everything else gets a NULL channel and is
+    # filtered out.
+    edge = (F.col("pos") == 1) | (F.col("pos") == F.col("t"))
+    is_touch_credit = (F.col("event_type") != "purchase") & (
+        F.col("has_conv") == 1
+    )
+    is_direct = (F.col("event_type") == "purchase") & (F.col("t") == 0)
+    credits = (
+        jj.withColumn(
+            "channel",
+            F.when(is_touch_credit, F.col("event_type")).when(
+                is_direct, F.lit("direct")
+            ),
+        )
+        .filter(F.col("channel").isNotNull())
+        .select(
+            "channel",
+            "conv_cents",
+            F.when(is_direct | (F.col("t") <= 2), F.lit(1))
+            .otherwise(F.when(edge, F.lit(2)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("num"),
+            F.when(is_direct | (F.col("t") == 1), F.lit(1))
+            .when(F.col("t") == 2, F.lit(2))
+            .otherwise(
+                F.when(edge, F.lit(5)).otherwise(F.lit(5) * (F.col("t") - 2))
+            )
+            .cast("long")
+            .alias("den"),
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum(
+                F.expr("(conv_cents * 1000000 * num) DIV den").cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("attributed_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_POSITION_SQL = """
+WITH j AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM events
+),
+jj AS (
+  SELECT event_type,
+    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, jid) AS t,
+    MAX(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+      OVER (PARTITION BY user_id, jid) AS conv_cents,
+    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, jid ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, jid) AS has_conv
+  FROM j
+),
+credits AS (
+  SELECT event_type AS channel, conv_cents,
+    CAST(CASE WHEN t <= 2 THEN 1
+              WHEN pos = 1 OR pos = t THEN 2 ELSE 1 END AS BIGINT) AS num,
+    CAST(CASE WHEN t = 1 THEN 1 WHEN t = 2 THEN 2
+              WHEN pos = 1 OR pos = t THEN 5 ELSE 5 * (t - 2) END
+         AS BIGINT) AS den
+  FROM jj WHERE event_type <> 'purchase' AND has_conv = 1
+  UNION ALL
+  SELECT 'direct', conv_cents, 1, 1
+  FROM jj WHERE event_type = 'purchase' AND t = 0
+)
+SELECT channel,
+  CAST(COUNT(*) AS BIGINT) AS n_credits,
+  CAST(SUM(CAST((conv_cents * 1000000 * num) // den AS HUGEINT))
+       AS BIGINT) AS attributed_micro
+FROM credits GROUP BY channel
+ORDER BY channel
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_attribution_position",
+        events_attribution_position,
+        ATTRIBUTION_POSITION_SQL,
+        ("TS27",),
+        doc="U-shaped 40/20/40 multi-touch attribution: journey segmentation by prior-purchase count, partitioned windows only, exact micro-cent credits",
+    )
+)
