@@ -432,8 +432,20 @@ def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # dedup_embedding_cosine — near-dup pairs by embedding cosine within label
-# blocks (blocking bounds the pair count; at scale the block key is an LSH
-# bucket — see ann_lsh_buckets — or an IVF cell).
+# blocks. SCALE BOUNDARY, measured (round-13 vector replica drive): with a
+# FIXED block count the candidate set is n^2/|blocks| while the output is
+# ~linear (0.04% selectivity at tau=0.4 on sf0.1), so the 200k-vector
+# rotated replica was killed at >50 min — and no exact prefilter can help
+# on this geometry (max within-block cosine 0.51 vs tau 0.4: nearly every
+# pair is "almost qualifying", so any no-false-negative filter must touch
+# nearly all of them; per-coordinate Lipschitz strips and centroid-angle
+# strips were both measured useless here). This surface is therefore the
+# EXACT COMPARISON POINT, valid at driver SFs — the same status as the
+# flat SemDeDup variant (VERDICT r8 #3) — and the production path at
+# scale is the recall-documented candidate discipline family:
+# dedup_semantic_ivf (two-level assignment, 3.81x/decade),
+# dedup_minhash_lsh_pairs / dedup_simhash_hamming_pairs (banded, exact
+# verify on candidates only), ann_rerank_two_stage.
 # ---------------------------------------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_embeddings(spark, sf_dir)
@@ -1629,12 +1641,16 @@ register_local(
 
 # ---------------------------------------------------------------------------
 # dedup_embedding_ivf_pairs — embedding near-dup with IVF-cell blocking:
-# the scale form the label-blocked dedup_embedding_cosine docstring points
-# at. Every vector is assigned to its nearest coarse centroid (_ivf_cells),
+# every vector is assigned to its nearest coarse centroid (_ivf_cells),
 # and candidate pairs are generated ONLY within a cell — pair count drops
 # from N^2 to ~N^2/k with no all-pairs shuffle; the cell id is the shuffle
 # key. At 100 TB the vectors are stored bucketed by cell (see ann_ivf_topk)
-# so this query's self-join is Exchange-free.
+# so this query's self-join is Exchange-free. SCALE NOTE (round-13 vector
+# replica drive): with a FIXED cell count k this is the same n^2/k
+# candidate class as the label-blocked twin above — the honest production
+# discipline grows k with n (cells ~ sqrt(n), as dedup_semantic_ivf's
+# two-level assignment does), which keeps within-cell pairs ~linear; this
+# surface stays the fixed-k comparison point at driver SFs.
 # ---------------------------------------------------------------------------
 def dedup_embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-12: shared cached vector store (_emb_base)
