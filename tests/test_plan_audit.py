@@ -53,6 +53,7 @@ STREAMING = {
     "stream_event_counts",
     "stream_session_windows",
     "stream_static_enrich",
+    "stream_stream_join",
 }
 
 

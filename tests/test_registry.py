@@ -283,6 +283,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # partitioned journey windows (TS3/TS9 driver-green)
         "CP14",  # CCNet perplexity terciles: bigram-LM scoring (TX13
         # driver-green r12) + partitioned ntile (W5/W6)
+        "ST13",  # stream-stream interval join: streaming family (ST1/ST10
+        # driver-green) + the round-1 batch-equality pytest
     }
     orphaned = {
         t

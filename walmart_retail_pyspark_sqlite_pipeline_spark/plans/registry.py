@@ -225,6 +225,9 @@ GRADE_QUEUE: dict[str, int] = {
     "qc_referential_integrity": 14,
     "events_attribution_position": 14,
     "corpus_ccnet_perplexity_buckets": 14,
+    # round-13 batch 2: the stream-stream interval join surface (kernel
+    # and batch-equality pytest are round-1 code; registered round 13)
+    "stream_stream_join": 14,
 }
 
 

@@ -452,3 +452,51 @@ register_local(
         doc="stream-static broadcast enrichment join + exact-cents aggregation",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_join — the STREAM-STREAM time-interval join surface
+# (round 13: registered; the kernel and its batch-equality pytest are
+# round-1 code, tests/test_streaming.py::test_stream_stream_join_equals_
+# batch): purchases joined to same-user clicks at most one hour older,
+# both sides watermarked so the join state store stays bounded (each
+# side's buffer evicts once the other side's watermark clears the range
+# condition — the property that makes this run forever at 100 TB/day).
+# availableNow + append + memory sink -> the complete deterministic
+# result for finite input; the oracle is the equivalent batch interval
+# join at microsecond precision.
+# ---------------------------------------------------------------------------
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import click_purchase_stream_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return click_purchase_stream_join(spark, path).orderBy("p_id", "c_id")
+
+
+STREAM_STREAM_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+  CAST(p.us // 1000000 AS BIGINT) AS purchase_ts_s,
+  CAST(c.us // 1000000 AS BIGINT) AS click_ts_s
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.us <= p.us AND c.us >= p.us - 3600000000
+ORDER BY p_id, c_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "stream_stream_join",
+        stream_stream_join,
+        STREAM_STREAM_JOIN_SQL,
+        ("ST13",),
+        doc="watermark-bounded stream-stream interval join == batch interval join proof",
+    )
+)
