@@ -129,7 +129,7 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # round-13 additions with bounded outputs: 4 FK-edge rows, |channels|
     # rows, 3 rows per language
     "qc_referential_integrity", "events_attribution_position",
-    "corpus_ccnet_perplexity_buckets",
+    "corpus_ccnet_perplexity_buckets", "events_attribution_markov",
 })
 
 #: Bulk per-row surfaces still carrying a trailing global sort. EMPTY
@@ -285,9 +285,11 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     "text_bm25_prf": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_bm25_topk": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_zipf_slope": (1, "rank over the TakeOrderedAndProject top-N terms"),
-    # round-13 addition: the distributed-rank primitive itself — its only
-    # unpartitioned window is the scheme's defining bounded one
+    # round-13 additions: the distributed-rank primitive itself — its only
+    # unpartitioned window is the scheme's defining bounded one — and the
+    # markov attribution's share normalizer
     "q48_global_rank": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
+    "events_attribution_markov": (1, "whole-frame total over |channels| removal effects"),
 }
 
 

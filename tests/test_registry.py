@@ -285,6 +285,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green r12) + partitioned ntile (W5/W6)
         "ST13",  # stream-stream interval join: streaming family (ST1/ST10
         # driver-green) + the round-1 batch-equality pytest
+        "TS28",  # Markov removal-effect attribution: transition matrix
+        # (TS11 driver-green) + fixed-iteration chains (IT4 label-prop)
     }
     orphaned = {
         t

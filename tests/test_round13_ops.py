@@ -184,3 +184,41 @@ def test_ccnet_buckets_partition_each_language(spark):
         if "head" in bs and "tail" in bs:
             assert bs["head"].mean_nll <= bs["tail"].mean_nll
             assert bs["head"].max_nll <= bs["tail"].min_nll + 1e-9
+
+
+def test_markov_attribution_on_planted_chain(spark, tmp_path):
+    """Hand-solvable chain: u1 ad->purchase, u2 ad->drop, u3 email->purchase.
+    Full chain: P(conv|START)=2/3. Remove ad: its journeys drop, P=1/3.
+    Remove email: P=1/3. Removal effects equal -> shares 0.5/0.5."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_attribution_markov,
+    )
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    ts = [f"2024-01-01 00:0{i}:00" for i in range(4)]
+    rows = [
+        Row(event_id=1, ts=ts[0], user_id=1, event_type="ad", value=0.0),
+        Row(event_id=2, ts=ts[1], user_id=1, event_type="purchase", value=1.0),
+        Row(event_id=3, ts=ts[0], user_id=2, event_type="ad", value=0.0),
+        Row(event_id=4, ts=ts[0], user_id=3, event_type="email", value=0.0),
+        Row(event_id=5, ts=ts[1], user_id=3, event_type="purchase", value=1.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.channel: r for r in events_attribution_markov(spark, sf).collect()
+    }
+    assert set(got) == {"ad", "email"}
+    # START -> ad (2/3) -> CONV (1/2); START -> email (1/3) -> CONV (1)
+    # p_full = 2/3*1/2 + 1/3*1 = 2/3 (micro-truncated)
+    assert abs(got["ad"].p_conv_full - 2 / 3) < 2e-6
+    # remove ad: START->ad edges go to DROP; only email converts: 1/3
+    assert abs(got["ad"].p_conv_removed - 1 / 3) < 2e-6
+    # remove email: ad journeys unaffected: 2/3 * 1/2 = 1/3
+    assert abs(got["email"].p_conv_removed - 1 / 3) < 2e-6
+    assert abs(got["ad"].attribution_share - 0.5) < 2e-6
+    assert abs(got["email"].attribution_share - 0.5) < 2e-6

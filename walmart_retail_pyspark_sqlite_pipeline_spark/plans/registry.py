@@ -228,6 +228,9 @@ GRADE_QUEUE: dict[str, int] = {
     # round-13 batch 2: the stream-stream interval join surface (kernel
     # and batch-equality pytest are round-1 code; registered round 13)
     "stream_stream_join": 14,
+    # round-13 batch 3: Markov removal-effect attribution (bounded
+    # per-variant chains, exact micro fixed-point absorption)
+    "events_attribution_markov": 14,
 }
 
 

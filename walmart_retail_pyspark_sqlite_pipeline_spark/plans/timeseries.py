@@ -2275,3 +2275,276 @@ register_local(
         doc="U-shaped 40/20/40 multi-touch attribution: journey segmentation by prior-purchase count, partitioned windows only, exact micro-cent credits",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_markov — Markov removal-effect attribution (the
+# published data-driven alternative to last-touch/U-shaped rules): model
+# journeys as a first-order chain START -> touches -> CONV/DROP, compute
+# each channel's removal effect = how much absorption into CONV drops when
+# every edge into that channel is redirected to DROP, and attribute
+# conversion credit proportionally. One events scan builds the journey
+# edge list (the array-explode emits the terminal DROP edge for abandoned
+# journeys without a second branch); everything after is arithmetic over
+# the (|channels|+3)^2-BOUNDED transition table — the per-variant chains
+# ride ONE cached table with a `variant` key, so all removals iterate
+# together. Absorption probabilities use MARKOV_ITERS fixed-point steps in
+# exact micro-integer arithmetic (p_{k+1}(s) = (n_{s,CONV}*1e6 +
+# sum_t n_{s,t} p_k(t)) DIV n_out(s)): both engines truncate identically
+# at every step, so the result is bit-exact without any float-order
+# hazard, and the fixed iteration count keeps the plan static (the
+# label-propagation precedent — no driver-side convergence loop).
+# ---------------------------------------------------------------------------
+MARKOV_ITERS = 12
+
+
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    w_j = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    w_jfull = Window.partitionBy("user_id", "jid")
+    state = F.when(
+        F.col("event_type") == "purchase", F.lit("CONV")
+    ).otherwise(F.col("event_type"))
+    seq = j.select(
+        state.alias("s"),
+        F.lag(state, 1).over(w_j).alias("prev"),
+        (F.row_number().over(w_j) == F.count("*").over(w_jfull)).alias(
+            "is_last"
+        ),
+    )
+    # edge 1: prev (or START) -> this state; edge 2: terminal DROP for the
+    # last row of an abandoned journey — emitted from the SAME rows via
+    # array+explode so the scan is planned once
+    edges = (
+        seq.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.coalesce(F.col("prev"), F.lit("START")).alias("f"),
+                        F.col("s").alias("t"),
+                    ),
+                    F.when(
+                        F.col("is_last") & (F.col("s") != "CONV"),
+                        F.struct(
+                            F.col("s").alias("f"), F.lit("DROP").alias("t")
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e").isNotNull())
+        .select(F.col("e.f").alias("from_state"), F.col("e.t").alias("to_state"))
+    )
+    # bounded ((|channels|+3)^2 rows) and read by TWO consumers (the
+    # variant list and the per-variant chains) — cache so the events scan
+    # is planned once
+    trans = edges.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).cache()
+    channels = trans.select(
+        F.col("to_state").alias("variant")
+    ).filter(~F.col("variant").isin("CONV", "DROP")).distinct()
+    variants = channels.unionByName(
+        spark.createDataFrame([("FULL",)], ["variant"])
+    )
+    # per-variant chain: edges into the removed channel become DROP edges
+    vt = (
+        trans.crossJoin(F.broadcast(variants))
+        .select(
+            "variant",
+            "from_state",
+            F.when(
+                F.col("to_state") == F.col("variant"), F.lit("DROP")
+            ).otherwise(F.col("to_state")).alias("to_state"),
+            "n",
+        )
+        .groupBy("variant", "from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+        .cache()
+    )
+    base = vt.groupBy("variant", "from_state").agg(
+        F.sum("n").alias("n_out"),
+        F.sum(F.when(F.col("to_state") == "CONV", F.col("n")).otherwise(0)).alias(
+            "conv_n"
+        ),
+    )
+    tt = vt.filter(~F.col("to_state").isin("CONV", "DROP")).select(
+        "variant", "from_state", F.col("to_state").alias("t"), "n"
+    )
+    # p_0 = 0 for every transient state; MARKOV_ITERS exact micro steps
+    p = base.select(
+        "variant", F.col("from_state").alias("t"), F.lit(0).cast("long").alias("p")
+    )
+    for _ in range(MARKOV_ITERS):
+        acc = (
+            tt.join(p, ["variant", "t"])
+            .groupBy("variant", "from_state")
+            .agg(F.sum(F.col("n") * F.col("p")).alias("acc"))
+        )
+        p = (
+            base.join(acc, ["variant", "from_state"], "left")
+            .select(
+                "variant",
+                F.col("from_state").alias("t"),
+                F.expr(
+                    "(conv_n * 1000000 + coalesce(acc, 0)) DIV n_out"
+                ).cast("long").alias("p"),
+            )
+        )
+    starts = p.filter(F.col("t") == "START").select(
+        "variant", F.col("p").alias("p_start")
+    )
+    full = starts.filter(F.col("variant") == "FULL").select(
+        F.col("p_start").alias("p_full")
+    )
+    per = (
+        starts.filter(F.col("variant") != "FULL")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("variant").alias("channel"),
+            "p_full",
+            F.col("p_start").alias("p_removed"),
+            (F.col("p_full") - F.col("p_start")).alias("removal_micro"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn(
+            "tot", F.sum(F.greatest("removal_micro", F.lit(0))).over(w_all)
+        )
+        .select(
+            "channel",
+            (F.col("p_full").cast("long") / F.lit(1000000.0)).alias("p_conv_full"),
+            (F.col("p_removed").cast("long") / F.lit(1000000.0)).alias(
+                "p_conv_removed"
+            ),
+            F.col("removal_micro").cast("long").alias("removal_micro"),
+            F.expr(
+                "CASE WHEN tot <= 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                " CAST((2 * greatest(removal_micro, 0) * 1000000 + tot)"
+                " DIV (2 * tot) AS BIGINT) / CAST(1000000.0 AS DOUBLE) END"
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _markov_iter_sql(prev: str, nxt: str) -> str:
+    return f"""{nxt} AS (
+  SELECT b.variant, b.from_state AS t,
+    CAST((b.conv_n * 1000000 + COALESCE(a.acc, 0)) // b.n_out AS BIGINT) AS p
+  FROM base b
+  LEFT JOIN (
+    SELECT tt.variant, tt.from_state, SUM(tt.n * {prev}.p) AS acc
+    FROM tt JOIN {prev} ON tt.variant = {prev}.variant AND tt.t = {prev}.t
+    GROUP BY tt.variant, tt.from_state
+  ) a ON a.variant = b.variant AND a.from_state = b.from_state
+)"""
+
+
+_MARKOV_ITER_CTES = ",\n".join(
+    _markov_iter_sql(f"p{k}", f"p{k + 1}") for k in range(MARKOV_ITERS)
+)
+
+ATTRIBUTION_MARKOV_SQL = f"""
+WITH j AS (
+  SELECT user_id, event_id, ts, event_type,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM events
+),
+seq AS (
+  SELECT
+    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS s,
+    LAG(CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END, 1)
+      OVER (PARTITION BY user_id, jid ORDER BY ts, event_id) AS prev,
+    ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY ts, event_id)
+      = COUNT(*) OVER (PARTITION BY user_id, jid) AS is_last
+  FROM j
+),
+edges AS (
+  SELECT COALESCE(prev, 'START') AS from_state, s AS to_state FROM seq
+  UNION ALL
+  SELECT s, 'DROP' FROM seq WHERE is_last AND s <> 'CONV'
+),
+trans AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM edges GROUP BY 1, 2
+),
+variants AS (
+  SELECT DISTINCT to_state AS variant FROM trans
+  WHERE to_state NOT IN ('CONV', 'DROP')
+  UNION ALL SELECT 'FULL'
+),
+vt AS (
+  SELECT variant, from_state,
+    CASE WHEN to_state = variant THEN 'DROP' ELSE to_state END AS to_state,
+    SUM(n) AS n
+  FROM trans CROSS JOIN variants
+  GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT variant, from_state, SUM(n) AS n_out,
+    SUM(CASE WHEN to_state = 'CONV' THEN n ELSE 0 END) AS conv_n
+  FROM vt GROUP BY 1, 2
+),
+tt AS (
+  SELECT variant, from_state, to_state AS t, n
+  FROM vt WHERE to_state NOT IN ('CONV', 'DROP')
+),
+p0 AS (
+  SELECT variant, from_state AS t, CAST(0 AS BIGINT) AS p FROM base
+),
+{_MARKOV_ITER_CTES},
+starts AS (
+  SELECT variant, p AS p_start FROM p{MARKOV_ITERS} WHERE t = 'START'
+),
+per AS (
+  SELECT s.variant AS channel, f.p_start AS p_full, s.p_start AS p_removed,
+    f.p_start - s.p_start AS removal_micro
+  FROM starts s
+  CROSS JOIN (SELECT p_start FROM starts WHERE variant = 'FULL') f
+  WHERE s.variant <> 'FULL'
+),
+tot AS (
+  SELECT SUM(GREATEST(removal_micro, 0)) AS tot FROM per
+)
+SELECT channel,
+  CAST(p_full AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS p_conv_full,
+  CAST(p_removed AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS p_conv_removed,
+  CAST(removal_micro AS BIGINT) AS removal_micro,
+  CASE WHEN tot <= 0 THEN CAST(NULL AS DOUBLE) ELSE
+    CAST((2 * GREATEST(removal_micro, 0) * 1000000 + tot)
+         // (2 * tot) AS BIGINT) / CAST(1000000.0 AS DOUBLE) END
+    AS attribution_share
+FROM per CROSS JOIN tot
+ORDER BY channel
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_attribution_markov",
+        events_attribution_markov,
+        ATTRIBUTION_MARKOV_SQL,
+        ("TS28",),
+        doc="Markov removal-effect attribution: bounded per-variant chains, exact micro fixed-point absorption, one events scan",
+    )
+)
