@@ -44,25 +44,37 @@ NEXT_ROUND_PLAN = """\
 
 Round 13 exported the entire 34-entry round-13 queue plus the two
 deepening spares (q38_nullsafe_join, corpus_dup_rate_by_source) —
-50/50 slots. The round-14 window:
+50/50 slots — and ended with an EMPTY re-grade queue: every round-13
+source edit either sits inside the round-13 window (q41's distributed
+ntile rewrite) or is a never-graded round-13 addition. The round-14
+window:
 
 1. **14 bench headliners** (standing bench.py lines, unchanged).
-2. **`events_attribution_last_touch`** — the round-12 overflow entry,
-   its scheduled first grade.
-3. **Round-13 operator additions** (first grades), registered this
-   round with replica probes and oracle twins before entering the
-   queue; see GRADE_QUEUE entries targeting 14.
-4. **Remaining slots to the deepening rule**: oldest single-green
-   parked queries first (next up after the round-13 spares:
-   events_activity_streaks, events_dwell_time, events_ewma,
-   events_retention_bitmap, q39_decimal_money, q43_elasticity_slope,
-   q44_lateral_topn, q46_recursive_spine — all green only in r6).
+2. **7 queue drains**: events_attribution_last_touch (the round-12
+   overflow entry, scheduled first grade) plus the six round-13
+   operator additions — q48_global_rank (the distributed exact
+   global-rank primitive), qc_referential_integrity,
+   events_attribution_position, corpus_ccnet_perplexity_buckets,
+   stream_stream_join, events_attribution_markov — all registered
+   with oracle twins, planted pytest, edge-sweep green, and
+   four-decade replica probes (SCALING.md round-13 sections).
+3. **29 deepening slots, oldest single-green parked first**: the r6
+   single-green cohort (corpus_dup_rate_by_source and
+   q38_nullsafe_join drained in r13; next: events_activity_streaks,
+   events_dwell_time, events_ewma, events_retention_bitmap,
+   q39_decimal_money, q43_elasticity_slope, q44_lateral_topn,
+   q46_recursive_spine, q47_ols_normal_eq, sketch_hll_manual,
+   text_bpe_train, text_lm_interpolated, text_zipf_slope, ...), then
+   the r7 cohort, until the window fills. This is the single-green
+   drawdown VERDICT r12 #5 asked for.
 
-Every round-13 source edit was re-verified on the sf0.001/sf0.01/edge
-oracle sweeps before the window was written, so re-grades remain hash
-re-stamps. The unpartitioned-window plan-audit ratchet added in round
-13 (tests/test_plan_audit.py) joins the fact/documents/payload scan
-floors as a standing gate.
+The unpartitioned-window plan-audit ratchet added in round 13
+(tests/test_plan_audit.py::UNPARTITIONED_WINDOW_ALLOWED) joins the
+fact/documents/payload scan floors as a standing gate, and the
+round-13 vector replica drive's finding — the fixed-block n^2/k
+candidate class on the two exact embedding-pair surfaces — is
+documented with measured decade multipliers in SCALING.md (the
+comparison-point class; the scale path is the IVF/LSH family).
 """
 
 def driver_greens() -> dict[str, int]:
