@@ -287,6 +287,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green) + the round-1 batch-equality pytest
         "TS28",  # Markov removal-effect attribution: transition matrix
         # (TS11 driver-green) + fixed-iteration chains (IT4 label-prop)
+        "DD26",  # growing-cell pair export: shares dedup_semantic_ivf's
+        # two-level assignment (DD22, exported r13) verbatim
     }
     orphaned = {
         t

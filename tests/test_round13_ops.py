@@ -222,3 +222,40 @@ def test_markov_attribution_on_planted_chain(spark, tmp_path):
     assert abs(got["email"].p_conv_removed - 1 / 3) < 2e-6
     assert abs(got["ad"].attribution_share - 0.5) < 2e-6
     assert abs(got["email"].attribution_share - 0.5) < 2e-6
+
+
+def test_pairs_scaled_equals_brute_force_within_cells(spark):
+    """Every exported pair must (a) verify at cos >= threshold and (b) the
+    pair set must equal brute-force enumeration WITHIN the learned fine
+    cells — the candidate discipline is the cells; the verify is exact."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        COSINE_DUP_THRESHOLD,
+        _two_level_fine_cells,
+        dedup_embedding_pairs_scaled,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup_embedding_pairs_scaled(spark, SF_SMALL).collect()
+    }
+    ev = _two_level_fine_cells(spark, SF_SMALL).collect()
+    by_cell: dict[int, list] = {}
+    for r in ev:
+        by_cell.setdefault(r.fcell, []).append(r)
+
+    def cos(u, v):
+        num = sum(a * b for a, b in zip(u, v))
+        den = (sum(a * a for a in u) ** 0.5) * (sum(b * b for b in v) ** 0.5)
+        return round(num / den, 6)
+
+    want = {}
+    for members in by_cell.values():
+        members = sorted(members, key=lambda r: r.vec_id)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                c = cos(a.v, b.v)
+                if c >= COSINE_DUP_THRESHOLD:
+                    want[(a.vec_id, b.vec_id)] = c
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 2e-6

@@ -5564,7 +5564,15 @@ register_local(
 # integer-only export. Cluster ids are the fine-seed vec_ids (globally
 # unique), so the export needs no synthetic numbering.
 # ---------------------------------------------------------------------------
-def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _two_level_fine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growing-cell assignment shared by the scalable dedup surfaces:
+    every vector mapped to a LEARNED fine cell (C = n/250 cells total) via
+    coarse-then-refine IVF assignment + one Lloyd step — n·3·sqrt(C)
+    distance work, never n·C. Returns (ccell, fcell, vec_id, v).
+    Round 13: factored out of dedup_semantic_ivf verbatim so the
+    pair-level export (dedup_embedding_pairs_scaled) shares one
+    implementation; dedup_semantic_ivf re-grades in the round-13 window.
+    """
     import math
 
     # round-12: the two-level assignment + Lloyd step referenced the raw
@@ -5636,7 +5644,11 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = assign_grouped(ev1, cent)
 
-    ev = ev1.join(a2.select("vec_id", "ccell", "fcell"), ["vec_id", "ccell"])
+    return ev1.join(a2.select("vec_id", "ccell", "fcell"), ["vec_id", "ccell"])
+
+
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _two_level_fine_cells(spark, sf_dir)
     a, b = ev.alias("a"), ev.alias("b")
     pairs = (
         a.join(
@@ -5673,8 +5685,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SEMANTIC_IVF_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
+_TWO_LEVEL_CELLS_SQL_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings),
 cfg AS (
   SELECT GREATEST({_SEMDEDUP_C_MIN}, COUNT(*) // {_SEMDEDUP_TARGET}) AS c
   FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
@@ -5744,7 +5755,10 @@ a2 AS (
 ev AS (
   SELECT a2.ccell, a2.fcell, e.vec_id, e.v
   FROM e JOIN a2 USING (vec_id)
-),
+)"""
+
+DEDUP_SEMANTIC_IVF_SQL = f"""
+WITH {_TWO_LEVEL_CELLS_SQL_CTES},
 pairs AS (
   SELECT a.fcell, b.vec_id AS pruned_id,
          ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
@@ -5775,6 +5789,60 @@ register_local(
         DEDUP_SEMANTIC_IVF_SQL,
         ("DD22",),
         doc="SemDeDup with IVF two-level assignment: n·3·sqrt(C) distance work",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_pairs_scaled — the PAIR-level export of the scalable
+# embedding near-dup discipline, and the round-13 constructive answer to
+# the fixed-block n^2/k class the vector replica drive quantified
+# (dedup_embedding_cosine 40.4x/decade, dedup_embedding_ivf_pairs
+# 14.3x/decade — SCALING.md round-13 part 1): cells come from the SAME
+# two-level learned assignment as dedup_semantic_ivf (C = n/250 cells
+# GROWS with n, assignment work n·3·sqrt(C)), so within-cell candidates
+# stay ~(n/C)^2/2 = 250^2/2 per cell — ~n·125 total, LINEAR in n — and
+# the exact 6-dp cosine verify runs on candidates only. Same
+# (vec_a, vec_b, cos) surface as the fixed-block comparison points; the
+# candidate discipline (which pairs are eligible) is the documented
+# difference, exactly as banded LSH is for the text near-dup family.
+# ---------------------------------------------------------------------------
+def dedup_embedding_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _two_level_fine_cells(spark, sf_dir)
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fcell") == F.col("b.fcell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(vectors.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .sortWithinPartitions("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMB_PAIRS_SCALED_SQL = f"""
+WITH {_TWO_LEVEL_CELLS_SQL_CTES}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cos
+FROM ev a JOIN ev b ON a.fcell = b.fcell AND a.vec_id < b.vec_id
+WHERE ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+register_local(
+    QuerySpec(
+        "dedup_embedding_pairs_scaled",
+        dedup_embedding_pairs_scaled,
+        DEDUP_EMB_PAIRS_SCALED_SQL,
+        ("DD26",),
+        doc="near-dup pair list over GROWING learned cells (C = n/250): linear candidates, exact cosine verify — the scale path for the pair surface",
     )
 )
 

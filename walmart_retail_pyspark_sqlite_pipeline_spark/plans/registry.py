@@ -231,6 +231,10 @@ GRADE_QUEUE: dict[str, int] = {
     # round-13 batch 3: Markov removal-effect attribution (bounded
     # per-variant chains, exact micro fixed-point absorption)
     "events_attribution_markov": 14,
+    # round-13 batch 4: the pair-level export of the growing-cell
+    # (two-level learned) embedding dedup — the constructive answer to
+    # the fixed-block n^2/k class the vector replica drive quantified
+    "dedup_embedding_pairs_scaled": 14,
 }
 
 
