@@ -50,15 +50,18 @@ ntile rewrite) or is a never-graded round-13 addition. The round-14
 window:
 
 1. **14 bench headliners** (standing bench.py lines, unchanged).
-2. **7 queue drains**: events_attribution_last_touch (the round-12
-   overflow entry, scheduled first grade) plus the six round-13
+2. **8 queue drains**: events_attribution_last_touch (the round-12
+   overflow entry, scheduled first grade) plus the seven round-13
    operator additions — q48_global_rank (the distributed exact
    global-rank primitive), qc_referential_integrity,
    events_attribution_position, corpus_ccnet_perplexity_buckets,
-   stream_stream_join, events_attribution_markov — all registered
-   with oracle twins, planted pytest, edge-sweep green, and
-   four-decade replica probes (SCALING.md round-13 sections).
-3. **29 deepening slots, oldest single-green parked first**: the r6
+   stream_stream_join, events_attribution_markov,
+   dedup_embedding_pairs_scaled (the growing-cell pair export,
+   3.5x/decade where the fixed-block class measured 40x) — all
+   registered with oracle twins, planted pytest, edge-sweep green,
+   and replica probes to 6M rows / 200k vectors (SCALING.md
+   round-13 sections).
+3. **28 deepening slots, oldest single-green parked first**: the r6
    single-green cohort (corpus_dup_rate_by_source and
    q38_nullsafe_join drained in r13; next: events_activity_streaks,
    events_dwell_time, events_ewma, events_retention_bitmap,
