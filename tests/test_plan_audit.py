@@ -214,8 +214,9 @@ FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "qc_drift_psi": {"orders": (2, "baseline and current distribution legs")},
     "qc_drift_wasserstein": {"orders": (3, "baseline/current legs + normalizer")},
     "sketch_hll_manual": {"events": (2, "sketch pass + exact-evaluation pass")},
-    # round-13 additions
-    "q48_global_rank": {"orders": (2, "ranked side + partition-count side of one range exchange; runtime reuses one scan (ReusedExchange)")},
+    # round-13 additions (q48's (2, "ranked + partition-count sides")
+    # floor was retired in round 14: the correctness pin on the ranked
+    # frame — operators/ranking.py cache() — leaves ONE static scan)
     "qc_referential_integrity": {"orders": (2, "parent key set of the lineitem FK edge + child side of the customer FK edge")},
 }
 
@@ -260,7 +261,7 @@ _PAYLOAD_TABLES = ("customer", "part", "embeddings")
 #: partition — cluster-config-bounded). The one DATA-sized site this
 #: census found — q41's customer-grain ntile(4) — was rewritten in round
 #: 13 to the distributed exact-rank scheme (operators/ranking.py
-#: _ntile4_distributed) rather than whitelisted. Counts are exact: an
+#: global_ntile / global_row_number) rather than whitelisted. Counts are exact: an
 #: improvement must tighten the entry; a regression (or any new
 #: unpartitioned window) fails loudly.
 UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
@@ -310,12 +311,20 @@ def _top_bracket_groups(line: str) -> list[str]:
 
 
 def _count_unpartitioned_windows(plan: str) -> int:
-    """Window nodes with an empty partition spec. The node prints
+    """DISTINCT Window nodes with an empty partition spec. The node prints
     ``Window [exprs], [partitionSpec], [orderSpec]`` with empty groups
     omitted: two trailing groups = partitioned+ordered; one trailing group
     is the partition spec unless it carries sort directions (ASC/DESC —
-    order specs always print them); zero = bare whole-frame window."""
-    count = 0
+    order specs always print them); zero = bare whole-frame window.
+
+    Distinct-line counting (round 14): an ``InMemoryTableScan`` prints its
+    cached plan as innerChildren, so a plan that builds on a cached frame
+    re-prints every node of the cached subtree — q41's three chained
+    rank passes printed the pass-1 window three times (7 lines for 3
+    physical nodes). A node's printed line carries its expression ids, so
+    identical lines ARE the same physical node re-printed; distinct
+    windows always differ."""
+    seen: set[str] = set()
     for raw in plan.splitlines():
         s = raw.strip().lstrip("+-: *")
         if not s.startswith("Window "):
@@ -325,8 +334,8 @@ def _count_unpartitioned_windows(plan: str) -> int:
             continue
         if len(tail) == 1 and not (" ASC" in tail[0] or " DESC" in tail[0]):
             continue
-        count += 1
-    return count
+        seen.add(s)
+    return len(seen)
 
 _PASSTHROUGH_OPS = (
     "Project", "ColumnarToRow", "InputAdapter", "WholeStageCodegen",

@@ -398,3 +398,55 @@ def test_salted_join_equals_direct(spark):
         .toString()
     )
     assert "__salt" in plan
+
+
+def test_global_rank_exact_with_exchange_reuse_and_aqe_off(spark):
+    """The ranked frame inside global_row_number is consumed by two
+    branches (partition-count aggregate + offsets join) over a range
+    exchange whose sampled bounds — and monotonically_increasing_id
+    layout — are nondeterministic per physical instance. The cache() pin
+    (ADVICE r13, medium) must make the rank exact with NO help from
+    exchange reuse or AQE, i.e. under the configs where the two branches
+    would otherwise plan two independent exchanges with independent
+    boundary samples."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.execution.reuseSubquery": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+        # ~5k rows with heavy duplicates across 16 input partitions so the
+        # range sampler has real boundary freedom
+        df = spark.createDataFrame(
+            [Row(id=i, v=(i * 2654435761) % 97) for i in range(5000)]
+        ).repartition(16)
+        got = {
+            r.id: r.rn
+            for r in global_row_number(
+                df, [F.desc("v"), F.col("id")], out="rn"
+            ).collect()
+        }
+        w = Window.orderBy(F.desc("v"), "id")
+        want = {
+            r.id: r.rn
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.clearCache()

@@ -52,9 +52,23 @@ def global_row_number(
     ``sort_cols`` (a list of Column expressions, e.g. ``[F.desc("score"),
     F.col("id")]``) without any data-sized single-partition stage.
 
-    The partition-count branch re-plans the ranked side statically; at
-    runtime AQE reuses the one range exchange (ReusedExchange), so the
-    input is read and shuffled once.
+    The ranked frame is consumed by TWO branches (the partition-count
+    aggregate and the offsets join), and both its building blocks are
+    nondeterministic per physical instance: RangePartitioner samples its
+    bounds with a per-RDD seed, and ``monotonically_increasing_id`` is
+    layout-dependent. The ``cache()`` below is therefore
+    CORRECTNESS-load-bearing, not an optimization (ADVICE r13, medium):
+    it pins both branches to ONE InMemoryRelation — one physical range
+    exchange, one id assignment — so the counts the offsets are derived
+    from always describe the exact layout the join side reads, with NO
+    dependence on exchange-reuse or AQE configs. (Even on partial cache
+    eviction the recompute reuses the same ShuffledRowRDD instance, whose
+    range bounds are fixed at construction, and the per-partition sort is
+    a total order — so recomputed partitions are bit-identical.)
+    ``tests/test_scale_patterns.py`` asserts window-parity with BOTH
+    ``spark.sql.exchange.reuse`` and AQE disabled. The cache is
+    rank-grain (one row per input row) and session-lifetime; callers that
+    rank in a loop should ``spark.catalog.clearCache()`` between batches.
     """
     ranked = (
         df.repartitionByRange(*sort_cols)
@@ -62,6 +76,7 @@ def global_row_number(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .withColumn("_idx", F.col("_mid").bitwiseAND(F.lit(_LOW33)))
+        .cache()
     )
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # cumulative offsets over the partition-count table: ONE row per
