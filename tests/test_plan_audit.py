@@ -129,7 +129,10 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # round-13 additions with bounded outputs: 4 FK-edge rows, |channels|
     # rows, 3 rows per language
     "qc_referential_integrity", "events_attribution_position",
-    "corpus_ccnet_perplexity_buckets", "events_attribution_markov",
+    "corpus_ccnet_perplexity_buckets",
+    # (events_attribution_markov left this list in round 14: the bounded
+    # fixed-point now runs driver-side, so the returned frame is a
+    # LocalTableScan with no trailing sort)
 })
 
 #: Bulk per-row surfaces still carrying a trailing global sort. EMPTY
@@ -286,11 +289,12 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     "text_bm25_prf": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_bm25_topk": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_zipf_slope": (1, "rank over the TakeOrderedAndProject top-N terms"),
-    # round-13 additions: the distributed-rank primitive itself — its only
-    # unpartitioned window is the scheme's defining bounded one — and the
-    # markov attribution's share normalizer
+    # round-13 addition: the distributed-rank primitive itself — its only
+    # unpartitioned window is the scheme's defining bounded one (the
+    # markov attribution's share-normalizer entry was retired in round 14:
+    # the bounded fixed-point runs driver-side, so its returned plan has
+    # no Window at all)
     "q48_global_rank": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
-    "events_attribution_markov": (1, "whole-frame total over |channels| removal effects"),
 }
 
 

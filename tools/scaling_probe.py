@@ -110,6 +110,13 @@ def main() -> None:
     for fact in ("lineitem.parquet", "documents.parquet", "embeddings.parquet"):
         if all(os.path.exists(os.path.join(s, fact)) for s in sf_dirs):
             break
+    else:
+        raise SystemExit(
+            "no common row-scale table across "
+            + ", ".join(sf_dirs)
+            + ": need lineitem.parquet, documents.parquet or "
+            "embeddings.parquet present in EVERY sf_dir"
+        )
     for sf_dir in sf_dirs:
         fact_rows[sf_dir] = (
             spark.read.parquet(os.path.join(sf_dir, fact)).count()
