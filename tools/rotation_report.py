@@ -40,44 +40,43 @@ README_END = "<!-- rotation-counts:end -->"
 #: it survives regeneration (VERDICT r9 #4 asked for the schedule to live
 #: here). Rewrite this constant when the plan changes.
 NEXT_ROUND_PLAN = """\
-## Round-14 window plan (written round 13)
+## Round-15 window plan (written round 14)
 
-Round 13 exported the entire 34-entry round-13 queue plus the two
-deepening spares (q38_nullsafe_join, corpus_dup_rate_by_source) —
-50/50 slots — and ended with an EMPTY re-grade queue: every round-13
-source edit either sits inside the round-13 window (q41's distributed
-ntile rewrite) or is a never-graded round-13 addition. The round-14
-window:
+Round 14 exported the full 8-entry queue (the round-12 overflow entry
+plus all seven round-13 operator additions) — the never-graded set is
+EMPTY for the first time — plus one re-grade (q41_rfm_segments, whose
+closure drifted when operators/ranking.py gained its correctness
+cache() pin) and 27 deepening slots (the complete r6/r7/r8 single-green
+cohorts and 3 of 4 r9 entries). The round-15 window:
 
 1. **14 bench headliners** (standing bench.py lines, unchanged).
-2. **8 queue drains**: events_attribution_last_touch (the round-12
-   overflow entry, scheduled first grade) plus the seven round-13
-   operator additions — q48_global_rank (the distributed exact
-   global-rank primitive), qc_referential_integrity,
-   events_attribution_position, corpus_ccnet_perplexity_buckets,
-   stream_stream_join, events_attribution_markov,
-   dedup_embedding_pairs_scaled (the growing-cell pair export,
-   3.5x/decade where the fixed-block class measured 40x) — all
-   registered with oracle twins, planted pytest, edge-sweep green,
-   and replica probes to 6M rows / 200k vectors (SCALING.md
-   round-13 sections).
-3. **28 deepening slots, oldest single-green parked first**: the r6
-   single-green cohort (corpus_dup_rate_by_source and
-   q38_nullsafe_join drained in r13; next: events_activity_streaks,
-   events_dwell_time, events_ewma, events_retention_bitmap,
-   q39_decimal_money, q43_elasticity_slope, q44_lateral_topn,
-   q46_recursive_spine, q47_ols_normal_eq, sketch_hll_manual,
-   text_bpe_train, text_lm_interpolated, text_zipf_slope, ...), then
-   the r7 cohort, until the window fills. This is the single-green
-   drawdown VERDICT r12 #5 asked for.
+2. **Queue drains**: any round-14 operator additions land in
+   GRADE_QUEUE with target round 15 and export first.
+3. **Re-grades**: any query whose spec hash drifts from its
+   GRADED_HASHES entry during round-14 work re-enters the window
+   (events_attribution_markov and q41_rfm_segments took this path in
+   round 14).
+4. **Deepening slots, oldest single-green parked first**, with the
+   remainder of the window: stream_static_enrich (the r9 overflow),
+   then the r10 cohort (ann_rerank_batch, multimodal_scene_cut,
+   qc_l_diversity), the r11 cohort (corpus_curriculum_phases,
+   corpus_token_budget_waterfill, dedup_minhash_b_bit,
+   multimodal_keyframe_select, text_bm25_prf, text_lm_interpolated),
+   the r12 cohort (corpus_quality_calibration,
+   corpus_soft_dedup_weights, embeddings_dim_clip_bounds,
+   multimodal_audio_vad_segments, sketch_cms_heavy_changers,
+   text_lm_heldout_perplexity), then the r13 first-grade cohort —
+   until the window fills. This continues the single-green drawdown
+   VERDICT r12 #5 asked for.
 
-The unpartitioned-window plan-audit ratchet added in round 13
-(tests/test_plan_audit.py::UNPARTITIONED_WINDOW_ALLOWED) joins the
-fact/documents/payload scan floors as a standing gate, and the
-round-13 vector replica drive's finding — the fixed-block n^2/k
-candidate class on the two exact embedding-pair surfaces — is
-documented with measured decade multipliers in SCALING.md (the
-comparison-point class; the scale path is the IVF/LSH family).
+Standing gates carry: fact/documents/payload scan floors, the
+unpartitioned-window whitelist (exact counts, tighten-only), the
+global-sort and BatchEvalPython bans. Round 14 demoted the two
+measured n^2/k fixed-block embedding pair surfaces
+(dedup_embedding_cosine 40.4x/decade, dedup_embedding_ivf_pairs
+14.3x/decade) to COVERED_BY dedup_embedding_pairs_scaled (growing
+learned cells, 3.51x/decade at 200k vectors), so no future rotation
+can re-export a fixed-block pair plan as a production surface.
 """
 
 def driver_greens() -> dict[str, int]:

@@ -70,34 +70,23 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-13 window (VERDICT r12 "Next round" #1; ROTATION.md "Round-13
-# window plan", written in round 12):
-# - 14 bench headliners: the standing bench.py lines, unchanged from
-#   round 12;
-# - 6 queue drains: the round-12 operator batch, never driver-graded —
-#   simhash_hamming_pairs / range_search_cosine / whitening_stats /
-#   lm_kneser_ney / tokenizer_fertility / pii_detect;
-# - 11 fact-scan consolidation re-grades: the round-11 "recorded floor"
-#   list rewritten in round 12 to ONE fact scan each (window aggregates,
-#   explode unpivot, pinned-range window, conditional per-session
-#   aggregate, post-aggregate bound trim, single value-level quantile
-#   rollup) plus q42's DECIMAL(38,0) overflow fix;
-# - 15 payload-table consolidation re-grades: the embeddings family on
-#   the shared cached vector store (_emb_base, incl. the _ivf_cells
-#   helper feeding ann_ivf_topk/ann_ivf_recall), and scd2/cdc/
-#   t-closeness on their cached snapshot/census inputs;
-# - 2 replica-drive fixes: entity_match_customers (FastSS deletion-
-#   neighborhood blocking) and q32_window_depth (BIGINT row_number
-#   arithmetic);
-# - 2 spare slots by the deepening rule (oldest single-green parked
-#   first): q38_nullsafe_join (green r5) and corpus_dup_rate_by_source
-#   (green r6).
-# 14 + 6 + 11 + 15 + 2 + 2 = 50 slots — the full driver window. All 34
-# queue entries were re-verified on the post-edit sf0.001/sf0.01/edge
-# oracle sweeps (and the 6M-row replica drive) in round 12 and
-# independently by the r12 judge at 222/222 twice, so the re-grades are
-# hash re-stamps. events_attribution_last_touch stays queued for r14 by
-# the standing overflow rule.
+# Round-14 window (VERDICT r13 "Next round" #1; ROTATION.md "Round-14
+# window plan", written in round 13):
+# - 14 bench headliners: the standing bench.py lines, unchanged;
+# - 8 queue drains: events_attribution_last_touch (the round-12 overflow
+#   entry) plus the seven round-13 operator additions (q48_global_rank,
+#   qc_referential_integrity, events_attribution_position,
+#   corpus_ccnet_perplexity_buckets, stream_stream_join,
+#   events_attribution_markov, dedup_embedding_pairs_scaled);
+# - 1 round-14 re-grade: q41_rfm_segments — its closure drifted this
+#   round (operators/ranking.py cache() correctness pin, ADVICE r13
+#   medium), so it re-enters the window instead of parking on stale
+#   evidence (the re-grade-on-rewrite rule);
+# - 27 deepening slots, oldest single-green parked first: the full r6
+#   single-green cohort (16), the r7 cohort (5), the r8 cohort (3), and
+#   3 of the 4 r9 cohort entries (stream_static_enrich, last
+#   alphabetically in its cohort, overflows to the round-15 queue rule).
+# 14 + 8 + 1 + 27 = 50 slots — the full driver window.
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -115,47 +104,49 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "corpus_shingle_index",
         "ann_rerank_two_stage",
         "corpus_prep_pipeline_clf",
-        # --- queue drains: round-12 operators, first grade ---
-        "dedup_simhash_hamming_pairs",
-        "ann_range_search_cosine",
-        "embeddings_whitening_stats",
-        "corpus_lm_kneser_ney",
-        "corpus_tokenizer_fertility",
-        "text_pii_detect",
-        # --- round-12 fact-scan consolidation re-grades ---
-        "events_active_users_7d",
-        "events_autocorr",
-        "events_bounce_rate",
-        "events_cohort_retention",
-        "events_cusum_changepoint",
-        "events_markov_transitions",
-        "events_new_vs_returning",
-        "events_seasonal_naive",
+        # --- queue drains: first grades ---
+        "events_attribution_last_touch",
+        "q48_global_rank",
+        "qc_referential_integrity",
+        "events_attribution_position",
+        "corpus_ccnet_perplexity_buckets",
+        "stream_stream_join",
+        "events_attribution_markov",
+        "dedup_embedding_pairs_scaled",
+        # --- round-14 re-grade (ranking.py cache pin drifted the hash) ---
         "q41_rfm_segments",
-        "q42_abc_analysis",
-        "sketch_quantile_manual",
-        # --- round-12 payload-table consolidation re-grades ---
-        "ann_ivf_topk",
-        "ann_ivf_recall",
-        "ann_ivfpq_topk",
-        "ann_mips_topk",
-        "ann_pq_recall",
-        "ann_rrf_fusion",
-        "dedup_semantic_ivf",
-        "embeddings_jl_projection",
-        "embeddings_kmeans",
-        "embeddings_matryoshka_recall",
-        "embeddings_top2_components",
-        "embeddings_top_component",
-        "scd2_customer_history",
-        "cdc_apply_changes",
-        "qc_t_closeness",
-        # --- round-12 replica-drive fixes ---
-        "entity_match_customers",
-        "q32_window_depth",
-        # --- deepening spares (oldest single-green parked first) ---
-        "q38_nullsafe_join",
-        "corpus_dup_rate_by_source",
+        # --- deepening: r6 single-green cohort ---
+        "events_activity_streaks",
+        "events_dwell_time",
+        "events_ewma",
+        "events_retention_bitmap",
+        "q39_decimal_money",
+        "q43_elasticity_slope",
+        "q44_lateral_topn",
+        "q46_recursive_spine",
+        "q47_ols_normal_eq",
+        "qc_benford_totalprice",
+        "qc_drift_ks",
+        "qc_drift_psi",
+        "qc_key_skew",
+        "sketch_hll_manual",
+        "stream_dedup_counts",
+        "text_zipf_slope",
+        # --- deepening: r7 single-green cohort ---
+        "corpus_encoding_audit",
+        "events_top_paths",
+        "events_wow_change",
+        "text_bpe_merge_candidates",
+        "text_bpe_train",
+        # --- deepening: r8 single-green cohort ---
+        "corpus_gopher_rules",
+        "events_seasonal_decompose",
+        "qc_drift_wasserstein",
+        # --- deepening: r9 single-green cohort (3 of 4; the window caps
+        # at 50 — stream_static_enrich heads the round-15 deepening list)
+        "multimodal_image_ann",
+        "qc_k_anonymity",
+        "stream_session_windows",
     }
 )
 
@@ -196,6 +187,21 @@ COVERED_BY: dict[str, str] = {
     # canonical exported surface; the flat variant stays local as the
     # measured comparison point.
     "dedup_semantic_clusters": "dedup_semantic_ivf",
+    # VERDICT r13 "What's wrong" #1 / "Next round" #2: the two FIXED-BLOCK
+    # exact embedding pair surfaces are measured n²/k scale-killers (the
+    # round-13 200k-vector rotated-replica drive: dedup_embedding_cosine
+    # 40.4×/decade — killed at >50 min; dedup_embedding_ivf_pairs
+    # 14.3×/decade — fixed cell count k means candidates grow n²/k while
+    # output stays ~linear, invisible to the static plan audit because the
+    # join has a key). dedup_embedding_pairs_scaled computes the SAME
+    # pair export via GROWING learned cells (C = n/250, two-level n·3·√C
+    # assignment, exact cosine verify on candidates only — measured
+    # 3.51×/decade at 200k vectors) and is the round-14-graded canonical
+    # surface; the fixed-block variants stay local as the measured
+    # comparison points (the dedup_semantic_clusters precedent), so no
+    # future rotation can re-export an n²/k plan as a production surface.
+    "dedup_embedding_cosine": "dedup_embedding_pairs_scaled",
+    "dedup_embedding_ivf_pairs": "dedup_embedding_pairs_scaled",
     # VERDICT r8 #7: recall-audit surface of the SAME int8→exact rerank
     # cascade — it forces the exact full-corpus top-K leg into the plan
     # (a second linear scan) for the per-row in_exact_topk flags, so it
@@ -207,35 +213,11 @@ COVERED_BY: dict[str, str] = {
 # Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
 # new capabilities OR parked greens whose spec hash drifted and which did
 # not fit the current 50-slot window (allowed only while hash-drifted —
-# tests/test_rotation.py). Round 13 exported the entire 34-entry
-# round-13 queue (6 round-12 first grades + 26 consolidation re-grades
-# + 2 replica-drive fixes); only the round-12 overflow entry remains,
-# plus any round-13 operator additions (registered this round, graded
-# next) appended below as they land.
-GRADE_QUEUE: dict[str, int] = {
-    # round-12 batch 2 (registered after the r13 window filled to 48; the
-    # standing rule rolls overflow to the next round)
-    "events_attribution_last_touch": 14,
-    # round-13 operator additions (registered this round, graded next):
-    # the distributed exact global-rank primitive (the scale-safe
-    # replacement for unpartitioned ranking windows, operators/ranking.py),
-    # the FK orphan census, U-shaped position-based attribution, and the
-    # CCNet per-language head/middle/tail perplexity terciles
-    "q48_global_rank": 14,
-    "qc_referential_integrity": 14,
-    "events_attribution_position": 14,
-    "corpus_ccnet_perplexity_buckets": 14,
-    # round-13 batch 2: the stream-stream interval join surface (kernel
-    # and batch-equality pytest are round-1 code; registered round 13)
-    "stream_stream_join": 14,
-    # round-13 batch 3: Markov removal-effect attribution (bounded
-    # per-variant chains, exact micro fixed-point absorption)
-    "events_attribution_markov": 14,
-    # round-13 batch 4: the pair-level export of the growing-cell
-    # (two-level learned) embedding dedup — the constructive answer to
-    # the fixed-block n^2/k class the vector replica drive quantified
-    "dedup_embedding_pairs_scaled": 14,
-}
+# tests/test_rotation.py). Round 14 exported the entire round-13 queue
+# (the round-12 overflow entry + the seven round-13 operator additions):
+# for the first time the never-graded set is EMPTY. Round-14 additions
+# (registered this round, graded next) append below as they land.
+GRADE_QUEUE: dict[str, int] = {}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name
