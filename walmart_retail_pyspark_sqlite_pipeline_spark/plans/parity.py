@@ -1712,6 +1712,13 @@ def q41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max-anchor window; round 13 replaces it with a cached rollup + 1-row
     # broadcast anchor (same single parquet scan — the cache is the scan),
     # which also supplies the exact total count the bucket formula needs.
+    # Cache lifecycle (ADVICE r13 #3): this rollup is CUSTOMER-grain
+    # (~1000x smaller than the fact scan) and the default MEMORY_AND_DISK
+    # level is LRU-evictable, so the session-lifetime entry is bounded
+    # pressure, not a leak; it cannot be unpersisted here because the
+    # returned frame is lazy (the driver materializes it). Pipelines that
+    # loop over segmentations should spark.catalog.clearCache() between
+    # batches — same contract as operators/ranking.py's pin.
     per_cust_base = (
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
