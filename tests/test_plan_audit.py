@@ -130,6 +130,8 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # rows, 3 rows per language
     "qc_referential_integrity", "events_attribution_position",
     "corpus_ccnet_perplexity_buckets",
+    # round-14 addition with bounded output: 3 quantile rows
+    "sketch_hdr_quantiles",
     # (events_attribution_markov left this list in round 14: the bounded
     # fixed-point now runs driver-side, so the returned frame is a
     # LocalTableScan with no trailing sort)
@@ -295,6 +297,9 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     # the bounded fixed-point runs driver-side, so its returned plan has
     # no Window at all)
     "q48_global_rank": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
+    # round-14 additions
+    "corpus_training_order": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
+    "sketch_hdr_quantiles": (1, "ONE fused Window node (same order spec) holding the cumulative count and whole-frame total over the <=64-row log2 bucket census"),
 }
 
 

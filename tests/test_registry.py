@@ -289,6 +289,13 @@ def test_rotation_never_orphans_a_capability_tag():
         # (TS11 driver-green) + fixed-iteration chains (IT4 label-prop)
         "DD26",  # growing-cell pair export: shares dedup_semantic_ivf's
         # two-level assignment (DD22, exported r13) verbatim
+        # round-14 additions, queued in GRADE_QUEUE for the round-15 window
+        "CP40",  # seeded training-order shuffle: rides the RK1 rank
+        # primitive (q48 exported r14) + md5 keying (DD1 driver-green)
+        "SK10",  # HDR log2-bucket quantiles: sketch family (SK2/SK5
+        # driver-green) + integer bit arithmetic (SIM13 bin/shift)
+        "TS29",  # two-proportion z-test: conditional-agg families (A1-A8,
+        # TS21 driver-green) + the markov mirrored-double precedent
     }
     orphaned = {
         t

@@ -3987,3 +3987,82 @@ register_local(
         doc="CCNet-style per-language head/middle/tail perplexity terciles over the corpus bigram LM; partitioned ntile, bounded output",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_training_order — seeded deterministic global shuffle + shard
+# assignment: the training-order layout step every pretraining pipeline
+# runs between curation and the data loader. Each document gets a
+# pseudorandom but REPRODUCIBLE position (ord) in the epoch — the sort key
+# is md5(seed || doc_id), so re-running with the same seed yields the same
+# order on any cluster size — and a fixed-size shard (shard, pos) so
+# loaders can address ranges without a manifest.
+#
+# The naive spelling is ROW_NUMBER() OVER (ORDER BY md5(...)) — the
+# unpartitioned data-sized window the plan-audit ratchet bans. This rides
+# operators/ranking.py:global_row_number instead (range exchange +
+# monotonically_increasing_id bit layout + broadcast partition-count
+# offsets): exact, partition-parallel at any scale, with the scheme's one
+# unpartitioned window bounded at one row per shuffle partition. NULL
+# ordering is pinned NULLS FIRST on both engines (the round-10 waterfill
+# lesson: default NULL order diverges and ranking feeds logic).
+# ---------------------------------------------------------------------------
+TRAINING_ORDER_SEED = "seed42"
+SHARD_DOCS = 1000
+
+
+def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(TRAINING_ORDER_SEED + ":"), F.col("doc_id").cast("string")
+            )
+        ).alias("k"),
+    )
+    ranked = global_row_number(
+        keyed,
+        [F.col("k").asc_nulls_first(), F.col("doc_id").asc_nulls_first()],
+        out="ord",
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("ord").cast("bigint").alias("ord"),
+        F.expr(f"CAST((ord - 1) DIV {SHARD_DOCS} AS BIGINT)").alias("shard"),
+        F.expr(f"CAST((ord - 1) % {SHARD_DOCS} AS BIGINT)").alias("pos"),
+    ).sortWithinPartitions("doc_id")
+
+
+TRAINING_ORDER_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+    md5('{TRAINING_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (
+      ORDER BY k NULLS FIRST, doc_id NULLS FIRST
+    ) AS BIGINT) AS ord
+  FROM keyed
+)
+SELECT doc_id, ord,
+  CAST((ord - 1) // {SHARD_DOCS} AS BIGINT) AS shard,
+  CAST((ord - 1) % {SHARD_DOCS} AS BIGINT) AS pos
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_training_order",
+        corpus_training_order,
+        TRAINING_ORDER_SQL,
+        ("CP40",),
+        doc="seeded deterministic training-order shuffle + fixed-size shard assignment via the distributed exact-rank primitive",
+    )
+)

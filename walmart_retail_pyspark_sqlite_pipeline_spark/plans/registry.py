@@ -217,7 +217,16 @@ COVERED_BY: dict[str, str] = {
 # (the round-12 overflow entry + the seven round-13 operator additions):
 # for the first time the never-graded set is EMPTY. Round-14 additions
 # (registered this round, graded next) append below as they land.
-GRADE_QUEUE: dict[str, int] = {}
+GRADE_QUEUE: dict[str, int] = {
+    # round-14 operator additions (registered this round, graded next):
+    # the seeded deterministic training-order shuffle (rides the
+    # distributed exact-rank primitive at documents grain), the
+    # HDR-style log2-bucket relative-error quantile sketch, and the
+    # two-proportion z-test experiment readout
+    "corpus_training_order": 15,
+    "sketch_hdr_quantiles": 15,
+    "events_ab_test": 15,
+}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name

@@ -1564,3 +1564,137 @@ register_local(
         doc="heavy-change detection: per-half Count-Min sketches, top movers by |estimated delta| with exact eval",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hdr_quantiles — log2-bucket (HDR-histogram-style) quantile sketch.
+#
+# sketch_quantile_manual bounds ABSOLUTE error (fixed $1000 buckets): fine
+# when the value range is known, useless when it spans decades (a $100
+# metric and a $10M metric cannot share a width). The HDR shape bounds
+# RELATIVE error instead: bucket = bit length of the integer cents (=
+# floor(log2)+1), so every bucket's width is <= its own lower bound and
+# the midpoint estimate is within 50% relative error per bucket —
+# constant-size (<= 64 cells) mergeable state over ANY dynamic range,
+# partial-aggregated map-side, the same shape HdrHistogram/DDSketch use
+# in production latency pipelines. All bucket math is integer bit
+# arithmetic (length(bin(x)) / shiftleft — verified identical in Spark
+# and DuckDB), so the twin is bit-exact with no float log anywhere.
+#
+# For each p in {50, 95, 99}: target rank = (p*n + 99) DIV 100 (integer
+# ceil), the answer is the first bucket whose cumulative count reaches
+# the target; exported as exact integers (bucket bounds, midpoint,
+# counts). The only unpartitioned window runs over the <= 64-row bucket
+# census. No reference counterpart (reference has no quantile surface);
+# scale role: order statistics at 100 TB without sorting anything.
+# ---------------------------------------------------------------------------
+_HDR_PS = (50, 95, 99)
+
+
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    census = (
+        orders.select(
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+        .select(F.expr("CAST(length(bin(cents)) AS BIGINT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # both windows run over the SAME <=64-row census frame (one scan, one
+    # branch): the cumulative count, and the whole-frame total that the
+    # target ranks need — a second branch (census.agg) would re-plan the
+    # orders scan
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = census.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(w_all).cast("bigint")
+    )
+    qs = spark.createDataFrame([(int(p),) for p in _HDR_PS], "q_pct bigint")
+    cand = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "target_rank", F.expr("(q_pct * total + 99) DIV 100")
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    pick = cand.groupBy("q_pct", "total", "target_rank").agg(
+        F.min("bucket").alias("bucket"),
+        F.min_by("n", "bucket").alias("bucket_count"),
+        F.min_by("cum", "bucket").alias("cum_count"),
+    )
+    return pick.select(
+        "q_pct",
+        "total",
+        "target_rank",
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))").alias(
+            "bucket_lo"
+        ),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"
+        ).alias("bucket_hi"),
+        F.expr(
+            "(shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"
+            " + shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1) DIV 2"
+        ).alias("est_mid"),
+        "bucket_count",
+        "cum_count",
+    ).orderBy("q_pct")
+
+
+SKETCH_HDR_SQL = f"""
+WITH census AS (
+  SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+  ) WHERE cents > 0
+  GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n,
+    CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum
+  FROM census
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census),
+targets AS (
+  SELECT q_pct, total, (q_pct * total + 99) // 100 AS target_rank
+  FROM (SELECT CAST(unnest({list(_HDR_PS)}) AS BIGINT) AS q_pct)
+  CROSS JOIN total
+),
+pick AS (
+  SELECT q_pct, total, target_rank,
+    MIN(bucket) AS bucket,
+    arg_min(n, bucket) AS bucket_count,
+    arg_min(cum, bucket) AS cum_count
+  FROM cum CROSS JOIN targets
+  WHERE cum >= target_rank
+  GROUP BY 1, 2, 3
+)
+SELECT q_pct, total, target_rank, bucket,
+  (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS bucket_lo,
+  (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS bucket_hi,
+  ((CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT))
+   + (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1) // 2 AS est_mid,
+  bucket_count, cum_count
+FROM pick
+ORDER BY q_pct
+"""
+
+
+register_local(
+    QuerySpec(
+        "sketch_hdr_quantiles",
+        sketch_hdr_quantiles,
+        SKETCH_HDR_SQL,
+        ("SK10",),
+        doc="HDR-style log2-bucket quantile sketch: bounded RELATIVE error, <=64-cell mergeable state, integer-exact twin",
+    )
+)

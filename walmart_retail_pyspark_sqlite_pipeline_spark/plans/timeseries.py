@@ -2553,3 +2553,113 @@ register_local(
         doc="Markov removal-effect attribution: bounded per-variant chains, exact micro fixed-point absorption, one events scan",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test — two-proportion z-test over a deterministic user split:
+# the experimentation primitive every growth pipeline runs on the events
+# stream. Users split into arms by user_id parity (deterministic on both
+# engines; a NULL user_id joins neither arm, exactly as `user_id % 2 = k`
+# filters NULLs in SQL); conversion = the user produced >= 1 purchase.
+# The whole query is ONE events scan -> per-user flag (map-side-combined
+# groupBy) -> a single 1-row conditional aggregate; the z statistic is
+# computed at the very end from four exact BIGINT counts through one
+# mirrored double expression — IEEE divide/multiply/sqrt are correctly
+# rounded, so identical integer inputs give a bit-identical double on
+# both engines (the markov p_conv precedent), with CASE guards for empty
+# arms and degenerate pooled rates. No reference counterpart; scale role:
+# experiment readout as a pure aggregation, no row-level export.
+# ---------------------------------------------------------------------------
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("conv")
+    )
+    arm = F.col("user_id") % 2
+    stats = per_user.agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    z_expr = (
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        "CASE WHEN (conv_a + conv_b) = 0 OR (conv_a + conv_b) = (n_a + n_b) "
+        "THEN CAST(NULL AS DOUBLE) ELSE "
+        "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)"
+        " / CAST(n_a + n_b AS DOUBLE))"
+        " * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) END END"
+    )
+    return stats.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(
+            "CASE WHEN n_a = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END"
+        ).alias("p_a"),
+        F.expr(
+            "CASE WHEN n_b = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END"
+        ).alias("p_b"),
+        F.expr(z_expr).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM per_user
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  CASE WHEN n_a = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+  CASE WHEN n_b = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+  CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE
+    CASE WHEN (conv_a + conv_b) = 0 OR (conv_a + conv_b) = (n_a + n_b)
+    THEN CAST(NULL AS DOUBLE) ELSE
+    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+    * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
+    / CAST(n_a + n_b AS DOUBLE))
+    * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+    + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) END END AS z_score
+FROM stats
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_ab_test",
+        events_ab_test,
+        AB_TEST_SQL,
+        ("TS29",),
+        doc="two-proportion z-test on a deterministic user split: one events scan, four exact counts, one mirrored double expression",
+    )
+)
