@@ -130,8 +130,9 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # rows, 3 rows per language
     "qc_referential_integrity", "events_attribution_position",
     "corpus_ccnet_perplexity_buckets",
-    # round-14 addition with bounded output: 3 quantile rows
-    "sketch_hdr_quantiles",
+    # round-14 additions with bounded outputs: 3 quantile rows /
+    # KNN_Q per-query eval rows
+    "sketch_hdr_quantiles", "ann_eval_mrr",
     # (events_attribution_markov left this list in round 14: the bounded
     # fixed-point now runs driver-side, so the returned frame is a
     # LocalTableScan with no trailing sort)
@@ -299,6 +300,7 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     "q48_global_rank": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
     # round-14 additions
     "corpus_training_order": (1, "cumulative offsets over the partition-count table (one row per shuffle partition)"),
+    "ann_eval_mrr": (1, "batch-mean window over the KNN_Q-bounded per-query frame"),
     "sketch_hdr_quantiles": (1, "ONE fused Window node (same order spec) holding the cumulative count and whole-frame total over the <=64-row log2 bucket census"),
 }
 

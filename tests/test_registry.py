@@ -296,6 +296,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # driver-green) + integer bit arithmetic (SIM13 bin/shift)
         "TS29",  # two-proportion z-test: conditional-agg families (A1-A8,
         # TS21 driver-green) + the markov mirrored-double precedent
+        "SIM17",  # known-item MRR eval: exact leg (SIM4 ivf_recall
+        # driver-green) + batch knn (SIM6) + micro-int reciprocal ranks
     }
     orphaned = {
         t

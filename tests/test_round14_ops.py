@@ -160,3 +160,53 @@ def test_ab_test_degenerate_arms_yield_null_z(spark, tmp_path):
     r = events_ab_test(spark, sf).collect()[0]
     assert (r.n_a, r.n_b) == (3, 0)
     assert r.z_score is None and r.p_b is None
+
+
+def test_ann_eval_mrr_contract_on_sf_small(spark):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ANN_K,
+        KNN_Q,
+        ann_eval_mrr,
+    )
+
+    rows = ann_eval_mrr(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= KNN_Q
+    tot = sum(r.rr_micro for r in rows)
+    for r in rows:
+        if r.approx_rank is None:
+            assert r.rr_micro == 0
+        else:
+            assert 1 <= r.approx_rank <= ANN_K
+            assert r.rr_micro == 1_000_000 // r.approx_rank
+        assert r.mrr_micro == tot // len(rows)
+
+
+def test_ann_eval_mrr_single_cell_is_perfect(spark, tmp_path):
+    """With one label (one IVF cell) the single-probe search IS the exact
+    search, so every query's exact top-1 must sit at approx rank 1."""
+    import random
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.llm import (
+        ann_eval_mrr,
+    )
+
+    rng = random.Random(7)
+    sf = str(tmp_path)
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[rng.uniform(-1, 1) for _ in range(64)],
+            label=1,
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows).selectExpr(
+        "vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = ann_eval_mrr(spark, sf).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.approx_rank == 1 and r.rr_micro == 1_000_000
+        assert r.mrr_micro == 1_000_000

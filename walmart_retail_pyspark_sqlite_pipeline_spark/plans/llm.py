@@ -7340,3 +7340,134 @@ register_local(
         doc="per-dimension exact-moment mean/variance: the whitening precompute and provider-drift monitor",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_eval_mrr — known-item MRR eval of the single-probe IVF path: for the
+# KNN_Q-vector query batch, the "relevant" item is each query's EXACT
+# top-1 corpus neighbor, and the metric is where that item lands in the
+# IVF top-K list (reciprocal rank; 0 when the probe misses the cell).
+# Completes the retrieval-eval family: ann_ivf_recall measures SET overlap
+# at k, this measures the rank-position quality the set metric can't see
+# (an approximate list with the right members in the wrong order scores
+# identical recall but lower MRR). The exact leg is the eval's
+# requirement, same as ann_ivf_recall/ann_rerank_audit.
+#
+# Determinism: cosines round to 6dp before ranking with vec_id tiebreak
+# (the knn_join idiom); reciprocal ranks are exact micro-integers
+# (1e6 DIV rank), so the mean (SUM DIV COUNT) is summation-order-free.
+# The one unpartitioned window (the batch mean) runs over the
+# KNN_Q-bounded per-query frame. Scale: both legs are broadcast-query
+# scans of the corpus — no corpus self-join anywhere.
+# ---------------------------------------------------------------------------
+def ann_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_base(spark, sf_dir).select("vec_id", "v")
+    cells = _ivf_cells(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qc = cells.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("qcell")
+    )
+    corpus = e.join(cells, "vec_id").filter(F.col("vec_id") >= KNN_Q)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    exact1 = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("q_id", F.col("vec_id").alias("exact_top1"))
+    )
+    approx = (
+        corpus.crossJoin(F.broadcast(q.join(qc, "q_id")))
+        .filter(F.col("cell") == F.col("qcell"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("arank", F.row_number().over(w).cast("long"))
+        .filter(F.col("arank") <= ANN_K)
+    )
+    per_q = (
+        exact1.join(
+            approx.select("q_id", "vec_id", "arank"),
+            (exact1.q_id == approx.q_id) & (exact1.exact_top1 == approx.vec_id),
+            "left",
+        )
+        .select(exact1.q_id, "exact_top1", "arank")
+        .withColumn(
+            "rr_micro",
+            F.coalesce(F.expr("1000000 DIV arank"), F.lit(0)).cast("bigint"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_q.select(
+            "q_id",
+            "exact_top1",
+            F.col("arank").alias("approx_rank"),
+            "rr_micro",
+        )
+        .withColumn("_sum", F.sum("rr_micro").over(w_all))
+        .withColumn("_cnt", F.count("*").over(w_all))
+        .withColumn("mrr_micro", F.expr("CAST(_sum DIV _cnt AS BIGINT)"))
+        .drop("_sum", "_cnt")
+        .orderBy("q_id")
+    )
+
+
+ANN_EVAL_MRR_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {KNN_Q}),
+qc AS (SELECT vec_id AS q_id, cell AS qcell FROM cells WHERE vec_id < {KNN_Q}),
+corpus AS (
+  SELECT e.vec_id, v, cell FROM e JOIN cells USING (vec_id)
+  WHERE e.vec_id >= {KNN_Q}
+),
+exact AS (
+  SELECT q_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND({vectors.cosine_sql('v', 'qv')}, 6) DESC, vec_id) AS rnk
+  FROM corpus, q
+),
+exact1 AS (SELECT q_id, vec_id AS exact_top1 FROM exact WHERE rnk = 1),
+approx AS (
+  SELECT s.q_id, s.vec_id, s.arank FROM (
+    SELECT corpus.vec_id, q.q_id,
+      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        ROUND({vectors.cosine_sql('v', 'qv')}, 6) DESC, corpus.vec_id)
+        AS arank
+    FROM corpus JOIN qc ON corpus.cell = qc.qcell
+    JOIN q ON q.q_id = qc.q_id
+  ) s WHERE s.arank <= {ANN_K}
+),
+per_q AS (
+  SELECT exact1.q_id, exact_top1,
+    CAST(approx.arank AS BIGINT) AS approx_rank,
+    CAST(COALESCE(1000000 // approx.arank, 0) AS BIGINT) AS rr_micro
+  FROM exact1 LEFT JOIN approx
+    ON exact1.q_id = approx.q_id AND exact1.exact_top1 = approx.vec_id
+)
+SELECT q_id, exact_top1, approx_rank, rr_micro,
+  CAST(SUM(rr_micro) OVER () // COUNT(*) OVER () AS BIGINT) AS mrr_micro
+FROM per_q
+ORDER BY q_id
+"""
+
+
+register_local(
+    QuerySpec(
+        "ann_eval_mrr",
+        ann_eval_mrr,
+        ANN_EVAL_MRR_SQL,
+        ("SIM17",),
+        doc="known-item MRR eval of single-probe IVF vs exact top-1: rank-position quality, exact micro-integer reciprocal ranks",
+    )
+)

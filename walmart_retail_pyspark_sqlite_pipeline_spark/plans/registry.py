@@ -226,6 +226,9 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_training_order": 15,
     "sketch_hdr_quantiles": 15,
     "events_ab_test": 15,
+    # round-14 batch 2: known-item MRR eval of the IVF path (rank-position
+    # quality; ann_ivf_recall only measures set overlap)
+    "ann_eval_mrr": 15,
 }
 
 
