@@ -133,6 +133,12 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     # round-14 additions with bounded outputs: 3 quantile rows /
     # KNN_Q per-query eval rows
     "sketch_hdr_quantiles", "ann_eval_mrr",
+    # round-14 batch 3: n_copies histogram (rows bounded by the max
+    # duplicate multiplicity, the DD1/DD10 output shape) / |channels|+1
+    # rows
+    "corpus_cdc_chunk_dedup", "events_attribution_time_decay",
+    # round-14 batch 4: <=256 Hilbert cells (the zorder twin's bound)
+    "layout_hilbert_clustering",
     # (events_attribution_markov left this list in round 14: the bounded
     # fixed-point now runs driver-side, so the returned frame is a
     # LocalTableScan with no trailing sort)
@@ -224,6 +230,10 @@ FACT_MULTI_SCAN_ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     # floor was retired in round 14: the correctness pin on the ranked
     # frame — operators/ranking.py cache() — leaves ONE static scan)
     "qc_referential_integrity": {"orders": (2, "parent key set of the lineitem FK edge + child side of the customer FK edge")},
+    # round-14 batch 3
+    "events_ab_cuped": {"events": (2, "the period split point needs a global ts min/max pass before any row can be bucketed (the layout_zorder bounds shape); the bounds scan prunes to the ts column and at scale reads parquet footer stats")},
+    # round-14 batch 4
+    "layout_hilbert_clustering": {"orders": (2, "same bounds-then-bucket shape as layout_zorder_clustering: the price-bucket range needs a global min/max pass; at scale it reads parquet footer stats")},
 }
 
 #: Round-12 extension of the same ratchet to the payload/dim tables

@@ -298,6 +298,13 @@ def test_rotation_never_orphans_a_capability_tag():
         # TS21 driver-green) + the markov mirrored-double precedent
         "SIM17",  # known-item MRR eval: exact leg (SIM4 ivf_recall
         # driver-green) + batch knn (SIM6) + micro-int reciprocal ranks
+        "TS30",  # time-decay attribution: TS27 journey windows
+        # (driver-green r14 window) + power-of-two BIGINT weights with
+        # the TS27 micro-credit DIV idiom
+        "TS31",  # CUPED A/B readout: TS29 conditional-agg readout frame
+        # + the TS28/TS29 mirrored-double discipline over exact moments
+        "DD27",  # content-defined chunk dedup: DD10 chunk-histogram
+        # shape (driver-green) + poly-hash rolling windows (DD2/TX frame)
     }
     orphaned = {
         t

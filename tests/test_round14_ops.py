@@ -210,3 +210,281 @@ def test_ann_eval_mrr_single_cell_is_perfect(spark, tmp_path):
     for r in got:
         assert r.approx_rank == 1 and r.rr_micro == 1_000_000
         assert r.mrr_micro == 1_000_000
+
+
+def _write_events(spark, sf, rows):
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(f"{sf}/events.parquet")
+
+
+def test_time_decay_attribution_hand_calc(spark, tmp_path):
+    """User 1: click (age 2 days), view (age 0 days), purchase $1.00.
+    Weights 2^18 : 2^20 -> credit split exactly 20%/80% of 100e6 micro.
+    User 3: touchless purchase $2.00 -> 'direct' gets the full 200e6."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_attribution_time_decay,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        Row(event_id=1, ts="2024-01-01 00:00:00", user_id=1,
+            event_type="click", value=0.0),
+        Row(event_id=2, ts="2024-01-03 00:00:00", user_id=1,
+            event_type="view", value=0.0),
+        Row(event_id=3, ts="2024-01-03 01:00:00", user_id=1,
+            event_type="purchase", value=1.0),
+        Row(event_id=4, ts="2024-01-05 00:00:00", user_id=3,
+            event_type="purchase", value=2.0),
+    ]
+    _write_events(spark, sf, rows)
+    got = {
+        r.channel: r
+        for r in events_attribution_time_decay(spark, sf).collect()
+    }
+    assert set(got) == {"click", "view", "direct"}
+    # click: age (2d+1h) DIV 1d = 2 -> w=2^18; view: age 0 -> w=2^20
+    w_click, w_view = 1 << 18, 1 << 20
+    tot = w_click + w_view
+    assert got["click"].attributed_micro == 100_000_000 * w_click // tot
+    assert got["view"].attributed_micro == 100_000_000 * w_view // tot
+    assert got["direct"].attributed_micro == 200_000_000
+    assert (
+        got["click"].n_credits,
+        got["view"].n_credits,
+        got["direct"].n_credits,
+    ) == (1, 1, 1)
+
+
+def test_time_decay_conserves_purchase_value_within_truncation(
+    spark, tmp_path
+):
+    """Across many journeys the per-channel micros must sum to the total
+    converted value minus at most one micro of DIV truncation per touch."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_attribution_time_decay,
+    )
+
+    sf = str(tmp_path)
+    rows, eid = [], 0
+    n_touch = 0
+    for uid in range(20):
+        base = 1704067200  # 2024-01-01
+        for k in range(uid % 5):
+            eid += 1
+            n_touch += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=f"2024-01-0{1 + k % 5} 0{uid % 9}:00:00",
+                    user_id=uid,
+                    event_type=("click", "view", "signup")[k % 3],
+                    value=0.0,
+                )
+            )
+        eid += 1
+        rows.append(
+            Row(
+                event_id=eid,
+                ts="2024-01-09 00:00:00",
+                user_id=uid,
+                event_type="purchase",
+                value=float(uid + 1),
+            )
+        )
+    _write_events(spark, sf, rows)
+    got = events_attribution_time_decay(spark, sf).collect()
+    total_micro = sum(r.attributed_micro for r in got)
+    want = sum((uid + 1) * 100 * 1_000_000 for uid in range(20))
+    assert want - n_touch <= total_micro <= want
+
+
+def test_ab_cuped_matches_python_float_reference(spark, tmp_path):
+    """Planted per-user (x, y): the engine's mirrored-double outputs must
+    equal the same IEEE expression tree computed in Python floats."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ab_cuped,
+    )
+
+    sf = str(tmp_path)
+    # span 00:00..02:00 -> cut at 01:00; pre events at 00:00, purchases
+    # (the Y metric) at 02:00
+    xs = {0: 1, 1: 2, 2: 3, 3: 4, 4: 2, 5: 1}
+    ys = {0: 0, 1: 1, 2: 1, 3: 2, 4: 2, 5: 0}
+    rows, eid = [], 0
+    for uid, x in xs.items():
+        for _ in range(x):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts="2024-01-01 00:00:00", user_id=uid,
+                    event_type="view", value=0.0)
+            )
+        for _ in range(ys[uid]):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts="2024-01-01 02:00:00", user_id=uid,
+                    event_type="purchase", value=1.0)
+            )
+    _write_events(spark, sf, rows)
+    r = events_ab_cuped(spark, sf).collect()[0]
+    # purchases at 02:00 are post-period rows; they do NOT count into x
+    n = len(xs)
+    sx = sum(xs.values())
+    sy = sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    sxx = sum(v * v for v in xs.values())
+    syy = sum(v * v for v in ys.values())
+    varx = float(n) * float(sxx) - float(sx) * float(sx)
+    covxy = float(n) * float(sxy) - float(sx) * float(sy)
+    vary = float(n) * float(syy) - float(sy) * float(sy)
+    theta = covxy / varx
+    a = [u for u in xs if u % 2 == 0]
+    b = [u for u in xs if u % 2 == 1]
+    mean_x = float(sx) / float(n)
+    mean_y_a = float(sum(ys[u] for u in a)) / float(len(a))
+    mean_y_b = float(sum(ys[u] for u in b)) / float(len(b))
+    mean_x_a = float(sum(xs[u] for u in a)) / float(len(a))
+    mean_x_b = float(sum(xs[u] for u in b)) / float(len(b))
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.theta == theta
+    assert r.mean_y_a == mean_y_a and r.mean_y_b == mean_y_b
+    assert r.diff_raw == mean_y_a - mean_y_b
+    want_cuped = (mean_y_a - theta * (mean_x_a - mean_x)) - (
+        mean_y_b - theta * (mean_x_b - mean_x)
+    )
+    assert r.diff_cuped == want_cuped
+    assert r.rho2 == (covxy * covxy) / (varx * vary)
+
+
+def test_ab_cuped_zero_variance_covariate_yields_null_theta(
+    spark, tmp_path
+):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ab_cuped,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    for uid in range(4):  # every user: exactly one pre event -> var(X)=0
+        rows.append(
+            Row(event_id=uid + 1, ts="2024-01-01 00:00:00", user_id=uid,
+                event_type="view", value=0.0)
+        )
+    rows.append(
+        Row(event_id=99, ts="2024-01-01 02:00:00", user_id=0,
+            event_type="purchase", value=1.0)
+    )
+    _write_events(spark, sf, rows)
+    r = events_ab_cuped(spark, sf).collect()[0]
+    assert r.theta is None and r.diff_cuped is None and r.rho2 is None
+    assert r.diff_raw is not None  # raw readout still defined
+
+
+def test_cdc_chunking_is_shift_resistant(spark, tmp_path):
+    """THE content-defined-chunking contract: a prefix insertion leaves
+    the chunks past the edit identical, so most of the shifted copy still
+    dedups chunk-for-chunk (fixed-width chunking would share nothing)."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_cdc_chunk_dedup,
+    )
+
+    sf = str(tmp_path)
+    words = [f"w{i * 7919 % 1000}x{i % 13}" for i in range(400)]
+    base = " ".join(words)
+    shifted = "inserted prefix tokens here " + base
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en", source="a", n_chars=len(base)),
+            Row(doc_id=2, text=shifted, lang="en", source="b",
+                n_chars=len(shifted)),
+        ]
+    ).write.parquet(f"{sf}/documents.parquet")
+    hist = {r.n_copies: r for r in corpus_cdc_chunk_dedup(spark, sf).collect()}
+    shared_toks = sum(
+        r.tok_total for c, r in hist.items() if c >= 2
+    )
+    total_toks = sum(r.tok_total for r in hist.values())
+    assert total_toks == 400 + 404
+    # shared chunks cover both copies; the base doc alone is 400 tokens —
+    # well over half of its content must re-sync after the edit
+    assert shared_toks >= 400, (shared_toks, dict(hist))
+
+
+def test_cdc_chunking_identical_docs_fully_dedup(spark, tmp_path):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.corpus import (
+        corpus_cdc_chunk_dedup,
+    )
+
+    sf = str(tmp_path)
+    txt = " ".join(f"tok{i * 31 % 97}" for i in range(200))
+    spark.createDataFrame(
+        [
+            Row(doc_id=i, text=txt, lang="en", source="s", n_chars=len(txt))
+            for i in range(3)
+        ]
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = corpus_cdc_chunk_dedup(spark, sf).collect()
+    # identical docs -> every distinct chunk appears a multiple of 3
+    # times (3x its within-doc repetition count; the planted text has
+    # period 97, so some chunks DO repeat inside one doc)
+    assert rows and all(r.n_copies % 3 == 0 for r in rows), rows
+    assert sum(r.tok_total for r in rows) == 600
+
+
+def _xy2d_reference(n: int, x: int, y: int) -> int:
+    """Pure-Python Hilbert xy2d, n-1-x rotation variant (stays in
+    [0, n) every round — the form the SQL arithmetic mirrors)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x // s) % 2 else 0
+        ry = 1 if (y // s) % 2 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_walk_is_bijective_and_adjacent():
+    """The property Z-order lacks: consecutive Hilbert keys are ALWAYS
+    Manhattan-adjacent cells (no jumps), and the walk is a bijection."""
+    n = 16
+    cells = {_xy2d_reference(n, x, y): (x, y) for x in range(n) for y in range(n)}
+    assert sorted(cells) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = cells[d], cells[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, cells[d], cells[d + 1])
+
+
+def test_hilbert_engine_key_matches_reference_walk(spark, tmp_path):
+    """Planted orders covering every (price 0..15, month 1..12) cell:
+    the engine's h_key must equal the reference walk cell-for-cell."""
+    import datetime
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.sketches import (
+        layout_hilbert_clustering,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    k = 0
+    for p in range(16):
+        for m in range(1, 13):
+            k += 1
+            rows.append(
+                Row(
+                    o_orderkey=k,
+                    o_totalprice=float(p),
+                    o_orderdate=datetime.date(2024, m, 5),
+                )
+            )
+    spark.createDataFrame(rows).write.parquet(f"{sf}/orders.parquet")
+    got = layout_hilbert_clustering(spark, sf).collect()
+    assert len(got) == 192  # 16 price x 12 month cells, one row each
+    for r in got:
+        assert r.n_rows == 1
+        assert r.pb_min == r.pb_max and r.mb_min == r.mb_max
+        assert r.h_key == _xy2d_reference(16, r.pb_min, r.mb_min), r

@@ -4066,3 +4066,143 @@ register_local(
         doc="seeded deterministic training-order shuffle + fixed-size shard assignment via the distributed exact-rank primitive",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_cdc_chunk_dedup — content-defined chunking (Rabin-style) dedup:
+# chunk boundaries are chosen BY THE CONTENT (a rolling hash over the
+# last CDC_K tokens hits 0 mod CDC_DIV), so an insertion or deletion
+# early in a document only perturbs the chunks around the edit — unlike
+# the fixed-width chunker (corpus_chunk_dedup, DD10), where one shifted
+# byte re-hashes every downstream chunk. This is the storage-dedup /
+# incremental-crawl-dedup technique (Muthitacharoen et al., LBFS
+# SOSP'01; FastCDC ATC'16) applied at token granularity: re-crawled
+# pages with small edits still dedup chunk-for-chunk.
+#
+# Plan: ONE documents scan -> tokenize -> posexplode to a token stream
+# (embarrassingly parallel) -> per-token poly-hash -> the rolling CDC_K
+# hash from three lag() windows + the boundary running count, ALL
+# partitioned by doc_id over a single exchange -> chunk reassembly is
+# one (doc_id, chunk_id) groupBy (order restored via array_sort of
+# (pos, token) structs) -> md5 hash-groupBy histogram, the DD1 shape.
+# Nothing is quadratic, no unpartitioned window, nothing collects; at
+# 100 TB the token stream shuffles once on doc_id and the chunk
+# histogram is map-side combinable.
+#
+# Cross-engine exactness: the rolling hash is pure integer mod-P
+# arithmetic over poly_hash token values (hashing.poly_hash twin);
+# chunk text rebuilds identically via array_sort struct ordering ==
+# string_agg ORDER BY pos; md5 is md5 on both engines. The boundary
+# rule closes the chunk AT the boundary token; the final partial chunk
+# always closes at end-of-document on both engines by construction.
+# ---------------------------------------------------------------------------
+CDC_K = 4  # rolling-hash window (tokens)
+CDC_DIV = 16  # boundary divisor -> ~CDC_DIV-token expected chunk length
+
+
+def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("tok")
+    )
+    pos = tk.select(
+        "doc_id", F.posexplode("tok").alias("pos", "t")
+    ).withColumn("th", hashing.poly_hash(F.col("t")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    P = hashing.MERSENNE_P
+    h0 = F.coalesce(F.lag("th", 3).over(w), F.lit(0))
+    h1 = F.coalesce(F.lag("th", 2).over(w), F.lit(0))
+    h2 = F.coalesce(F.lag("th", 1).over(w), F.lit(0))
+    roll = (
+        (
+            ((h0 * 31 + h1) % P * 31 + h2) % P * 31 + F.col("th")
+        ) % P
+    )
+    marked = pos.withColumn(
+        "boundary", F.when(roll % CDC_DIV == 0, 1).otherwise(0)
+    )
+    w_prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = marked.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w_prior), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            )
+        ).alias("h"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sum("n_tokens").cast("bigint").alias("toks"),
+        )
+        .groupBy("n_copies")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("toks").cast("bigint").alias("tok_total"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {text.tokens_sql('text')} AS tok FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tok) AS t, unnest(range(len(tok))) AS pos FROM tk
+),
+hashed AS (
+  SELECT doc_id, pos, t, {hashing.poly_hash_sql('t')} AS th FROM pos
+),
+rolled AS (
+  SELECT doc_id, pos, t,
+    ((((COALESCE(lag(th, 3) OVER w, 0) * 31 + COALESCE(lag(th, 2) OVER w, 0))
+       % {hashing.MERSENNE_P} * 31 + COALESCE(lag(th, 1) OVER w, 0))
+      % {hashing.MERSENNE_P} * 31 + th) % {hashing.MERSENNE_P}) AS roll
+  FROM hashed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+chunked AS (
+  SELECT doc_id, pos, t,
+    COALESCE(SUM(CASE WHEN roll % {CDC_DIV} = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM rolled
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+    md5(string_agg(t, ' ' ORDER BY pos)) AS h,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT n_copies,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(toks) AS BIGINT) AS tok_total
+FROM (
+  SELECT h, COUNT(*) AS n_copies, CAST(SUM(n_tokens) AS BIGINT) AS toks
+  FROM chunks GROUP BY h
+) GROUP BY n_copies ORDER BY n_copies
+"""
+
+
+register_local(
+    QuerySpec(
+        "corpus_cdc_chunk_dedup",
+        corpus_cdc_chunk_dedup,
+        CDC_CHUNK_DEDUP_SQL,
+        ("DD27",),
+        doc="content-defined (Rabin rolling-hash) chunk dedup: shift-resistant boundaries, one doc_id exchange, DD1 histogram shape",
+    )
+)

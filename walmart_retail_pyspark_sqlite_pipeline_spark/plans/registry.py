@@ -229,6 +229,19 @@ GRADE_QUEUE: dict[str, int] = {
     # round-14 batch 2: known-item MRR eval of the IVF path (rank-position
     # quality; ann_ivf_recall only measures set overlap)
     "ann_eval_mrr": 15,
+    # round-14 batch 3: exponential time-decay attribution (the third
+    # standard model beside last-touch/U-shaped — power-of-two BIGINT
+    # weights on the TS27 journey frame), CUPED variance-reduced A/B
+    # readout (pre-period covariate adjustment over 12 exact moments),
+    # and content-defined (Rabin rolling-hash) chunk dedup —
+    # shift-resistant chunk boundaries vs DD10's fixed-width chunker
+    "events_attribution_time_decay": 15,
+    "events_ab_cuped": 15,
+    "corpus_cdc_chunk_dedup": 15,
+    # round-14 batch 4: Hilbert-curve layout key (the Delta liquid
+    # clustering / Iceberg ordering alternative to the Z-order
+    # interleave; adjacency property pinned on all 256 cells in pytest)
+    "layout_hilbert_clustering": 15,
 }
 
 

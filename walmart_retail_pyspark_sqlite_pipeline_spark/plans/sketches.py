@@ -1698,3 +1698,151 @@ register_local(
         doc="HDR-style log2-bucket quantile sketch: bounded RELATIVE error, <=64-cell mergeable state, integer-exact twin",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout: the same (price bucket, order month) 4-bit dims as
+# layout_zorder_clustering, keyed by the Hilbert curve index instead of the
+# bit interleave. Hilbert is what Delta's liquid clustering and Iceberg's
+# hilbert-ordering use in place of Z-order: consecutive keys are ALWAYS
+# Manhattan-adjacent cells (no Z-shaped jumps), so every run of rows maps
+# to a tighter bounding box and file skipping prunes more. The xy2d walk
+# (4 unrolled rounds of the standard rotate-and-accumulate recurrence) is
+# spelled in pure nonnegative integer arithmetic — (x DIV s) % 2 for the
+# bit test, CASE for the quadrant rotation — so both engines agree
+# bit-exact (the n-1-x rotation variant keeps x, y in [0, 16) at every
+# round; the classic s-1-x form goes negative mid-walk, where SQL DIV/%
+# and two's-complement & diverge). tests/test_sketches.py pins the
+# bijection AND the adjacency property on all 256 cells — the property
+# Z-order provably lacks.
+# --------------------------------------------------------------------------
+_HILBERT_N = 2**_ZBITS  # 16x16 grid, key in [0, 256)
+
+
+def _hilbert_rounds(div: str) -> list[tuple[str, str, str]]:
+    """Per-round (d_term, new_x, new_y) SQL snippets over columns
+    ``x``/``y``; ``div`` is the engine's integer-division token."""
+    out = []
+    n = _HILBERT_N
+    for k in range(_ZBITS - 1, -1, -1):
+        s = 2**k
+        rx = f"((x {div} {s}) % 2)"
+        ry = f"((y {div} {s}) % 2)"
+        d_term = f"{s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        new_x = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - y ELSE y END) ELSE x END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - x ELSE x END) ELSE y END"
+        )
+        out.append((d_term, new_x, new_y))
+    return out
+
+
+def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert sort key over (price bucket, order month) with the same
+    locality stats as the Z-order twin: per-key run extents, whose spread
+    is what the writer's file-skipping benefit depends on. At scale the
+    key feeds ``repartitionByRange("h_key").sortWithinPartitions("h_key")``
+    before the parquet write, exactly like the Z-order layout."""
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.floor("o_totalprice").cast("bigint")).alias("p_min"),
+        F.max(F.floor("o_totalprice").cast("bigint")).alias("p_max"),
+    )
+    cur = (
+        orders.join(F.broadcast(bounds))  # 1-row bounds: broadcast
+        .select(
+            F.least(
+                F.lit(2**_ZBITS - 1),
+                F.expr(
+                    "(CAST(FLOOR(o_totalprice) AS BIGINT) - p_min)"
+                    f" DIV (((p_max - p_min) DIV {2**_ZBITS}) + 1)"
+                ),
+            ).alias("x"),
+            (F.month("o_orderdate") - 1).cast("bigint").alias("y"),
+        )
+        .withColumn("d", F.lit(0).cast("bigint"))
+        .withColumn("price_bucket", F.col("x"))
+        .withColumn("month_bucket", F.col("y"))
+    )
+    for d_term, new_x, new_y in _hilbert_rounds("DIV"):
+        cur = cur.select(
+            (F.col("d") + F.expr(d_term)).alias("d"),
+            F.expr(new_x).alias("x"),
+            F.expr(new_y).alias("y"),
+            "price_bucket",
+            "month_bucket",
+        )
+    return (
+        cur.select(
+            F.col("d").alias("h_key"), "price_bucket", "month_bucket"
+        )
+        .groupBy("h_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price_bucket").alias("pb_min"),
+            F.max("price_bucket").alias("pb_max"),
+            F.min("month_bucket").alias("mb_min"),
+            F.max("month_bucket").alias("mb_max"),
+        )
+        .orderBy("h_key")
+    )
+
+
+def _hilbert_sql() -> str:
+    ctes = [
+        f"""r0 AS (
+  SELECT
+    LEAST({2**_ZBITS - 1},
+          (CAST(FLOOR(o_totalprice) AS BIGINT) - p_min)
+            // (((p_max - p_min) // {2**_ZBITS}) + 1)) AS x,
+    CAST(MONTH(o_orderdate) - 1 AS BIGINT) AS y,
+    CAST(0 AS BIGINT) AS d,
+    LEAST({2**_ZBITS - 1},
+          (CAST(FLOOR(o_totalprice) AS BIGINT) - p_min)
+            // (((p_max - p_min) // {2**_ZBITS}) + 1)) AS price_bucket,
+    CAST(MONTH(o_orderdate) - 1 AS BIGINT) AS month_bucket
+  FROM orders, bounds
+)"""
+    ]
+    for i, (d_term, new_x, new_y) in enumerate(_hilbert_rounds("//")):
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT d + {d_term} AS d,
+    {new_x} AS x,
+    {new_y} AS y,
+    price_bucket, month_bucket
+  FROM r{i}
+)"""
+        )
+    return f"""
+WITH bounds AS (
+  SELECT MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS p_min,
+         MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS p_max
+  FROM orders
+), {", ".join(ctes)}
+SELECT d AS h_key,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(price_bucket) AS pb_min, MAX(price_bucket) AS pb_max,
+  MIN(month_bucket) AS mb_min, MAX(month_bucket) AS mb_max
+FROM r{_ZBITS}
+GROUP BY d
+ORDER BY d
+"""
+
+
+LAYOUT_HILBERT_SQL = _hilbert_sql()
+
+
+register_local(
+    QuerySpec(
+        "layout_hilbert_clustering",
+        layout_hilbert_clustering,
+        LAYOUT_HILBERT_SQL,
+        ("O1",),
+        doc="Hilbert-curve sort key for two-dimension file pruning: adjacency-preserving alternative to the Z-order interleave",
+    )
+)

@@ -2663,3 +2663,379 @@ register_local(
         doc="two-proportion z-test on a deterministic user split: one events scan, four exact counts, one mirrored double expression",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_time_decay — exponential time-decay multi-touch
+# attribution, the third standard model next to last-touch (TS26) and
+# U-shaped (TS27): every touch in a converting journey earns credit
+# proportional to 2^(-age_days), age measured from the touch to the
+# journey's purchase with a 1-day half-life. Journeys reuse the TS27
+# segmentation (prior-purchase count jid; a purchase closes its journey),
+# so every window is PARTITIONED by (user_id, jid) — one events scan, two
+# stacked Window nodes over the SAME (user_id) exchange, no data-sized
+# single-partition stage.
+#
+# Cross-engine exactness: weights are exact powers of two as BIGINTs —
+# w = 1 << (20 - min(age_days, 20)) (ages past 20 half-lives floor to
+# weight 1; a 2^-20 share would truncate to 0 micro anyway) — and each
+# touch's credit is (conv_cents * 1e6 * w) DIV Σw in DECIMAL(38,0) /
+# HUGEINT, identical truncation on both engines (the TS27 micro-credit
+# idiom). age_days uses the epoch-seconds idiom (Spark cast(ts as long)
+# == DuckDB floor(epoch(ts))); a journey's touches always precede its
+# purchase in the (ts, event_id) order, so age is never negative. NULL
+# purchase values credit rows but no revenue (SUM skips NULL); NULL-user
+# events form one journey stream on both engines (pinned TS26
+# semantics); a NULL purchase ts yields NULL ages -> NULL micros for
+# that journey on both engines (rows counted, no revenue).
+# ---------------------------------------------------------------------------
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    w_journey = Window.partitionBy("user_id", "jid")
+    is_touch = F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+    cents_row = F.round(F.col("value") * 100, 0).cast("long")
+    jj = j.select(
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.sum(is_touch).over(w_journey).alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", cents_row)
+        ).over(w_journey).alias("conv_cents"),
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("long")
+            )
+        ).over(w_journey).alias("conv_s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_journey).alias("has_conv"),
+        F.col("user_id"),
+        F.col("jid"),
+    )
+    w_expr = (
+        "CASE WHEN event_type <> 'purchase' THEN"
+        " shiftleft(CAST(1 AS BIGINT), CAST("
+        " 20 - LEAST((conv_s - ts_s) DIV 86400, CAST(20 AS BIGINT))"
+        " AS INT)) END"
+    )
+    weighted = jj.withColumn("w", F.expr(w_expr)).withColumn(
+        "sum_w", F.sum("w").over(Window.partitionBy("user_id", "jid"))
+    )
+    is_touch_credit = (F.col("event_type") != "purchase") & (
+        F.col("has_conv") == 1
+    )
+    is_direct = (F.col("event_type") == "purchase") & (F.col("t") == 0)
+    credits = (
+        weighted.withColumn(
+            "channel",
+            F.when(is_touch_credit, F.col("event_type")).when(
+                is_direct, F.lit("direct")
+            ),
+        )
+        .filter(F.col("channel").isNotNull())
+        .select(
+            "channel",
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(conv_cents AS DECIMAL(38,0)) * 1000000"
+                " ELSE (CAST(conv_cents AS DECIMAL(38,0)) * 1000000 * w)"
+                " DIV sum_w END"
+            ).alias("micro"),
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("micro").cast("bigint").alias("attributed_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_TIME_DECAY_SQL = """
+WITH j AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM events
+),
+jj AS (
+  SELECT user_id, jid, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, jid) AS t,
+    MAX(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+      OVER (PARTITION BY user_id, jid) AS conv_cents,
+    MAX(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+      OVER (PARTITION BY user_id, jid) AS conv_s,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, jid) AS has_conv
+  FROM j
+),
+weighted AS (
+  SELECT *,
+    CASE WHEN event_type <> 'purchase' THEN
+      CAST(1 AS BIGINT) << CAST(20 - LEAST((conv_s - ts_s) // 86400, 20)
+                                AS INTEGER) END AS w
+  FROM jj
+),
+wsum AS (
+  SELECT *, SUM(w) OVER (PARTITION BY user_id, jid) AS sum_w FROM weighted
+),
+credits AS (
+  SELECT event_type AS channel,
+    (CAST(conv_cents AS HUGEINT) * 1000000 * w) // sum_w AS micro
+  FROM wsum WHERE event_type <> 'purchase' AND has_conv = 1
+  UNION ALL
+  SELECT 'direct', CAST(conv_cents AS HUGEINT) * 1000000
+  FROM wsum WHERE event_type = 'purchase' AND t = 0
+)
+SELECT channel,
+  CAST(COUNT(*) AS BIGINT) AS n_credits,
+  CAST(SUM(micro) AS BIGINT) AS attributed_micro
+FROM credits GROUP BY channel
+ORDER BY channel
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_attribution_time_decay",
+        events_attribution_time_decay,
+        ATTRIBUTION_TIME_DECAY_SQL,
+        ("TS30",),
+        doc="exponential time-decay attribution: power-of-two BIGINT weights with a 1-day half-life, TS27 journey windows, exact micro-credit DIV",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_ab_cuped — CUPED variance-reduced experiment readout (Deng et
+# al., "Improving the Sensitivity of Online Controlled Experiments by
+# Utilizing Pre-Experiment Data", WSDM'13): the standard upgrade to the
+# TS29 two-proportion readout. The events span splits at its midpoint
+# into a pre-period and an experiment period; per user the covariate X =
+# pre-period event count and the metric Y = experiment-period purchase
+# count; theta = cov(X,Y)/var(X) over all arm-assigned users, and each
+# arm's adjusted mean is mean(Y) - theta * (mean(X) - mean(X_pooled)).
+# rho2 = corr(X,Y)^2 is the variance-reduction factor CUPED guarantees.
+#
+# Plan: ONE events scan -> broadcast 1-row epoch-bounds aggregate ->
+# map-side-combined per-user groupBy -> a single 1-row moment aggregate
+# (12 exact BIGINT sums). Nothing data-sized leaves the executors; the
+# whole readout is scan-shaped at 100 TB.
+#
+# Cross-engine exactness: the split point is integer epoch seconds
+# ((min+max) DIV 2 — Spark cast(ts as long) == DuckDB floor(epoch)); X,
+# Y and all 12 moments are exact BIGINTs; every double output is derived
+# from those integers through ONE mirrored expression per column (IEEE
+# *, -, / on identical operands are correctly rounded, the TS28/TS29
+# precedent). Moment products (n*Sxx etc.) are computed in DOUBLE on
+# both engines — at fleet scale n*Sxx overflows BIGINT, and ANSI Spark
+# would error where DuckDB wraps to HUGEINT. Users with NULL user_id
+# join neither arm and are excluded from the moments (WHERE user_id IS
+# NOT NULL on both engines); NULL-ts events count toward neither period
+# (CASE arms). Degenerate guards: var(X)=0 -> theta/adjusted/rho2 NULL;
+# an empty arm -> that arm's means NULL.
+# ---------------------------------------------------------------------------
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("long")
+    bounds = ev.agg(
+        F.expr(
+            "(MIN(CAST(ts AS LONG)) + MAX(CAST(ts AS LONG))) DIV 2"
+        ).alias("cut_s")
+    )
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(ts_s <= F.col("cut_s"), 1).otherwise(0)
+            ).cast("bigint").alias("x"),
+            F.sum(
+                F.when(
+                    (ts_s > F.col("cut_s"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("y"),
+        )
+    )
+    arm = F.col("user_id") % 2
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_a"),
+        F.sum(F.when(arm == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_b"),
+        F.sum(F.when(arm == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+    )
+    # every derived column is ONE mirrored double expression over the 12
+    # exact integer moments; the shared scalar subexpressions are spelled
+    # out identically in the SQL twin so both engines evaluate the same
+    # IEEE operation tree.
+    d = "CAST(%s AS DOUBLE)"
+    varx = (
+        f"({d % 'n'} * {d % 'sxx'} - {d % 'sx'} * {d % 'sx'})"
+    )
+    vary = (
+        f"({d % 'n'} * {d % 'syy'} - {d % 'sy'} * {d % 'sy'})"
+    )
+    covxy = (
+        f"({d % 'n'} * {d % 'sxy'} - {d % 'sx'} * {d % 'sy'})"
+    )
+    theta = f"CASE WHEN {varx} = 0 THEN CAST(NULL AS DOUBLE) ELSE {covxy} / {varx} END"
+    mean = "CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE) END"
+    mean_x = f"(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    cuped = (
+        "CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        + mean.format(n="{n}", s="{sy}")
+        + f" - ({theta}) * ("
+        + mean.format(n="{n}", s="{sx}")
+        + f" - {mean_x}) END"
+    )
+    cuped_a = cuped.format(n="n_a", sy="sy_a", sx="sx_a")
+    cuped_b = cuped.format(n="n_b", sy="sy_b", sx="sx_b")
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.expr(mean.format(n="n_a", s="sy_a")).alias("mean_y_a"),
+        F.expr(mean.format(n="n_b", s="sy_b")).alias("mean_y_b"),
+        F.expr(theta).alias("theta"),
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            + mean.format(n="n_a", s="sy_a")
+            + " - "
+            + mean.format(n="n_b", s="sy_b")
+            + " END"
+        ).alias("diff_raw"),
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            f"({cuped_a}) - ({cuped_b}) END"
+        ).alias("diff_cuped"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ({covxy} * {covxy}) / ({varx} * {vary}) END"
+        ).alias("rho2"),
+    )
+
+
+def _cuped_sql() -> str:
+    d = "CAST(%s AS DOUBLE)"
+    varx = f"({d % 'n'} * {d % 'sxx'} - {d % 'sx'} * {d % 'sx'})"
+    vary = f"({d % 'n'} * {d % 'syy'} - {d % 'sy'} * {d % 'sy'})"
+    covxy = f"({d % 'n'} * {d % 'sxy'} - {d % 'sx'} * {d % 'sy'})"
+    theta = (
+        f"CASE WHEN {varx} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {covxy} / {varx} END"
+    )
+    mean = (
+        "CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE) END"
+    )
+    mean_x = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    cuped = (
+        "CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        + mean.format(n="{n}", s="{sy}")
+        + f" - ({theta}) * ("
+        + mean.format(n="{n}", s="{sx}")
+        + f" - {mean_x}) END"
+    )
+    cuped_a = cuped.format(n="n_a", sy="sy_a", sx="sx_a")
+    cuped_b = cuped.format(n="n_b", sy="sy_b", sx="sx_b")
+    return f"""
+WITH bounds AS (
+  SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+          + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS cut_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= cut_s
+             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > cut_s
+                  AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds
+  WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+stats AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+  {mean.format(n="n_a", s="sy_a")} AS mean_y_a,
+  {mean.format(n="n_b", s="sy_b")} AS mean_y_b,
+  {theta} AS theta,
+  CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE
+    {mean.format(n="n_a", s="sy_a")} - {mean.format(n="n_b", s="sy_b")}
+  END AS diff_raw,
+  CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE
+    ({cuped_a}) - ({cuped_b}) END AS diff_cuped,
+  CASE WHEN {varx} = 0 OR {vary} = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE ({covxy} * {covxy}) / ({varx} * {vary}) END AS rho2
+FROM stats
+"""
+
+
+AB_CUPED_SQL = _cuped_sql()
+
+
+register_local(
+    QuerySpec(
+        "events_ab_cuped",
+        events_ab_cuped,
+        AB_CUPED_SQL,
+        ("TS31",),
+        doc="CUPED variance-reduced A/B readout: pre-period covariate adjustment, 12 exact BIGINT moments, mirrored double expressions",
+    )
+)
