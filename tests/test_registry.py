@@ -305,6 +305,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # + the TS28/TS29 mirrored-double discipline over exact moments
         "DD27",  # content-defined chunk dedup: DD10 chunk-histogram
         # shape (driver-green) + poly-hash rolling windows (DD2/TX frame)
+        "TS32",  # SRM guard + power analysis: 1-row conditional-agg
+        # readouts on the TS29 experiment frame, mirrored doubles
     }
     orphaned = {
         t

@@ -488,3 +488,87 @@ def test_hilbert_engine_key_matches_reference_walk(spark, tmp_path):
         assert r.n_rows == 1
         assert r.pb_min == r.pb_max and r.mb_min == r.mb_max
         assert r.h_key == _xy2d_reference(16, r.pb_min, r.mb_min), r
+
+
+def test_ab_srm_flags_planted_mismatch(spark, tmp_path):
+    """90 even users vs 10 odd users: chi2 = (40^2/50)*2 = 64 >> 3.841
+    -> flagged; a balanced 10/10 split must NOT flag."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ab_srm,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        Row(event_id=i + 1, ts="2024-01-01 00:00:00",
+            user_id=2 * i if i < 90 else 2 * i + 1,
+            event_type="view", value=0.0)
+        for i in range(100)
+    ]
+    _write_events(spark, sf, rows)
+    r = events_ab_srm(spark, sf).collect()[0]
+    assert (r.n_a, r.n_b) == (90, 10)
+    assert r.chi2 == 64.0 and bool(r.srm_flag) is True
+
+
+def test_ab_srm_balanced_split_not_flagged(spark, tmp_path):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_ab_srm,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        Row(event_id=i + 1, ts="2024-01-01 00:00:00", user_id=i,
+            event_type="view", value=0.0)
+        for i in range(20)
+    ]
+    _write_events(spark, sf, rows)
+    r = events_ab_srm(spark, sf).collect()[0]
+    assert (r.n_a, r.n_b) == (10, 10)
+    assert r.chi2 == 0.0 and bool(r.srm_flag) is False
+
+
+def test_power_mde_matches_hand_formula(spark, tmp_path):
+    """20 users, 5 converters: p1=0.25, p2=0.275 -> the two-proportion
+    sample-size formula evaluated in Python floats must match exactly."""
+    import math
+
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_power_mde,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        Row(event_id=i + 1, ts="2024-01-01 00:00:00", user_id=i,
+            event_type="purchase" if i < 5 else "view", value=0.0)
+        for i in range(20)
+    ]
+    _write_events(spark, sf, rows)
+    r = events_power_mde(spark, sf).collect()[0]
+    assert (r.n, r.conv) == (20, 5)
+    p1 = 5.0 / 20.0
+    p2 = p1 * 1.1
+    want = math.ceil(
+        7.84888591922985 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / ((p2 - p1) * (p2 - p1))
+    )
+    assert r.p_base == p1 and r.p_target == p2
+    assert r.n_required_per_arm == want
+    # sanity: a 10% relative lift on a 25% baseline needs thousands per arm
+    assert 4000 < want < 6000
+
+
+def test_power_mde_zero_conversions_yield_null(spark, tmp_path):
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.timeseries import (
+        events_power_mde,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        Row(event_id=i + 1, ts="2024-01-01 00:00:00", user_id=i,
+            event_type="view", value=0.0)
+        for i in range(5)
+    ]
+    _write_events(spark, sf, rows)
+    r = events_power_mde(spark, sf).collect()[0]
+    assert r.conv == 0 and r.n_required_per_arm is None
+    assert r.p_base == 0.0

@@ -242,6 +242,11 @@ GRADE_QUEUE: dict[str, int] = {
     # clustering / Iceberg ordering alternative to the Z-order
     # interleave; adjacency property pinned on all 256 cells in pytest)
     "layout_hilbert_clustering": 15,
+    # round-14 batch 5: the rest of the experimentation suite — the
+    # sample-ratio-mismatch chi-square guard every platform runs before
+    # reading a result, and power analysis off the live baseline rate
+    "events_ab_srm": 15,
+    "events_power_mde": 15,
 }
 
 

@@ -3039,3 +3039,195 @@ register_local(
         doc="CUPED variance-reduced A/B readout: pre-period covariate adjustment, 12 exact BIGINT moments, mirrored double expressions",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_srm — sample-ratio-mismatch guard, the sanity gate every
+# experimentation platform runs BEFORE reading an A/B result (Fabijan et
+# al., "Diagnosing Sample Ratio Mismatch in Online Controlled
+# Experiments", KDD'19): with a 50/50 deterministic split, the observed
+# arm sizes must fit a binomial around half — a chi-square test against
+# the expected equal split. chi2 = (n_a-E)^2/E + (n_b-E)^2/E with
+# E = (n_a+n_b)/2; flag at the 3.841 critical value (chi2_{1,0.95}).
+# A flagged readout means the assignment (here: user_id parity) is
+# broken or the logging is lossy — the z/CUPED readouts are then void.
+#
+# Plan: one events scan -> per-user groupBy (map-side combined) -> ONE
+# 1-row conditional aggregate; two exact BIGINT counts; chi2 is one
+# mirrored double expression (the TS29 discipline), the flag one
+# deterministic comparison against a shared literal. NULL user_ids join
+# neither arm (the pinned TS29 rule).
+# ---------------------------------------------------------------------------
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    arm = F.col("user_id") % 2
+    stats = per_user.agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    chi2 = (
+        "CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        "(CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE)) END"
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.expr(chi2).alias("chi2"),
+        F.expr(
+            f"CASE WHEN ({chi2}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE ({chi2}) > CAST(3.841 AS DOUBLE) END"
+        ).alias("srm_flag"),
+    )
+
+
+AB_SRM_SQL = """
+WITH per_user AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+stats AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE
+    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE)) END AS chi2,
+  CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS BOOLEAN) ELSE
+    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    / (CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE))
+    > CAST(3.841 AS DOUBLE) END AS srm_flag
+FROM stats
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_ab_srm",
+        events_ab_srm,
+        AB_SRM_SQL,
+        ("TS32",),
+        doc="sample-ratio-mismatch chi-square guard on the 50/50 user split: two exact counts, one mirrored double expression",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# events_power_mde — experiment power analysis off the live baseline: the
+# sample size each arm needs to detect a 10% relative lift over the
+# observed conversion rate at alpha=0.05 (two-sided) / power=0.80. The
+# planning readout that tells a team whether the traffic they have can
+# even answer the question before they burn weeks running it.
+# n_per_arm = (z_{a/2}+z_b)^2 * (p1(1-p1)+p2(1-p2)) / (p1-p2)^2, with
+# (1.959963985+0.8416212336)^2 pre-folded to the literal 7.848885919...
+# so neither engine evaluates sqrt or a normal quantile.
+#
+# Plan: one events scan -> per-user conversion flag (map-side combined)
+# -> ONE 1-row aggregate; p1 = conv/n is one IEEE division of exact
+# BIGINTs, p2 = p1 * 1.1 one multiply, and n_required one mirrored
+# arithmetic expression CEILed identically on both engines. Degenerate
+# guards: p1 = 0 or p2 >= 1 -> NULL (no detectable-lift arithmetic).
+# ---------------------------------------------------------------------------
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("conv"),
+    )
+    p1 = "(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))"
+    p2 = f"({p1} * CAST(1.1 AS DOUBLE))"
+    n_req = (
+        f"CASE WHEN n = 0 OR conv = 0 OR {p2} >= CAST(1 AS DOUBLE)"
+        " THEN CAST(NULL AS BIGINT) ELSE "
+        "CAST(CEIL(CAST(7.84888591922985 AS DOUBLE)"
+        f" * ({p1} * (CAST(1 AS DOUBLE) - {p1})"
+        f"    + {p2} * (CAST(1 AS DOUBLE) - {p2}))"
+        f" / (({p2} - {p1}) * ({p2} - {p1}))) AS BIGINT) END"
+    )
+    return stats.select(
+        "n",
+        "conv",
+        F.expr(f"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE {p1} END").alias(
+            "p_base"
+        ),
+        F.expr(
+            f"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE {p2} END"
+        ).alias("p_target"),
+        F.expr(n_req).alias("n_required_per_arm"),
+    )
+
+
+POWER_MDE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS conv
+  FROM per_user
+)
+SELECT n, conv,
+  CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) END AS p_base,
+  CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(1.1 AS DOUBLE))
+  END AS p_target,
+  CASE WHEN n = 0 OR conv = 0
+         OR ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(1.1 AS DOUBLE))
+            >= CAST(1 AS DOUBLE)
+    THEN CAST(NULL AS BIGINT) ELSE
+    CAST(CEIL(CAST(7.84888591922985 AS DOUBLE)
+      * ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(1 AS DOUBLE) - (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)))
+         + ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(1.1 AS DOUBLE))
+           * (CAST(1 AS DOUBLE)
+              - ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                 * CAST(1.1 AS DOUBLE))))
+      / ((((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(1.1 AS DOUBLE))
+          - (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)))
+         * (((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(1.1 AS DOUBLE))
+            - (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)))))
+    AS BIGINT) END AS n_required_per_arm
+FROM stats
+"""
+
+
+register_local(
+    QuerySpec(
+        "events_power_mde",
+        events_power_mde,
+        POWER_MDE_SQL,
+        ("TS32",),
+        doc="power analysis off the live baseline rate: required n per arm for a 10% relative lift, one scan, one mirrored expression",
+    )
+)
