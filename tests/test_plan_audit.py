@@ -139,6 +139,8 @@ GLOBAL_SORT_PRESENTATIONAL = frozenset({
     "corpus_cdc_chunk_dedup", "events_attribution_time_decay",
     # round-14 batch 4: <=256 Hilbert cells (the zorder twin's bound)
     "layout_hilbert_clustering",
+    # round-14 batch 6: |o_orderpriority| x TE_FOLDS = 25 encode cells
+    "ml_target_encoding",
     # (events_attribution_markov left this list in round 14: the bounded
     # fixed-point now runs driver-side, so the returned frame is a
     # LocalTableScan with no trailing sort)
@@ -298,6 +300,7 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     "q42_abc_analysis": (2, "total + cumulative share over |brand| rows"),
     "qc_drift_ks": (1, "CDF cumulative sum over the bounded bucket grid"),
     "qc_drift_wasserstein": (1, "CDF cumulative sum over the bounded bucket grid"),
+    "ml_target_encoding": (1, "global-prior total over the |o_orderpriority| x TE_FOLDS (25-row) encode-cell aggregate"),
     "sketch_mg_heavyhitters": (4, "ranks over sketch-width-bounded summaries"),
     "text_bm25_prf": (1, "rank over a TakeOrderedAndProject top-k"),
     "text_bm25_topk": (1, "rank over a TakeOrderedAndProject top-k"),

@@ -307,6 +307,8 @@ def test_rotation_never_orphans_a_capability_tag():
         # shape (driver-green) + poly-hash rolling windows (DD2/TX frame)
         "TS32",  # SRM guard + power analysis: 1-row conditional-agg
         # readouts on the TS29 experiment frame, mirrored doubles
+        "FE1",  # K-fold target encoding: bounded-enum agg (A1/A3
+        # driver-green) + partitioned/bounded windows + micro-int DIV
     }
     orphaned = {
         t

@@ -572,3 +572,58 @@ def test_power_mde_zero_conversions_yield_null(spark, tmp_path):
     r = events_power_mde(spark, sf).collect()[0]
     assert r.conv == 0 and r.n_required_per_arm is None
     assert r.p_base == 0.0
+
+
+def test_target_encoding_out_of_fold_hand_calc(spark, tmp_path):
+    """Two categories, 2 folds, hand-checkable counts: the encode must
+    exclude the fold's own rows and smooth toward the global rate."""
+    from walmart_retail_pyspark_sqlite_pipeline_spark.plans.retail import (
+        TE_SMOOTH_M,
+        ml_target_encoding,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    k = 0
+    # category A: fold0 4 rows 3 pos, fold1 6 rows 1 pos (via key parity
+    # against TE_FOLDS=5 -> use keys 0/5 mod 5 => folds 0; build folds
+    # explicitly with keys congruent to the fold index)
+    def add(cat, fold, n, npos):
+        nonlocal k
+        for i in range(n):
+            key = fold + 5 * (k + 1)
+            k += 1
+            rows.append(
+                Row(
+                    o_orderkey=key,
+                    o_orderpriority=cat,
+                    o_orderstatus="F" if i < npos else "O",
+                )
+            )
+
+    add("A", 0, 4, 3)
+    add("A", 1, 6, 1)
+    add("B", 0, 5, 0)
+    add("B", 1, 5, 5)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/orders.parquet")
+    got = {
+        (r.category, r.fold): r
+        for r in ml_target_encoding(spark, sf).collect()
+    }
+    g_cnt, g_pos = 20, 9
+    cells = {("A", 0): (4, 3), ("A", 1): (6, 1),
+             ("B", 0): (5, 0), ("B", 1): (5, 5)}
+    for (cat, fold), (cnt, pos) in cells.items():
+        cat_cnt = sum(c for (c2, _), (c, _) in cells.items() if c2 == cat)
+        cat_pos = sum(p for (c2, _), (_, p) in cells.items() if c2 == cat)
+        oof_cnt, oof_pos = cat_cnt - cnt, cat_pos - pos
+        want = (
+            (oof_pos * g_cnt + TE_SMOOTH_M * g_pos) * 1_000_000
+        ) // ((oof_cnt + TE_SMOOTH_M) * g_cnt)
+        r = got[(cat, fold)]
+        assert r.n_oof == oof_cnt
+        assert r.enc_micro == want, ((cat, fold), r.enc_micro, want)
+    # leakage control: A-fold0's encode uses ONLY A-fold1's rows — its
+    # oof rate (1/6) sits below fold0's own rate (3/4); the smoothed
+    # encode must be below the own-fold rate
+    assert got[("A", 0)].enc_micro < 750_000

@@ -247,6 +247,10 @@ GRADE_QUEUE: dict[str, int] = {
     # reading a result, and power analysis off the live baseline rate
     "events_ab_srm": 15,
     "events_power_mde": 15,
+    # round-14 batch 6: K-fold out-of-fold smoothed target encoding —
+    # the Micci-Barreca categorical encoder with leakage control, exact
+    # micro-integer arithmetic over a 25-cell bounded table
+    "ml_target_encoding": 15,
 }
 
 

@@ -553,3 +553,106 @@ register_local(
         doc="2-feature OLS by normal equations + Cramer solve on exact moments",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ml_target_encoding — K-fold out-of-fold target encoding with additive
+# smoothing (Micci-Barreca, SIGKDD Explorations 2001 — the categorical
+# encoder every tabular training pipeline ships): for each (category,
+# fold) cell, the encoded value is the smoothed target rate computed
+# WITHOUT the fold's own rows, enc = (oof_pos + m*prior) / (oof_cnt + m),
+# prior = the global rate — out-of-fold exclusion is the leakage control
+# that keeps the feature honest in cross-validation. Category =
+# o_orderpriority, label = (o_orderstatus = 'F'), fold = o_orderkey % 5.
+#
+# Plan: ONE orders scan -> map-side-combined groupBy to the bounded
+# |priority| x K cell table (25 rows); the per-category and global
+# totals are two Window sums OVER THAT BOUNDED TABLE (the unpartitioned
+# one is whitelisted with its exact count — input rows = |categories|*K,
+# enum-bounded); the encode itself is exact micro-integer arithmetic:
+# enc_micro = ((oof_pos*g_cnt + m*g_pos) * 1e6) DIV ((oof_cnt+m)*g_cnt)
+# in DECIMAL(38,0)/HUGEINT, identical truncation on both engines. At
+# 100 TB the cell table stays 25 rows and broadcasts back onto the
+# training join; nothing data-sized crosses a single task.
+# ---------------------------------------------------------------------------
+TE_FOLDS = 5
+TE_SMOOTH_M = 10
+
+
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderkey") % TE_FOLDS).alias("fold"),
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w_cat = Window.partitionBy("category")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    enc = per.select(
+        "category",
+        "fold",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w_cat).alias("cat_cnt"),
+        F.sum("pos").over(w_cat).alias("cat_pos"),
+        F.sum("cnt").over(w_all).alias("g_cnt"),
+        F.sum("pos").over(w_all).alias("g_pos"),
+    )
+    return enc.select(
+        "category",
+        "fold",
+        (F.col("cat_cnt") - F.col("cnt")).alias("n_oof"),
+        F.expr(
+            "CAST(((CAST(cat_pos - pos AS DECIMAL(38,0)) * g_cnt"
+            f" + {TE_SMOOTH_M} * g_pos) * 1000000)"
+            f" DIV (CAST(cat_cnt - cnt + {TE_SMOOTH_M} AS DECIMAL(38,0))"
+            " * g_cnt) AS BIGINT)"
+        ).alias("enc_micro"),
+    ).orderBy("category", "fold")
+
+
+TARGET_ENCODING_SQL = f"""
+WITH per AS (
+  SELECT o_orderpriority AS category,
+    o_orderkey % {TE_FOLDS} AS fold,
+    CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pos
+  FROM orders GROUP BY 1, 2
+),
+enc AS (
+  SELECT category, fold, cnt, pos,
+    SUM(cnt) OVER (PARTITION BY category) AS cat_cnt,
+    SUM(pos) OVER (PARTITION BY category) AS cat_pos,
+    SUM(cnt) OVER () AS g_cnt,
+    SUM(pos) OVER () AS g_pos
+  FROM per
+)
+SELECT category, fold,
+  CAST(cat_cnt - cnt AS BIGINT) AS n_oof,
+  CAST(((CAST(cat_pos - pos AS HUGEINT) * g_cnt
+         + {TE_SMOOTH_M} * g_pos) * 1000000)
+       // (CAST(cat_cnt - cnt + {TE_SMOOTH_M} AS HUGEINT) * g_cnt)
+       AS BIGINT) AS enc_micro
+FROM enc
+ORDER BY category, fold
+"""
+
+
+register_local(
+    QuerySpec(
+        "ml_target_encoding",
+        ml_target_encoding,
+        TARGET_ENCODING_SQL,
+        ("FE1",),
+        doc="K-fold out-of-fold smoothed target encoding: one scan to a 25-cell table, exact micro-integer encode, leakage-controlled",
+    )
+)
