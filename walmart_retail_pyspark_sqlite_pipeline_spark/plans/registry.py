@@ -251,6 +251,21 @@ GRADE_QUEUE: dict[str, int] = {
     # the Micci-Barreca categorical encoder with leakage control, exact
     # micro-integer arithmetic over a 25-cell bounded table
     "ml_target_encoding": 15,
+    # round-14 OPTIMIZATION drift: the _lsh_candidate_jaccards restructure
+    # (per-doc shingle count carried through the band explode instead of
+    # two trailing doc-grain sizes joins — guide §2.3/§2.4; verified
+    # row-identical at sf0.1 and oracle-green at sf0.01 for every consumer
+    # below) drifts the closure hash of the whole parked LSH-consumer
+    # family. Results are unchanged; evidence re-grades next round.
+    "dedup_minhash_b_bit": 15,
+    "dedup_cc_clusters": 15,
+    "corpus_pagerank": 15,
+    "corpus_canonical_docs": 15,
+    "corpus_label_propagation": 15,
+    "corpus_triangles": 15,
+    "corpus_split_leakage": 15,
+    "corpus_clustering_coeff": 15,
+    "corpus_soft_dedup_weights": 15,
 }
 
 
