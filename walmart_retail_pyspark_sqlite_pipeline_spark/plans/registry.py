@@ -266,6 +266,16 @@ GRADE_QUEUE: dict[str, int] = {
     "corpus_split_leakage": 15,
     "corpus_clustering_coeff": 15,
     "corpus_soft_dedup_weights": 15,
+    # round-14 OPTIMIZATION drift, wave 2: the _doc_shingles hub dropped
+    # its row-level distinct exchange (per-doc array_distinct before the
+    # explode — the build is now exchange-free and the cached index
+    # doc-contiguous). Row-identical at sf0.1; all 21 consumers
+    # oracle-green at sf0.01 this round; the four parked consumers not
+    # already queued above re-grade next round.
+    "dedup_incremental_near_docs": 15,
+    "dedup_containment": 15,
+    "corpus_contamination": 15,
+    "corpus_bloom_contamination": 15,
 }
 
 
