@@ -2721,49 +2721,57 @@ register_local(
 # sums exact BIGINTs (order-free); the norm folds the 64 dimension sums
 # in dimension order. Output loadings rounded to 9 dp.
 # ---------------------------------------------------------------------------
+def _power_multiply(e: DataFrame, vals: list[float]) -> list[float]:
+    """ONE matrix-free A·u multiply: the distributed pass (per-dim exact
+    BIGINT sums of x_d·(x·v), map-side combinable) stays in Spark; the
+    64-double iterate crosses the driver as literals. Round 14 (guide
+    §1.2/§5; the markov/BPE driver-bounded-iteration precedent): the old
+    form chained each step's 1-row DF into the next via
+    crossJoin(broadcast(vcur)), so step k's plan re-embedded every prior
+    step's multiply — the final plan evaluated O(k²) full passes
+    (embeddings_top_component 5.0 s, top2 11.1 s at sf0.1). Collecting the
+    dim-BOUNDED iterate (64 rows — bounded by the schema, never by data)
+    makes each step exactly one pass. The fold arithmetic the old Spark
+    expressions did per element (sequential acc + y*y, x / sqrt(norm),
+    zip_with dots) is replicated in Python over the SAME IEEE doubles in
+    the SAME order, so results are bit-identical (oracle-verified at
+    sf0.01/sf0.1 + the edge-vector sweep)."""
+    pc = F.array(*[F.lit(float(x)) for x in vals])
+    dots = e.select(
+        F.posexplode("v").alias("d", "x"),
+        vectors.dot(F.col("v"), pc).alias("dot"),
+    )
+    w = dots.groupBy("d").agg(
+        (
+            F.sum(F.round(F.col("x") * F.col("dot") * 1e9, 0).cast("long"))
+            / F.lit(1e9)
+        ).alias("w")
+    )
+    rows = sorted(w.collect(), key=lambda r: r.d)
+    return [r.w for r in rows]
+
+
+def _normalize_vals(warr: list[float]) -> list[float]:
+    """x / sqrt(Σ y²) with the exact fold order of the old F.aggregate."""
+    import math
+
+    acc = 0.0
+    for y in warr:
+        acc = acc + y * y
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in warr]
+
+
 def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-12: shared cached vector store (_emb_base)
     e = _emb_base(spark, sf_dir).select("vec_id", "v")
 
-    vcur = spark.range(1).select(
-        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)).alias(
-            "pc"
-        )
-    )
+    vals = [0.125] * 64
     for _ in range(4):
-        dots = e.crossJoin(F.broadcast(vcur)).select(
-            F.posexplode("v").alias("d", "x"),
-            vectors.dot(F.col("v"), F.col("pc")).alias("dot"),
-        )
-        w = (
-            dots.groupBy("d")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("x") * F.col("dot") * 1e9, 0).cast("long")
-                    )
-                    / F.lit(1e9)
-                ).alias("w")
-            )
-        )
-        warr = w.groupBy().agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "w"))), lambda s: s["w"]
-            ).alias("warr")
-        )
-        vcur = warr.select(
-            F.transform(
-                F.col("warr"),
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate(
-                        F.col("warr"),
-                        F.lit(0.0),
-                        lambda acc, y: acc + y * y,
-                    )
-                ),
-            ).alias("pc")
-        )
+        vals = _normalize_vals(_power_multiply(e, vals))
+    vcur = spark.range(1).select(
+        F.array(*[F.lit(x) for x in vals]).alias("pc")
+    )
     return (
         vcur.select(F.posexplode("pc").alias("d", "loading"))
         .select(
@@ -5653,7 +5661,20 @@ def _two_level_fine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_coarse = _assign_nearest(e, coarse).select(
         "vec_id", F.col("cell").alias("ccell")
     )
-    ev1 = e.join(a_coarse, "vec_id")
+    # Round 14 (guide §5 "caching is worth it when a DataFrame is reused
+    # AND recomputing it is more expensive"): ev1 is consumed FIVE times
+    # below (fine seeds, both grouped assignments, the Lloyd explode, the
+    # return join) and was recomputed per consumer — the coarse
+    # assignment's broadcast+window chain ran 5x per query, and the
+    # RETURNED frame was then re-evaluated per self-join side by the pair
+    # exporters. Both now persist: vector-store-sized entries (n rows ×
+    # (d+3) cols), default MEMORY_AND_DISK, LRU-evictable — the same
+    # bounded-cache contract as operators/ranking.py's correctness pin.
+    # Measured at sf0.1 (warm _emb_base, min of 3):
+    # dedup_embedding_pairs_scaled 12.5 → 1.9 s, dedup_semantic_ivf
+    # 31.6 → 2.4 s; cold including every rebuild: 3.9 / 6.4 s.
+    # Rows identical (oracle-green at sf0.01/sf0.1 post-change).
+    ev1 = e.join(a_coarse, "vec_id").persist()
 
     # level 2: per-cell fine seeds (the C2 lowest vec_ids of each cell)
     wseed = Window.partitionBy("ccell").orderBy("vec_id")
@@ -5704,7 +5725,9 @@ def _two_level_fine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = assign_grouped(ev1, cent)
 
-    return ev1.join(a2.select("vec_id", "ccell", "fcell"), ["vec_id", "ccell"])
+    return ev1.join(
+        a2.select("vec_id", "ccell", "fcell"), ["vec_id", "ccell"]
+    ).persist()
 
 
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6802,94 +6825,54 @@ register_local(
 #
 # Scale shape: each iteration is one broadcast of a 64-double vector and
 # one map-side-combined groupBy over (dim) — 8 corpus passes total, all
-# scan-shaped, no all-pairs anything. The 1-row vector algebra is driver-
-# free (stays in a DataFrame).
+# scan-shaped, no all-pairs anything.
+#
+# Round 14: the iterate now crosses the driver between multiplies
+# (_power_multiply — dim-bounded 64-row collects), because the old 1-row-
+# DataFrame chaining re-embedded every prior step's multiply in the next
+# step's plan: the final plan evaluated O(k²) corpus passes and pc2's
+# four steps each re-evaluated the whole pc1 chain — measured 11.1 s at
+# sf0.1 for what is arithmetically 8 passes. Now exactly 8 passes run
+# (7.4 s same-host; ~0.9 s/multiply is local job-launch rent, not data —
+# a 64-agg no-explode variant measured SLOWER, 1.31 vs 0.90 s/multiply,
+# from CollapseProject duplicating the dot 64x per row, so the
+# posexplode+groupBy(d) multiply stays). The Gram-Schmidt
+# dot/projection/normalize are the
+# SAME IEEE fold sequences as the old zip_with/aggregate expressions,
+# replicated in dimension order on the driver — bit-identical loadings
+# (oracle-verified at sf0.01/sf0.1 + edge vectors).
 # ---------------------------------------------------------------------------
 def embeddings_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round-12: shared cached vector store — the power iterations below
-    # re-reference e once per A*u multiply (24 static scans pre-cache)
+    # round-12: shared cached vector store — each A*u multiply is one pass
+    # over it
     e = _emb_base(spark, sf_dir).select("vec_id", "v")
 
-    def power_step(vcur: DataFrame) -> DataFrame:
-        """one A*u multiply with the fixed-point per-dim sum; returns a
-        1-row DF with the UNNORMALIZED 64-dim iterate `warr`."""
-        dots = e.crossJoin(F.broadcast(vcur)).select(
-            F.posexplode("v").alias("d", "x"),
-            vectors.dot(F.col("v"), F.col("pc")).alias("dot"),
-        )
-        w = dots.groupBy("d").agg(
-            (
-                F.sum(F.round(F.col("x") * F.col("dot") * 1e9, 0).cast("long"))
-                / F.lit(1e9)
-            ).alias("w")
-        )
-        return w.groupBy().agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "w"))),
-                lambda s: s["w"],
-            ).alias("warr")
-        )
-
-    def normalize(col_df: DataFrame, col: str) -> DataFrame:
-        return col_df.select(
-            F.transform(
-                F.col(col),
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate(
-                        F.col(col), F.lit(0.0), lambda acc, y: acc + y * y
-                    )
-                ),
-            ).alias("pc")
-        )
-
     # pc1: identical to embeddings_top_component
-    vcur = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)
-        ).alias("pc")
-    )
+    vals = [0.125] * 64
     for _ in range(4):
-        vcur = normalize(power_step(vcur), "warr")
-    pc1 = vcur.select(F.col("pc").alias("pc1"))
+        vals = _normalize_vals(_power_multiply(e, vals))
+    pc1 = vals
 
     # pc2: alternating-sign init, Gram-Schmidt against pc1 each iteration
-    ucur = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: F.when(i % 2 == 0, F.lit(0.125)).otherwise(F.lit(-0.125)),
-        ).alias("pc")
-    )
+    uvals = [0.125 if i % 2 == 0 else -0.125 for i in range(64)]
     for _ in range(4):
-        w2 = power_step(ucur).crossJoin(F.broadcast(pc1))
-        # dot(warr, pc1) evaluated ONCE via zip_with+array_repeat (never
-        # captured inside the per-element lambda — functions/vectors.py
-        # round-9 rule)
-        dot_wp = F.aggregate(
-            F.zip_with(F.col("warr"), F.col("pc1"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        )
-        proj = F.zip_with(
-            F.col("pc1"),
-            F.array_repeat(dot_wp, F.size(F.col("pc1"))),
-            lambda p, dd: p * dd,
-        )
-        orth = w2.select(
-            F.zip_with(F.col("warr"), proj, lambda w_, pr: w_ - pr).alias(
-                "warr"
-            )
-        )
-        ucur = normalize(orth, "warr")
-    pc2 = ucur.select(F.col("pc").alias("pc2"))
+        warr = _power_multiply(e, uvals)
+        # dot(warr, pc1): same sequential fold order as the old
+        # zip_with+aggregate expression
+        dot_wp = 0.0
+        for a, b in zip(warr, pc1):
+            dot_wp = dot_wp + a * b
+        orth = [w_ - p * dot_wp for w_, p in zip(warr, pc1)]
+        uvals = _normalize_vals(orth)
+    pc2 = uvals
 
-    out1 = pc1.select(
+    out1 = spark.range(1).select(
         F.lit(1).cast("bigint").alias("component"),
-        F.posexplode("pc1").alias("d", "loading"),
+        F.posexplode(F.array(*[F.lit(x) for x in pc1])).alias("d", "loading"),
     )
-    out2 = pc2.select(
+    out2 = spark.range(1).select(
         F.lit(2).cast("bigint").alias("component"),
-        F.posexplode("pc2").alias("d", "loading"),
+        F.posexplode(F.array(*[F.lit(x) for x in pc2])).alias("d", "loading"),
     )
     return (
         out1.unionByName(out2)

@@ -276,6 +276,15 @@ GRADE_QUEUE: dict[str, int] = {
     "dedup_containment": 15,
     "corpus_contamination": 15,
     "corpus_bloom_contamination": 15,
+    # round-14 OPTIMIZATION drift, wave 3: _two_level_fine_cells gained
+    # persist() pins on its 5x-consumed assignment frame and its
+    # self-joined return (12.5 → 1.9 s / 31.6 → 2.4 s warm), and the two
+    # PCA power-iteration queries moved the dim-bounded 64-double iterate
+    # through the driver so each step is ONE corpus pass instead of the
+    # O(k²) re-embedded chain. Oracle-green at sf0.01/sf0.1 + edge sweep.
+    "dedup_semantic_ivf": 15,
+    "embeddings_top_component": 15,
+    "embeddings_top2_components": 15,
 }
 
 
