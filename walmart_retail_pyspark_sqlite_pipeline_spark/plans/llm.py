@@ -683,10 +683,16 @@ def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round-12: seeds and assignment read the shared cached vector store
+    # round-12: seeds and assignment read the shared cached vector store.
+    # Round 14 (guide §5): persist the assignment — consumers reference it
+    # from 2+ plan branches (e.g. the recall/MRR audits join it into both
+    # the exact and the probed leg), and without the pin each branch
+    # re-ran the centroid build + nearest-cell window. Vector-count rows ×
+    # 2 ints, MEMORY_AND_DISK, LRU-evictable (the ranking.py contract);
+    # Spark caches by logical plan, so all 6 call sites share one entry.
     e = _emb_base(spark, sf_dir)
     cent = _mean_centroids(e, "label")
-    return _assign_nearest(e, cent).select("vec_id", "cell")
+    return _assign_nearest(e, cent).select("vec_id", "cell").persist()
 
 
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7414,8 +7420,11 @@ def ann_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.join(cells, "vec_id").filter(F.col("vec_id") >= KNN_Q)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    # round 14: the exact leg never reads `cell` — scan the raw store, so
+    # only the probed leg pays the IVF-assignment join
+    exact_corpus = e.filter(F.col("vec_id") >= KNN_Q)
     exact1 = (
-        corpus.crossJoin(F.broadcast(q))
+        exact_corpus.crossJoin(F.broadcast(q))
         .select(
             "q_id",
             "vec_id",

@@ -285,6 +285,11 @@ GRADE_QUEUE: dict[str, int] = {
     "dedup_semantic_ivf": 15,
     "embeddings_top_component": 15,
     "embeddings_top2_components": 15,
+    # round-14 OPTIMIZATION drift, wave 4: _ivf_cells gained the persist
+    # pin (consumers join it from 2+ plan branches; recall/MRR audits
+    # re-ran the centroid build per branch). Oracle-green at sf0.01.
+    "ann_ivf_topk": 15,
+    "ann_ivf_recall": 15,
 }
 
 
