@@ -57,7 +57,15 @@ def test_api_matches_registry_query_on_test_corpus(spark):
         .orderBy("doc_a", "doc_b")
         .collect()
     )
-    reg = dedup_minhash_lsh_pairs(spark, SF_SMALL).collect()
+    # the registry query's contract is partition-LOCAL order only
+    # (sortWithinPartitions; the driver/oracle compare is
+    # order-insensitive), so compare in a pinned total order — the raw
+    # collect() order is partition-layout-dependent and changed when the
+    # round-14 adaptive scan repartition landed in _doc_shingles
+    reg = sorted(
+        dedup_minhash_lsh_pairs(spark, SF_SMALL).collect(),
+        key=lambda r: (r.doc_a, r.doc_b),
+    )
     assert api == reg
     assert len(reg) > 0
 

@@ -211,6 +211,22 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1 row/doc before its shuffle. At 100 TB the removed exchange is
     # wall-clock ≈ shuffle_bytes/(N·NIC) on 3× the corpus — orders beyond
     # the added CPU. Row-identical at sf0.1 (exceptAll both ways = 0).
+    #
+    # Guide §2.5 "input skew — one huge unsplittable file: repartition
+    # immediately after the read": the old distinct exchange had been
+    # (accidentally) supplying the build's parallelism — the local
+    # single-row-group parquet scans as ONE task, and exchange-free the
+    # whole tokenize+shingle+hash pipeline serialized onto it (bench line
+    # 0.95 → 1.7 s). The guard below is DATA-adaptive, not a local[32]
+    # constant: it fires only when the scan under-splits the session's
+    # parallelism (never at 100 TB, where splits abound and the exchange
+    # would be pure waste), and what it shuffles is doc-grain token rows
+    # (≈1× corpus bytes) — still 3× narrower than the old exploded
+    # exchange, and it shows up in the plan only on under-split inputs.
+    from ..session import default_parallelism
+
+    if tok.rdd.getNumPartitions() < default_parallelism():
+        tok = tok.repartition(default_parallelism(), "doc_id")
     return (
         tok.select(
             "doc_id",
