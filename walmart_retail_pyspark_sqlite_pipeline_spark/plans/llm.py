@@ -95,9 +95,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc arrays (bounded by the cap: ≤ DOC_FREQ_CAP elements, so the
     # collect is memory-safe) and pair candidates are generated in-array
     # (combinations of a ≤100-element list), replacing the keyed self-join
-    # outright; sizes re-derive from exploding the SAME bounded arrays, so
-    # the Window runs exactly once. Measured at sf0.1 warm-index: 1.68 s →
-    # 1.52 s, and the plan drops from 4 Window evaluations to 1.
+    # outright; sizes re-derive from exploding the SAME bounded arrays.
+    # The window subtree still appears 3× statically (pairs + the na/nb
+    # size branches — sizes is doc-grain so n cannot ride the arrays), all
+    # three over ONE reused shingle exchange; what's gone is the
+    # full-width keyed self-join and its fourth window pass. Measured at
+    # sf0.1 warm-index: 1.68 → 1.52 s (and 1.44 controlled minimum on the
+    # bench line after the hub-wide index changes landed).
     w = Window.partitionBy("sh")
     per_sh = (
         _doc_shingles(spark, sf_dir)
