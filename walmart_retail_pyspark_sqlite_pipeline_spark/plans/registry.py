@@ -70,23 +70,28 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   4. queued          — never driver-graded, genuinely distinct capability,
 #                        listed in GRADE_QUEUE with the round it rotates in.
 #
-# Round-14 window (VERDICT r13 "Next round" #1; ROTATION.md "Round-14
-# window plan", written in round 13):
+# Round-15 window (VERDICT r14 "Next round" #1; ROTATION.md "Round-15
+# window plan", written in round 14):
 # - 14 bench headliners: the standing bench.py lines, unchanged;
-# - 8 queue drains: events_attribution_last_touch (the round-12 overflow
-#   entry) plus the seven round-13 operator additions (q48_global_rank,
-#   qc_referential_integrity, events_attribution_position,
-#   corpus_ccnet_perplexity_buckets, stream_stream_join,
-#   events_attribution_markov, dedup_embedding_pairs_scaled);
-# - 1 round-14 re-grade: q41_rfm_segments — its closure drifted this
-#   round (operators/ranking.py cache() correctness pin, ADVICE r13
-#   medium), so it re-enters the window instead of parking on stale
-#   evidence (the re-grade-on-rewrite rule);
-# - 27 deepening slots, oldest single-green parked first: the full r6
-#   single-green cohort (16), the r7 cohort (5), the r8 cohort (3), and
-#   3 of the 4 r9 cohort entries (stream_static_enrich, last
-#   alphabetically in its cohort, overflows to the round-15 queue rule).
-# 14 + 8 + 1 + 27 = 50 slots — the full driver window.
+# - 11 queue drains: every never-graded round-14 operator addition
+#   (corpus_training_order, sketch_hdr_quantiles, the experimentation
+#   suite, ann_eval_mrr, CDC chunk dedup, Hilbert layout, target
+#   encoding);
+# - 18 re-grades: the full round-14 re-grade queue — every parked-green
+#   query whose closure the round-14 optimization rewrites drifted
+#   (LSH/shingle consumers, the PCA power iterations, semantic IVF, the
+#   IVF family) regains driver evidence (VERDICT r14 "Next round" #1);
+# - 7 round-15 optimization slots: the queries THIS round's optimization
+#   pass rewrites (VERDICT r14 #2-#6 targets), exported so their drift
+#   is graded in the same round it happens instead of parking as
+#   evidence debt — dedup_substring_ngrams, the sketch fan-out family
+#   (mg/cms/changers), the PQ chain (ivfpq, pq_recall; ann_pq_topk is a
+#   strict sub-plan of ann_pq_recall and moves to COVERED_BY), and
+#   text_bm25_prf.
+# 14 + 11 + 18 + 7 = 50 slots — the full driver window. The deepening
+# drawdown (stream_static_enrich + the r10-r13 single-green cohorts)
+# pauses for one round: re-grade evidence for rewritten closures
+# outranks deepening already-green unchanged ones (VERDICT r14 #1).
 EXPORTED_NAMES: frozenset[str] = frozenset(
     {
         # --- bench headliners (timed by bench.py every round) ---
@@ -104,49 +109,46 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "corpus_shingle_index",
         "ann_rerank_two_stage",
         "corpus_prep_pipeline_clf",
-        # --- queue drains: first grades ---
-        "events_attribution_last_touch",
-        "q48_global_rank",
-        "qc_referential_integrity",
-        "events_attribution_position",
-        "corpus_ccnet_perplexity_buckets",
-        "stream_stream_join",
-        "events_attribution_markov",
-        "dedup_embedding_pairs_scaled",
-        # --- round-14 re-grade (ranking.py cache pin drifted the hash) ---
-        "q41_rfm_segments",
-        # --- deepening: r6 single-green cohort ---
-        "events_activity_streaks",
-        "events_dwell_time",
-        "events_ewma",
-        "events_retention_bitmap",
-        "q39_decimal_money",
-        "q43_elasticity_slope",
-        "q44_lateral_topn",
-        "q46_recursive_spine",
-        "q47_ols_normal_eq",
-        "qc_benford_totalprice",
-        "qc_drift_ks",
-        "qc_drift_psi",
-        "qc_key_skew",
-        "sketch_hll_manual",
-        "stream_dedup_counts",
-        "text_zipf_slope",
-        # --- deepening: r7 single-green cohort ---
-        "corpus_encoding_audit",
-        "events_top_paths",
-        "events_wow_change",
-        "text_bpe_merge_candidates",
-        "text_bpe_train",
-        # --- deepening: r8 single-green cohort ---
-        "corpus_gopher_rules",
-        "events_seasonal_decompose",
-        "qc_drift_wasserstein",
-        # --- deepening: r9 single-green cohort (3 of 4; the window caps
-        # at 50 — stream_static_enrich heads the round-15 deepening list)
-        "multimodal_image_ann",
-        "qc_k_anonymity",
-        "stream_session_windows",
+        # --- queue drains: first grades (round-14 operator additions) ---
+        "corpus_training_order",
+        "sketch_hdr_quantiles",
+        "events_ab_test",
+        "ann_eval_mrr",
+        "events_attribution_time_decay",
+        "events_ab_cuped",
+        "corpus_cdc_chunk_dedup",
+        "layout_hilbert_clustering",
+        "events_ab_srm",
+        "events_power_mde",
+        "ml_target_encoding",
+        # --- re-grades: round-14 rewrite drift (the full 18-entry queue) ---
+        "dedup_minhash_b_bit",
+        "dedup_cc_clusters",
+        "corpus_pagerank",
+        "corpus_canonical_docs",
+        "corpus_label_propagation",
+        "corpus_triangles",
+        "corpus_split_leakage",
+        "corpus_clustering_coeff",
+        "corpus_soft_dedup_weights",
+        "dedup_incremental_near_docs",
+        "dedup_containment",
+        "corpus_contamination",
+        "corpus_bloom_contamination",
+        "dedup_semantic_ivf",
+        "embeddings_top_component",
+        "embeddings_top2_components",
+        "ann_ivf_topk",
+        "ann_ivf_recall",
+        # --- round-15 optimization slots (rewritten THIS round; graded
+        # in the same round the drift happens) ---
+        "dedup_substring_ngrams",
+        "sketch_mg_heavyhitters",
+        "sketch_cms_manual",
+        "sketch_cms_heavy_changers",
+        "ann_ivfpq_topk",
+        "ann_pq_recall",
+        "text_bm25_prf",
     }
 )
 
@@ -208,89 +210,25 @@ COVERED_BY: dict[str, str] = {
     # stays local as evidence while the exported query runs the production
     # cascade (ONE linear scan).
     "ann_rerank_audit": "ann_rerank_two_stage",
+    # round 15: ann_pq_recall CALLS ann_pq_topk for its approx leg — the
+    # full PQ/ADC plan (codebook, codes, LUT, top-k) executes inside the
+    # graded recall query, so topk is a strict sub-plan (the ann_ivf_cells
+    # ⊂ ann_ivf_topk precedent). Demoted when the round-15 optimization
+    # pass moved _pq_subspace_dists onto the shared cached vector store
+    # (drift) and the 50-slot window had room to grade the superset only.
+    "ann_pq_topk": "ann_pq_recall",
 }
 
 # Tier 4 — the must-grade queue: entries are EITHER never-driver-graded
 # new capabilities OR parked greens whose spec hash drifted and which did
 # not fit the current 50-slot window (allowed only while hash-drifted —
-# tests/test_rotation.py). Round 14 exported the entire round-13 queue
-# (the round-12 overflow entry + the seven round-13 operator additions):
-# for the first time the never-graded set is EMPTY. Round-14 additions
-# (registered this round, graded next) append below as they land.
-GRADE_QUEUE: dict[str, int] = {
-    # round-14 operator additions (registered this round, graded next):
-    # the seeded deterministic training-order shuffle (rides the
-    # distributed exact-rank primitive at documents grain), the
-    # HDR-style log2-bucket relative-error quantile sketch, and the
-    # two-proportion z-test experiment readout
-    "corpus_training_order": 15,
-    "sketch_hdr_quantiles": 15,
-    "events_ab_test": 15,
-    # round-14 batch 2: known-item MRR eval of the IVF path (rank-position
-    # quality; ann_ivf_recall only measures set overlap)
-    "ann_eval_mrr": 15,
-    # round-14 batch 3: exponential time-decay attribution (the third
-    # standard model beside last-touch/U-shaped — power-of-two BIGINT
-    # weights on the TS27 journey frame), CUPED variance-reduced A/B
-    # readout (pre-period covariate adjustment over 12 exact moments),
-    # and content-defined (Rabin rolling-hash) chunk dedup —
-    # shift-resistant chunk boundaries vs DD10's fixed-width chunker
-    "events_attribution_time_decay": 15,
-    "events_ab_cuped": 15,
-    "corpus_cdc_chunk_dedup": 15,
-    # round-14 batch 4: Hilbert-curve layout key (the Delta liquid
-    # clustering / Iceberg ordering alternative to the Z-order
-    # interleave; adjacency property pinned on all 256 cells in pytest)
-    "layout_hilbert_clustering": 15,
-    # round-14 batch 5: the rest of the experimentation suite — the
-    # sample-ratio-mismatch chi-square guard every platform runs before
-    # reading a result, and power analysis off the live baseline rate
-    "events_ab_srm": 15,
-    "events_power_mde": 15,
-    # round-14 batch 6: K-fold out-of-fold smoothed target encoding —
-    # the Micci-Barreca categorical encoder with leakage control, exact
-    # micro-integer arithmetic over a 25-cell bounded table
-    "ml_target_encoding": 15,
-    # round-14 OPTIMIZATION drift: the _lsh_candidate_jaccards restructure
-    # (per-doc shingle count carried through the band explode instead of
-    # two trailing doc-grain sizes joins — guide §2.3/§2.4; verified
-    # row-identical at sf0.1 and oracle-green at sf0.01 for every consumer
-    # below) drifts the closure hash of the whole parked LSH-consumer
-    # family. Results are unchanged; evidence re-grades next round.
-    "dedup_minhash_b_bit": 15,
-    "dedup_cc_clusters": 15,
-    "corpus_pagerank": 15,
-    "corpus_canonical_docs": 15,
-    "corpus_label_propagation": 15,
-    "corpus_triangles": 15,
-    "corpus_split_leakage": 15,
-    "corpus_clustering_coeff": 15,
-    "corpus_soft_dedup_weights": 15,
-    # round-14 OPTIMIZATION drift, wave 2: the _doc_shingles hub dropped
-    # its row-level distinct exchange (per-doc array_distinct before the
-    # explode — the build is now exchange-free and the cached index
-    # doc-contiguous). Row-identical at sf0.1; all 21 consumers
-    # oracle-green at sf0.01 this round; the four parked consumers not
-    # already queued above re-grade next round.
-    "dedup_incremental_near_docs": 15,
-    "dedup_containment": 15,
-    "corpus_contamination": 15,
-    "corpus_bloom_contamination": 15,
-    # round-14 OPTIMIZATION drift, wave 3: _two_level_fine_cells gained
-    # persist() pins on its 5x-consumed assignment frame and its
-    # self-joined return (12.5 → 1.9 s / 31.6 → 2.4 s warm), and the two
-    # PCA power-iteration queries moved the dim-bounded 64-double iterate
-    # through the driver so each step is ONE corpus pass instead of the
-    # O(k²) re-embedded chain. Oracle-green at sf0.01/sf0.1 + edge sweep.
-    "dedup_semantic_ivf": 15,
-    "embeddings_top_component": 15,
-    "embeddings_top2_components": 15,
-    # round-14 OPTIMIZATION drift, wave 4: _ivf_cells gained the persist
-    # pin (consumers join it from 2+ plan branches; recall/MRR audits
-    # re-ran the centroid build per branch). Oracle-green at sf0.01.
-    "ann_ivf_topk": 15,
-    "ann_ivf_recall": 15,
-}
+# tests/test_rotation.py). Round 15 drains the ENTIRE round-14 queue into
+# the window: all 11 never-graded round-14 operator additions and all 18
+# round-14 optimization-drift re-grades are exported above, so the queue
+# is empty — both the never-graded set AND the re-grade backlog are ∅
+# for the first time. Round-15 rewrites all land in the window the same
+# round (the 7 optimization slots), so no new entries accrue.
+GRADE_QUEUE: dict[str, int] = {}
 
 
 _PKG = __name__.split(".", 1)[0]  # top-level package name
