@@ -50,6 +50,11 @@ def test_lsh_pairs_no_trailing_sizes_joins(spark):
         dedup_minhash_lsh_pairs,
     )
 
+    # count the FRESH plan: a session-warm shingle cache makes the printed
+    # InMemoryRelation innerChildren show the materialized (finalized)
+    # subtree, which re-prints its exchange — the ref count would then
+    # depend on which tests ran first, not on the plan's structure
+    spark.catalog.clearCache()
     plan = _formatted(spark, dedup_minhash_lsh_pairs(spark, SF_SMALL))
     assert plan.count("Exchange") <= 15, (
         f"lsh plan regrew to {plan.count('Exchange')} Exchange refs "
@@ -66,6 +71,8 @@ def test_shingle_index_no_distinct_exchange(spark):
         _doc_shingles,
     )
 
+    # fresh-plan count — see test_lsh_pairs_no_trailing_sizes_joins
+    spark.catalog.clearCache()
     df = _doc_shingles(spark, SF_SMALL)
     try:
         plan = _formatted(spark, df)

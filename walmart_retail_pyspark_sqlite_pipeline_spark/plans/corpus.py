@@ -218,6 +218,15 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_labels(edges: DataFrame) -> DataFrame:
+    # Round 15 (guide §5): convergence detection carries the previous
+    # label through the checkpointed frame — the old form re-JOINED old
+    # vs new labels (a node-sized shuffle join + count job per round);
+    # the new form is a filter-count over rows the checkpoint already
+    # materialized. Labels identical: same propagation rule, same
+    # early-exit. (Pre-partitioning the edges by dst before the
+    # checkpoint was tried and reverted: `Scan ExistingRDD` drops output
+    # partitioning, so EnsureRequirements re-inserts the join exchanges
+    # anyway and the extra pass is pure cost — plan-verified.)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -234,19 +243,15 @@ def _cc_labels(edges: DataFrame) -> DataFrame:
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 F.col("node"),
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_prev") != F.col("label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels
@@ -728,32 +733,111 @@ register_local(
 # with ≥2 docs → semi-join back. No all-pairs term anywhere: cost is
 # Σ grams + the postings of duplicated grams, exactly how the
 # suffix-array pipeline's candidate stage behaves at corpus scale.
+#
+# Gram hashing is INCREMENTAL (round 15, guide §1.2 per-task work): the
+# old form materialized every 13-token gram STRING (~90 chars) and ran
+# the char-level poly_hash over it — 13× the char work of hashing each
+# token once, and the round-15 profile measured that hashing at 2.3 s of
+# the query's 3.1 s. The 31-polynomial mod P composes over
+# concatenation — H(a||b) = (H(a)·31^len(b) + H(b)) mod P — so one char
+# pass per TOKEN yields (h_j, p_j = 31^len_j mod P), and each gram's
+# hash is a 12-step integer fold over the window's tokens:
+#   H(gram) = fold_{j=i+1..i+12} h ← (h·(31·p_j) + (32·p_j + h_j)) mod P
+# starting from h_i (32 = ascii(' '), the shingle joiner; tokens are
+# [a-z0-9]+, single-byte, so ascii == the char fold poly_hash runs).
+# Every product stays < 2^62 (h,p < P < 2^31). Hash VALUES are
+# bit-identical to poly_hash over the concatenated string — the DuckDB
+# twin still spells it that way — and the per-doc array_distinct over
+# hash values replaces both the string-level array_distinct and the
+# corpus-wide post-shuffle .distinct() (a within-doc hash collision and
+# a collided gram pair dedup to the same (doc_id, h) set either way).
 # ---------------------------------------------------------------------------
 SUBSTR_N = 13
 
 
+def _token_hash_pows(tok: Column) -> Column:
+    """array<struct<h,p>> per token: h = poly_hash(token), p = 31^len mod P
+    — both from ONE char fold per token."""
+    P = hashing.MERSENNE_P
+    return F.transform(
+        tok,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
+            ),
+            lambda acc, c: F.struct(
+                ((acc["h"] * 31 + F.ascii(c)) % P).alias("h"),
+                ((acc["p"] * 31) % P).alias("p"),
+            ),
+        ),
+    )
+
+
+def _gram_hashes(thp: Column, n_tok: Column, n: int) -> Column:
+    """array<long> of n-token-gram poly hashes off the materialized
+    (h, p) token array — the incremental composition above."""
+    P = hashing.MERSENNE_P
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.aggregate(
+                F.sequence(i + 1, i + F.lit(n - 1)),
+                F.element_at(thp, i)["h"],
+                lambda acc, j: (
+                    acc * ((F.element_at(thp, j)["p"] * 31) % P)
+                    + (F.element_at(thp, j)["p"] * 32 + F.element_at(thp, j)["h"])
+                    % P
+                )
+                % P,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    # materialized tok column — never the expression (capture pathology;
-    # see text_lm_score)
+    from ..session import default_parallelism, undersplit
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Guide §2.5 "input skew — repartition immediately after an
+    # under-split read" (the _doc_shingles guard, cached-decision form):
+    # with the old corpus-wide distinct exchange gone, everything up to
+    # the h repartition — tokenize, the per-token char folds, the gram
+    # folds — inherits the SCAN's split, and a local single-row-group
+    # parquet file serializes it all onto one task. Data-adaptive: never
+    # fires on a well-split 100 TB scan; what it shuffles is the raw
+    # doc rows (1× corpus bytes), before any expansion.
+    if undersplit(docs, f"substring_ngrams:{sf_dir}"):
+        docs = docs.repartition(default_parallelism(), "doc_id")
+    # materialized tok / thp / n columns — never the expressions (capture
+    # pathology; see text_lm_score): the gram fold references thp 24×
+    # per gram, so an unmaterialized thp would re-run the per-token char
+    # fold inside every lambda step
     tk = docs.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    hp = tk.select(
+        "doc_id",
+        F.size("tok").alias("n_tok"),
+        _token_hash_pows(F.col("tok")).alias("thp"),
+    )
     # ONE gram stream: the cross-doc share of each gram hash is a WINDOW
     # count over an explicit h repartition (the dedup_ngram_jaccard
     # idiom), and the per-doc rollup is a single aggregate with an
     # indicator sum — the old shared/per_doc/semi-join branches each
     # re-planned the scan+shingle pipeline (round-11 scan census: 3
-    # documents scans here). The h repartition also satisfies the
-    # distinct's clustering, so dedup rides the same exchange.
+    # documents scans here). Per-doc array_distinct makes (doc_id, h)
+    # unique BEFORE the exchange, so no post-shuffle distinct is needed
+    # (the r14 _doc_shingles pattern).
     grams = (
-        tk.select(
+        hp.select(
             "doc_id",
             F.explode(
-                F.array_distinct(text.word_shingles(F.col("tok"), SUBSTR_N))
-            ).alias("g"),
+                F.array_distinct(
+                    _gram_hashes(F.col("thp"), F.col("n_tok"), SUBSTR_N)
+                )
+            ).alias("h"),
         )
-        .select("doc_id", hashing.poly_hash(F.col("g")).alias("h"))
         .repartition(F.col("h"))
-        .distinct()  # hash collisions could re-merge distinct grams
         .withColumn("n_docs", F.count("*").over(Window.partitionBy("h")))
     )
     return (
@@ -1144,6 +1228,13 @@ def corpus_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(F.col("doc_id").alias("node"), F.col("lang").alias("label"))
     w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
     for _ in range(LP_ITERS):
+        # round 15 note: collapsing the (src,label) agg exchange and the
+        # src window exchange into one explicit src repartition was tried
+        # and REVERTED (2.6 → 5.5 s measured): the repartition shuffles
+        # the raw edge⨝label rows and defeats the map-side partial
+        # aggregation that makes the (src,label) exchange vote-grain —
+        # guide §2.3 "aggregate before you shuffle" outranks §2.4's
+        # shared exchange when the pre-agg reduction is large
         votes = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src", "label")

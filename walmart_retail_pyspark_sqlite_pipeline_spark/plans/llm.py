@@ -227,9 +227,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be pure waste), and what it shuffles is doc-grain token rows
     # (≈1× corpus bytes) — still 3× narrower than the old exploded
     # exchange, and it shows up in the plan only on under-split inputs.
-    from ..session import default_parallelism
+    # Round 15 (ADVICE r14): the probe result is cached per sf_dir, so
+    # repeated plan builds neither re-pay the DataFrame→RDD conversion
+    # nor flip the plan shape mid-session.
+    from ..session import default_parallelism, undersplit
 
-    if tok.rdd.getNumPartitions() < default_parallelism():
+    if undersplit(tok, f"doc_shingles:{sf_dir}"):
         tok = tok.repartition(default_parallelism(), "doc_id")
     return (
         tok.select(
@@ -3554,11 +3557,16 @@ PQ_N_QUERIES = 5  # vec_id 1..5 are the query vectors (ids start at 0)
 
 def _pq_subspace_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, s, code, d2i): exact scaled-int distance of every vector's
-    subspace-s slice to every codeword of subspace s."""
-    emb = read_embeddings(spark, sf_dir)
-    e = emb.select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
-    )
+    subspace-s slice to every codeword of subspace s.
+
+    Reads the shared cached vector store (round 15, guide §5/§6): the old
+    ``read_embeddings(...)`` + ``as_double`` subtree is exactly
+    ``_emb_base``'s plan minus the cache, and it was consumed TWICE here
+    (the codebook aggregate and the distance join) — two raw parquet
+    scans + float→double widenings per PQ query where every other
+    multi-reference vector consumer reads the one materialization.
+    """
+    e = _emb_base(spark, sf_dir)
     ex = e.select(
         "vec_id", "label", F.posexplode("v").alias("d", "x")
     )
@@ -3717,7 +3725,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    ranked_cells = dist.withColumn("rn", F.row_number().over(w_cell))
+    # persist: the ranked cell-distance frame is consumed by TWO branches
+    # (home-cell assignment + the query-side nprobe list) — without the
+    # pin each re-ran the n×|cells| zip_with distance cross-join (round
+    # 15, guide §5 — the _ivf_cells pattern). Per-invocation, n×|cells|
+    # rows, recomputed from parquet every run.
+    ranked_cells = dist.withColumn("rn", F.row_number().over(w_cell)).persist()
     cells = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
     qprobe = (
         ranked_cells.filter(

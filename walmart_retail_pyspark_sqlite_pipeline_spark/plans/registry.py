@@ -82,12 +82,15 @@ LOCAL_REGISTRY: dict[str, QuerySpec] = {}
 #   (LSH/shingle consumers, the PCA power iterations, semantic IVF, the
 #   IVF family) regains driver evidence (VERDICT r14 "Next round" #1);
 # - 7 round-15 optimization slots: the queries THIS round's optimization
-#   pass rewrites (VERDICT r14 #2-#6 targets), exported so their drift
+#   pass rewrites (VERDICT r14 #2-#4 targets), exported so their drift
 #   is graded in the same round it happens instead of parking as
-#   evidence debt — dedup_substring_ngrams, the sketch fan-out family
-#   (mg/cms/changers), the PQ chain (ivfpq, pq_recall; ann_pq_topk is a
-#   strict sub-plan of ann_pq_recall and moves to COVERED_BY), and
-#   text_bm25_prf.
+#   evidence debt — dedup_substring_ngrams, the sketch family
+#   (mg/cms/changers + approx_distinct, whose mixed exact/HLL aggregate
+#   shuffled ~1.6k HLL register columns at (group, user) grain), and the
+#   PQ chain (ivfpq, pq_recall; ann_pq_topk is a strict sub-plan of
+#   ann_pq_recall and moves to COVERED_BY). text_bm25_prf (VERDICT #6)
+#   measured as already-shared (one postings InMemoryRelation; dl agg
+#   0.06 s warm) and stays parked untouched.
 # 14 + 11 + 18 + 7 = 50 slots — the full driver window. The deepening
 # drawdown (stream_static_enrich + the r10-r13 single-green cohorts)
 # pauses for one round: re-grade evidence for rewritten closures
@@ -146,9 +149,9 @@ EXPORTED_NAMES: frozenset[str] = frozenset(
         "sketch_mg_heavyhitters",
         "sketch_cms_manual",
         "sketch_cms_heavy_changers",
+        "sketch_approx_distinct",
         "ann_ivfpq_topk",
         "ann_pq_recall",
-        "text_bm25_prf",
     }
 )
 

@@ -51,13 +51,25 @@ _QUANTILE_BAND = 0.02
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality per event_type, graded against exact NDV.
 
-    One aggregation pass computes both: at scale you would drop the exact
-    branch and keep only the mergeable HLL (map-side partials, no shuffle
-    of the distinct set); here the exact branch is the grader.
+    At scale you would drop the exact branch and keep only the mergeable
+    HLL (map-side partials, no shuffle of the distinct set); here the
+    exact branch is the grader.
+
+    The exact branch is pre-deduplicated BEFORE the HLL aggregate (round
+    15, guide §2.3): mixing ``countDistinct`` with a non-distinct
+    aggregate makes Spark's distinct-rewrite evaluate the HLL partial at
+    the (event_type, user_id) grain — at rsd=0.01 that is ~1.6k packed
+    register columns carried by EVERY distinct pair through the first
+    exchange (plans/r15/sketch_approx_distinct_before.txt: partial agg
+    "Results [1641]"). Deduplicating the pairs first and aggregating the
+    distinct stream shuffles 2 narrow columns instead; HLL insertion is
+    idempotent, so the sketch registers — and hence the estimate and the
+    band flag — are identical over the distinct stream.
     """
     events = read_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    pairs = events.select("event_type", "user_id").distinct()
+    agg = pairs.groupBy("event_type").agg(
+        F.count("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
     )
     return (
@@ -433,51 +445,53 @@ _CMS_TOPK = 20
 def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hashing
 
-    # token stream off the shared cached token index — the counter, the
-    # candidate vocabulary, and the exact-evaluation pass each re-planned
-    # the scan+tokenize as separate subtrees (round-11 scan census: 5
-    # documents scans here)
-    hx = (
+    # token stream off the shared cached token index, rolled up ONCE into
+    # a pinned per-token count table (round 15, guide §2.3/§5): the
+    # counter build, the candidate vocabulary, and the exact-evaluation
+    # pass each re-read the full token stream — and re-ran the char-level
+    # poly_hash — as separate subtrees (3 postings passes, with the
+    # counter pass additionally exploding the stream ×d). Every one of
+    # them is derivable from the (token, x, cnt) rollup: the counters as
+    # a cnt-weighted sum over the exploded cells, the vocabulary as its
+    # key set (poly_hash is deterministic per token, so (token, x) rows
+    # ARE the distinct vocabulary), the exact counts as the cnt column.
+    # One stream pass; everything downstream is vocabulary-bounded
+    # (Heaps-law sub-linear — the same bound the candidate pass always
+    # had). The pin is per-invocation, recomputed from parquet every run.
+    tf = (
         _token_postings(spark, sf_dir)
         .filter(F.col("term").isNotNull())
         .select(
             F.col("term").alias("token"),
             hashing.poly_hash(F.col("term")).alias("x"),
         )
+        .groupBy("token", "x")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
 
     def col_r(r: int) -> F.Column:
         a, b = hashing.MINHASH_PERMS[r]
         return ((F.col("x") * a + b) % hashing.MERSENNE_P) % _CMS_W
 
-    cells = hx.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"), col_r(r).alias("col")
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.r", "cell.col")
-    counters = cells.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+    cell_arr = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), col_r(r).alias("col"))
+            for r in range(_CMS_D)
+        ]
+    )
+    counters = (
+        tf.select("cnt", F.explode(cell_arr).alias("cell"))
+        .select(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"), "cnt")
+        .groupBy("r", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
-    # candidate pass: vocabulary dedup (no counts), then each candidate
-    # probes its d cells against the broadcast counter table; top-k BY
-    # ESTIMATE is the sketch-native heavy-hitter selection
-    vocab = hx.distinct()
-    cand = vocab.select(
-        "token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(r).alias("r"), col_r(r).alias("col"))
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("cell"),
+    # candidate pass: each vocabulary entry probes its d cells against
+    # the broadcast counter table; top-k BY ESTIMATE is the sketch-native
+    # heavy-hitter selection
+    cand = tf.select(
+        "token", F.explode(cell_arr).alias("cell")
     ).select("token", "cell.r", "cell.col")
     top = (
         cand.join(F.broadcast(counters), ["r", "col"])
@@ -486,11 +500,12 @@ def sketch_cms_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_est"), "token")
         .limit(_CMS_TOPK)
     )
-    # evaluation-only exact pass: count just the 20 selected tokens
+    # evaluation-only exact pass: the selected tokens' exact counts are
+    # already in the rollup
     exact = (
-        hx.join(F.broadcast(top.select("token")), "token")
+        tf.join(F.broadcast(top.select("token")), "token")
         .groupBy("token")
-        .agg(F.count("*").alias("true_cnt"))
+        .agg(F.sum("cnt").alias("true_cnt"))
     )
     return (
         top.join(exact, "token")
@@ -1031,7 +1046,16 @@ def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").alias("token"),
         )
     )
-    counts = toks.groupBy("shard", "token").agg(F.count("*").alias("cnt"))
+    # ONE token-stream pass, pinned (round 15, guide §5 — the _ivf_cells
+    # pattern): the counts table is consumed by FIVE downstream subtrees
+    # (deltas, kept, the two bound scalars, the exact pass below), and
+    # without the pin each re-ran the full-stream groupBy — the round-15
+    # profile measured ~5 postings passes per execution. The pin is
+    # per-invocation, vocabulary×shards-bounded (Heaps-law sub-linear),
+    # recomputed from parquet every run.
+    counts = (
+        toks.groupBy("shard", "token").agg(F.count("*").alias("cnt")).persist()
+    )
 
     w1 = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("token"))
     ranked = counts.withColumn("rn", F.row_number().over(w1))
@@ -1079,11 +1103,13 @@ def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mg_est"), "token")
         .limit(_MG_TOPK)
     )
-    # evaluation-only exact pass on just the exported tokens
+    # evaluation-only exact pass on just the exported tokens — off the
+    # pinned counts table (true count = Σ over shards of the exact
+    # per-shard count), not a second token-stream scan
     exact = (
-        toks.join(F.broadcast(top.select("token")), "token")
+        counts.join(F.broadcast(top.select("token")), "token")
         .groupBy("token")
-        .agg(F.count("*").alias("true_cnt"))
+        .agg(F.sum("cnt").alias("true_cnt"))
     )
     return (
         top.join(exact, "token")
@@ -1402,7 +1428,17 @@ _CHG_TOPK = 15
 def sketch_cms_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hashing
 
-    hx = (
+    # token stream rolled up ONCE into a pinned (half, token, x, cnt)
+    # count table (round 15, guide §2.3/§5 — the sketch_cms_manual
+    # restructure at per-half grain): the two per-half counter builds,
+    # the vocabulary dedup, and the exact-evaluation pass each re-read
+    # the full token stream — and re-ran the char-level poly_hash — as
+    # separate subtrees. All are derivable from the rollup: counters as
+    # cnt-weighted sums, vocabulary as the distinct (token, x) keys,
+    # exact per-half counts as cnt-weighted conditional sums. One stream
+    # pass; everything downstream is vocabulary-bounded. Per-invocation
+    # pin, recomputed from parquet every run.
+    tf = (
         _token_postings(spark, sf_dir)
         .filter(F.col("term").isNotNull())
         .select(
@@ -1410,6 +1446,9 @@ def sketch_cms_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").alias("token"),
             hashing.poly_hash(F.col("term")).alias("x"),
         )
+        .groupBy("half", "token", "x")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
 
     def col_r(r: int) -> F.Column:
@@ -1423,12 +1462,12 @@ def sketch_cms_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     counters = (
-        hx.select("half", F.explode(cell_arr).alias("cell"))
-        .select("half", "cell.r", "cell.col")
+        tf.select("half", "cnt", F.explode(cell_arr).alias("cell"))
+        .select("half", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"), "cnt")
         .groupBy("half", "r", "col")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    vocab = hx.select("token", "x").distinct()
+    vocab = tf.select("token", "x").distinct()
     halves = spark.createDataFrame([(0,), (1,)], "half int")
     cand = vocab.select(
         "token", F.explode(cell_arr).alias("cell")
@@ -1449,13 +1488,13 @@ def sketch_cms_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CHG_TOPK)
     )
     exact = (
-        hx.join(F.broadcast(top.select("token")), "token")
+        tf.join(F.broadcast(top.select("token")), "token")
         .groupBy("token")
         .agg(
-            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            F.sum(F.when(F.col("half") == 0, F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("true0"),
-            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            F.sum(F.when(F.col("half") == 1, F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("true1"),
         )

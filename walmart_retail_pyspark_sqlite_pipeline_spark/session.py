@@ -27,6 +27,29 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# Cached scan-split decisions for undersplit(), keyed by the caller's
+# (plan-site, sf_dir) string. One probe per key per process: the probe is a
+# DataFrame→RDD conversion (full analysis + deserializer plan — cheap but
+# not free), and caching it also keeps the guarded plan SHAPE stable within
+# a session even if the file layout changes mid-run (ADVICE r14: the
+# per-call probe both re-paid the conversion and could split one sf_dir
+# into two divergent cache entries).
+_SPLIT_DECISIONS: dict[str, bool] = {}
+
+
+def undersplit(df, key: str) -> bool:
+    """True when ``df``'s scan yields fewer partitions than the session's
+    parallelism — the data-adaptive trigger for the "repartition
+    immediately after an under-split read" guards (guide §2.5). Never
+    fires on a well-split 100 TB scan; on a local single-row-group parquet
+    file it restores the parallelism the input cannot supply."""
+    hit = _SPLIT_DECISIONS.get(key)
+    if hit is None:
+        hit = df.rdd.getNumPartitions() < default_parallelism()
+        _SPLIT_DECISIONS[key] = hit
+    return hit
+
+
 def get_spark(
     app_name: str = "walmart-retail-pyspark-engine",
     master: str | None = None,
