@@ -246,13 +246,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig(spark: SparkSession, sf_dir: str, extra_aggs=()) -> DataFrame:
+    """Per-doc 8-min minhash signature off the shared shingle index.
+
+    ``extra_aggs`` lets a caller ride additional aggregates on the SAME
+    doc-grain groupBy pass (round 15, ADVICE r14: _lsh_candidate_jaccards
+    had inlined this body to add its ``n`` count, forking the signature
+    expression list — which this function exists to keep single-sourced
+    with the ``_MH_MINS`` SQL twin below)."""
     t = _doc_shingles(spark, sf_dir)
     return t.groupBy("doc_id").agg(
         *[
             F.min(hashing.minhash_value(F.col("h"), PERMS[j])).alias(f"mh{j}")
             for j in range(len(PERMS))
-        ]
+        ],
+        *extra_aggs,
     )
 
 
@@ -303,13 +311,7 @@ def _lsh_candidate_jaccards(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-cardinality table. Verified row-identical at sf0.1 (exceptAll both
     ways = 0) and measured 0.949 s → 0.719 s warm-index."""
     uni = _doc_shingles(spark, sf_dir)
-    sig = uni.groupBy("doc_id").agg(
-        *[
-            F.min(hashing.minhash_value(F.col("h"), PERMS[j])).alias(f"mh{j}")
-            for j in range(len(PERMS))
-        ],
-        F.count("*").alias("n"),
-    )
+    sig = _minhash_sig(spark, sf_dir, extra_aggs=(F.count("*").alias("n"),))
     bands = sig.select(
         "doc_id",
         "n",
