@@ -334,7 +334,25 @@ def _closure_payload(fn: Callable) -> str:
                     f"{_PKG}.functions.{n}",
                     f"{_PKG}.operators.{n}",
                 ):
+                    # Round 15: IMPORT the candidate instead of peeking at
+                    # sys.modules. The peek made the payload depend on
+                    # interpreter import state: a fn whose only reference
+                    # to a helper module is an intra-fn relative import
+                    # (``from ..operators.ranking import ...``) captured
+                    # the helper ONLY when some earlier code had already
+                    # imported that module — so the same source hashed
+                    # differently in a fresh process vs mid-test-suite
+                    # (q48/q41 false drift, round 15). Importing resolves
+                    # deterministically; failures mean "not a module" and
+                    # fall through exactly as the peek's miss did.
                     m = _sys.modules.get(cand)
+                    if m is None:
+                        import importlib
+
+                        try:
+                            m = importlib.import_module(cand)
+                        except ImportError:
+                            m = None
                     if m is not None:
                         namespaces.append(m)
                         break
@@ -384,7 +402,12 @@ def spec_hash(spec: QuerySpec) -> str:
     slip through; each time the ledger was restamped in the same commit
     (``tools/update_graded_hashes.py --restamp-algo``) while current source
     still equaled the graded source (rotation test green under the old
-    algorithm immediately before each migration).
+    algorithm immediately before each migration). Round 15 made the
+    module-candidate resolution import-deterministic (see the comment in
+    ``_closure_payload``) and migrated the ledger with a GUARDED restamp:
+    only entries whose ledger hash equaled the old-algorithm fresh-state
+    hash (i.e. source provably unchanged since grading) were recomputed;
+    entries already awaiting a re-grade kept their historical graded hash.
     """
     import hashlib
 
