@@ -6667,7 +6667,13 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << BBIT_B) - 1
     scale = 1 << BBIT_B
     nperm = len(PERMS)
-    sig = _minhash_sig(spark, sf_dir)
+    # round 15 (guide §5): the signature groupBy (8 minhash mins over the
+    # full shingle index) is consumed by BOTH compressed-signature sides;
+    # unpinned it re-executed per side — on top of the third build inside
+    # _lsh_candidate_jaccards, which stays (its n-carrying variant is the
+    # shared candidate definition). Per-invocation pin, doc-grain rows,
+    # recomputed from parquet every run.
+    sig = _minhash_sig(spark, sf_dir).persist()
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[(F.col(f"mh{j}").bitwiseAND(mask)).alias(f"ba{j}") for j in range(nperm)],
