@@ -3395,7 +3395,11 @@ register_local(
 # ROUND tie hazard); the error is one deterministic |a − b|.
 # ---------------------------------------------------------------------------
 def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_sig(spark, sf_dir)
+    # round 15 (guide §5, the dedup_minhash_b_bit pin): the signature
+    # groupBy is consumed THREE times here (the banding pass + both
+    # signature-agreement sides); per-invocation doc-grain pin,
+    # recomputed from parquet every run.
+    sig = _minhash_sig(spark, sf_dir).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
